@@ -1,0 +1,134 @@
+"""Crawl engine vs the sequential oracle: identical visit order, depths,
+byte-identical text, identical outstanding links and politeness
+schedule — at any parallelism; plus checkpoint/resume equality."""
+
+import pyarrow as pa
+import pytest
+
+from webscraping_ray.oracle.refcrawl import crawl_oracle
+from webscraping_ray.pipelines.crawl import Crawler, crawl_bfs
+from webscraping_ray.sources import corpus
+
+
+N_PAGES = 300
+N_HOSTS = 6
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    tbl = corpus.pages_table(N_PAGES, n_hosts=N_HOSTS, seed=7)
+    as_dict = dict(zip(tbl.column('url').to_pylist(),
+                       tbl.column('html').to_pylist()))
+    return tbl, as_dict
+
+
+def seeds_for(as_dict, k=3):
+    urls = sorted(as_dict)
+    # one seed per distinct host, first k hosts
+    seen_hosts, seeds = set(), []
+    for u in urls:
+        h = u.split('/')[2]
+        if h not in seen_hosts:
+            seen_hosts.add(h)
+            seeds.append(u)
+        if len(seeds) == k:
+            break
+    return seeds
+
+
+def assert_matches_oracle(visits: pa.Table, oracle_visits):
+    got = visits.to_pylist()
+    assert len(got) == len(oracle_visits), (
+        f'visit count {len(got)} != oracle {len(oracle_visits)}')
+    for g, o in zip(got, oracle_visits):
+        assert g['url'] == o['url'], (g['visit_order'], g['url'], o['url'])
+        assert g['depth'] == o['depth'], (g['url'], g['depth'], o['depth'])
+        assert g['visit_order'] == o['visit_order']
+        assert g['status'] == o['status']
+        assert g['text'] == o['text'], f'text mismatch at {g["url"]}'
+        assert g['links'] == o['links'], f'links mismatch at {g["url"]}'
+        assert g['scheduled_ts'] == o['scheduled_ts'], (
+            g['url'], g['scheduled_ts'], o['scheduled_ts'])
+
+
+@pytest.mark.parametrize("max_depth,max_links", [(1, 100), (2, 100), (2, 3), (3, 5)])
+def test_crawl_matches_oracle(ray_session, small_corpus, max_depth, max_links):
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    oracle_visits, oracle_found = crawl_oracle(
+        as_dict, seeds, max_depth=max_depth, max_links=max_links)
+    visits = crawl_bfs(tbl, seeds, max_depth=max_depth, max_links=max_links,
+                       use_ray=True)
+    assert_matches_oracle(visits, oracle_visits)
+
+
+def test_crawl_deterministic_across_batch_sizes(ray_session, small_corpus):
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    v1 = crawl_bfs(tbl, seeds, max_depth=2, batch_size=16, num_seen_shards=2)
+    v2 = crawl_bfs(tbl, seeds, max_depth=2, batch_size=512, num_seen_shards=8)
+    assert v1.to_pylist() == v2.to_pylist()
+
+
+def test_crawl_seen_set_matches_oracle(ray_session, small_corpus):
+    import numpy as np
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    oracle_visits, oracle_found = crawl_oracle(as_dict, seeds, max_depth=2)
+    c = Crawler(tbl, max_depth=2)
+    c.run(seeds)
+    engine_keys = set()
+    for _, _, blob in c.seen.snapshots():
+        engine_keys |= set(np.frombuffer(blob, dtype=np.uint64).tolist())
+    oracle_keys = {np.uint64(k).item() if k >= 0 else np.uint64(k + (1 << 64)).item()
+                   for k in oracle_found}
+    oracle_keys = {int(np.uint64(k)) for k in
+                   (np.array(list(oracle_found), dtype=np.int64).astype(np.uint64))}
+    assert engine_keys == oracle_keys
+
+
+def test_crawl_banned_allowed_regex(ray_session, small_corpus):
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    kw = dict(max_depth=2, banned_urls=r'.*/p/1\d$')
+    oracle_visits, _ = crawl_oracle(as_dict, seeds, **kw)
+    visits = crawl_bfs(tbl, seeds, use_ray=True, **kw)
+    assert_matches_oracle(visits, oracle_visits)
+
+
+def test_crawl_robots(ray_session, small_corpus):
+    class BlockOdd:
+        def can_fetch(self, agent, url):
+            return not url.rstrip('/').endswith(('1', '3', '5', '7', '9'))
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    oracle_visits, _ = crawl_oracle(as_dict, seeds, max_depth=2, robots=BlockOdd())
+    visits = crawl_bfs(tbl, seeds, max_depth=2, robots=BlockOdd())
+    assert_matches_oracle(visits, oracle_visits)
+
+
+def test_checkpoint_resume_identical(ray_session, small_corpus, tmp_path):
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+
+    ckpt = str(tmp_path / 'ckpt')
+    c1 = Crawler(tbl, max_depth=3, max_links=10, checkpoint_dir=ckpt)
+    part1 = c1.run(seeds, stop_after_wave=1)  # waves 0..1, then "killed"
+    c2 = Crawler(tbl, max_depth=3, max_links=10, checkpoint_dir=ckpt)
+    part2 = c2.run_resumed()
+    resumed = pa.concat_tables([part1, part2])
+    assert resumed.to_pylist() == full.to_pylist()
+
+
+def test_crawl_politeness_budget(ray_session, small_corpus):
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    visits = crawl_bfs(tbl, seeds, max_depth=2, delay=5.0)
+    by_host = {}
+    for r in visits.to_pylist():
+        by_host.setdefault(r['url'].split('/')[2], []).append(r['scheduled_ts'])
+    for host, ts in by_host.items():
+        ts = sorted(ts)
+        for a, b in zip(ts, ts[1:]):
+            assert b - a >= 5.0 - 1e-9, f'politeness violated on {host}'

@@ -1,0 +1,71 @@
+"""M1 end-to-end: corpus generation → bucketed store → extraction, with
+the byte-identity invariant (engine text == generation-time oracle text)."""
+
+import pyarrow.compute as pc
+import pytest
+
+from webscraping_ray.sources import corpus, store
+from webscraping_ray.stages.extract_stage import ExtractPages, CanonicalizeLinks
+
+
+@pytest.fixture(scope="module")
+def corpus_root(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    ds = corpus.pages_dataset(400, n_hosts=12, seed=42, override_num_blocks=4)
+    store.write_corpus(ds, root, num_buckets=8)
+    return root
+
+
+def test_store_roundtrip_and_lookup(corpus_root):
+    cs = store.CorpusStore(corpus_root)
+    assert cs.num_buckets == 8
+    full = cs.read_all(columns=['url']).count()
+    assert full == 400
+    urls = [corpus.page_url(h, i) for h, i in [(0, 0), (0, 1), (1, 2)]]
+    tbl = cs.lookup_table(urls)
+    got = set(tbl.column('url').to_pylist())
+    # only urls that exist in the corpus come back (page i lives on one host)
+    assert got <= set(urls)
+    assert all(u.startswith('http://site') for u in got)
+
+
+def test_extract_byte_identity(ray_session, corpus_root):
+    cs = store.CorpusStore(corpus_root)
+    pages = cs.read_all(columns=['url', 'html', 'text'])
+    oracle = {r['url']: r['text'] for r in
+              pages.select_columns(['url', 'text']).take_all()}
+    extracted = (
+        cs.read_all(columns=['url', 'html'])
+        .map_batches(ExtractPages(with_links=True, with_contacts=True,
+                                  with_excerpt=True),
+                     batch_format='pyarrow', batch_size=128)
+    )
+    rows = extracted.take_all()
+    assert len(rows) == 400
+    mismatches = [r['url'] for r in rows if r['text'] != oracle[r['url']]]
+    assert mismatches == []
+    # links / contacts present and sane
+    some_links = [r for r in rows if r['raw_links']]
+    assert len(some_links) > 300
+    some_emails = [r for r in rows if r['emails']]
+    assert some_emails, 'expected obfuscated emails extracted'
+
+
+def test_canonicalize_links_explode(ray_session, corpus_root):
+    cs = store.CorpusStore(corpus_root)
+    links = (
+        cs.read_all(columns=['url', 'html'])
+        .map_batches(ExtractPages(with_links=True), batch_format='pyarrow')
+        .map_batches(CanonicalizeLinks(explode=True), batch_format='pyarrow')
+    )
+    tbl = links.take_all()
+    assert tbl, 'no links extracted'
+    # canonical links have no fragments and decoded &amp;
+    assert not any('#' in r['link'] for r in tbl)
+    assert not any('&amp;' in r['link'] for r in tbl)
+    # link_idx is document order within page
+    by_page = {}
+    for r in tbl:
+        by_page.setdefault(r['url'], []).append(r['link_idx'])
+    for idxs in by_page.values():
+        assert idxs == sorted(idxs)

@@ -1,0 +1,410 @@
+"""The BFS wave-loop crawler (SURVEY.md §3.2 re-architecture).
+
+Per wave (all heavy work is Ray Data; the driver holds only frontier
+metadata and the sequential bookkeeping fold):
+
+1. **Schedule** — politeness actors assign a deterministic virtual
+   fetch ts per frontier row (reference throttle semantics,
+   download.py:454-473, variance=0).
+2. **Fetch** — partition-pruned corpus lookup of the wave's unique
+   urls (the reference's cache-hit path, download.py:195-219, as a
+   hash join against the bucketed Parquet corpus).
+3. **Extract** — ``map_batches`` actor stage: html → byte-identical
+   text + candidate links (crawl regex in document order,
+   download.py:1033) canonicalized (download.py:987-1004) with
+   validity flags (download.py:1010-1026) and 64-bit hashes.
+4. **Dedup probe** — one batched RPC per seen-set shard for all of
+   the wave's candidate hashes (sharded cuckoo/bloom/exact actors).
+5. **Resolve fold** — the only sequential step: replays the exact
+   queue bookkeeping (first-seen registration at depth+1, max_links
+   break, max_depth leaf check) over this wave's candidates in
+   ``(parent visit order, link idx)`` order.  O(wave) time, O(wave)
+   memory; all O(corpus) state stays in the shard actors.
+6. **Commit** — new registrations flushed to shards; per-wave output
+   + lineage checkpoint written atomically (tmp dir + rename,
+   mirroring reference State.save, download.py:924-945).
+
+Determinism: the fold order is a function of the frontier only, so
+crawl order, seen-set and outputs are identical at any parallelism —
+asserted in tests and the scaling bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..kernels import text as T
+from ..kernels import urls as U
+from ..sources.store import CorpusStore
+from ..stages.extract_stage import ExtractPages
+from ..state.politeness import PolitenessPool
+from ..state.seen import ShardedSeenSet
+
+
+class PrepCandidates:
+    """map_batches stage: raw_links → candidate arrays per page.
+
+    Canonicalizes each href against its page url, hashes it, and
+    evaluates the context-free part of the validity chain (media ext /
+    http / same-domain / regexes / robots — reference
+    download.py:1010-1026).  Emits list columns aligned per page.
+    """
+
+    def __init__(self, allowed_urls: str = '', banned_urls: str = '^$',
+                 robots=None):
+        self.allowed_re = re.compile(allowed_urls)
+        self.banned_re = re.compile(banned_urls)
+        self.robots = robots
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column('url').to_pylist()
+        rawss = batch.column('raw_links').to_pylist()
+        links_col, hash_col, valid_col = [], [], []
+        for u, raws in zip(urls, rawss):
+            domain = T.get_domain(u)
+            links, hashes, valids = [], [], []
+            for l in (raws or []):
+                try:
+                    link = U.normalize_url(u, l)
+                except UnicodeDecodeError:
+                    continue  # reference skips undecodable links (download.py:1036-1039)
+                links.append(link)
+                hashes.append(U.url_hash64(link))
+                valids.append(U.link_valid(link, domain, self.allowed_re,
+                                           self.banned_re, self.robots))
+            links_col.append(links)
+            hash_col.append(hashes)
+            valid_col.append(valids)
+        out = {name: batch.column(name) for name in batch.column_names
+               if name != 'raw_links'}
+        out['cand_link'] = pa.array(links_col, pa.list_(pa.string()))
+        out['cand_hash'] = pa.array(hash_col, pa.list_(pa.int64()))
+        out['cand_valid'] = pa.array(valid_col, pa.list_(pa.bool_()))
+        return pa.table(out)
+
+
+def _atomic_write_dir(tmp_dir: str, final_dir: str):
+    if os.path.exists(final_dir):
+        import shutil
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
+
+
+class Crawler:
+    """BFS wave-loop crawler over a bucketed Parquet corpus."""
+
+    def __init__(self, corpus, max_depth: int = 1, max_links: int = 100,
+                 allowed_urls: str = '', banned_urls: str = '^$', robots=None,
+                 delay: float = 5.0, seen_kind: str = 'exact',
+                 num_seen_shards: int = 4, num_politeness_shards: int = 2,
+                 seen_capacity_per_shard: int = 1 << 20,
+                 use_ray: bool = True, extract_concurrency=None,
+                 batch_size: int = 256, checkpoint_dir: str | None = None,
+                 with_contacts: bool = False, with_excerpt: bool = False):
+        """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html."""
+        self.corpus = corpus
+        self.max_depth = max_depth
+        self.max_links = max_links
+        self.allowed_urls = allowed_urls
+        self.banned_urls = banned_urls
+        self.robots = robots
+        self.delay = delay
+        self.use_ray = use_ray
+        self.batch_size = batch_size
+        self.extract_concurrency = extract_concurrency
+        self.checkpoint_dir = checkpoint_dir
+        self.with_contacts = with_contacts
+        self.with_excerpt = with_excerpt
+        self.seen = ShardedSeenSet(num_seen_shards, seen_kind,
+                                   seen_capacity_per_shard, use_ray=use_ray)
+        self.politeness = PolitenessPool(num_politeness_shards, delay,
+                                         use_ray=use_ray)
+        self.visit_counter = 0
+        self.wave = 0
+        self._host_cache = {}
+
+    # ------------------------------------------------------------------
+    def _host(self, url: str) -> str:
+        h = self._host_cache.get(url)
+        if h is None:
+            h = T.get_domain(url)
+            if len(self._host_cache) < 1_000_000:
+                self._host_cache[url] = h
+        return h
+
+    def _fetch_extract(self, unique_urls):
+        """Distributed fetch + extract for the wave's unique urls.
+
+        Returns {url: record} with text/status/candidates (+contacts).
+        """
+        extract = ExtractPages(with_links=True,
+                               with_contacts=self.with_contacts,
+                               with_excerpt=self.with_excerpt)
+        prep = PrepCandidates(self.allowed_urls, self.banned_urls, self.robots)
+
+        if isinstance(self.corpus, dict):
+            # in-memory corpus (tests): run kernels inline
+            rows = [{'url': u, 'html': self.corpus.get(u)} for u in unique_urls
+                    if self.corpus.get(u) is not None]
+            tbl = pa.table({
+                'url': pa.array([r['url'] for r in rows], pa.string()),
+                'html': pa.array([r['html'] for r in rows], pa.binary()),
+            })
+            out = prep(extract(tbl))
+            batches = [out]
+        elif isinstance(self.corpus, pa.Table):
+            mask = pc.is_in(self.corpus.column('url'),
+                            value_set=pa.array(unique_urls, pa.string()))
+            tbl = self.corpus.filter(mask).select(['url', 'html'])
+            if self.use_ray:
+                import ray.data
+                kw = {}
+                if self.extract_concurrency:
+                    kw['concurrency'] = self.extract_concurrency
+                ds = (ray.data.from_arrow(tbl)
+                      .map_batches(extract, batch_format='pyarrow',
+                                   batch_size=self.batch_size, **kw)
+                      .map_batches(prep, batch_format='pyarrow',
+                                   batch_size=self.batch_size))
+                batches = list(ds.iter_batches(batch_size=4096,
+                                               batch_format='pyarrow'))
+            else:
+                batches = [prep(extract(tbl))]
+        else:  # CorpusStore
+            ds = self.corpus.lookup_ds(list(unique_urls),
+                                       columns=['url', 'html'])
+            records = {}
+            if ds is None:
+                return records
+            kw = {}
+            if self.extract_concurrency:
+                kw['concurrency'] = self.extract_concurrency
+            ds = (ds.map_batches(extract, batch_format='pyarrow',
+                                 batch_size=self.batch_size, **kw)
+                  .map_batches(prep, batch_format='pyarrow',
+                               batch_size=self.batch_size))
+            batches = ds.iter_batches(batch_size=4096, batch_format='pyarrow')
+
+        records = {}
+        for b in batches:
+            for r in b.to_pylist():
+                records[r['url']] = r
+        return records
+
+    # ------------------------------------------------------------------
+    def run(self, seeds, max_waves: int | None = None,
+            stop_after_wave: int | None = None):
+        """Crawl from ``seeds`` (list of urls, queue order).
+
+        Returns a pyarrow Table of visits in crawl order:
+        (url, depth, visit_order, status, scheduled_ts, text, links).
+        """
+        frontier = [(u, 0) for u in seeds]  # (url, depth_hint)
+        all_visits = []
+        while frontier:
+            if max_waves is not None and self.wave >= max_waves:
+                break
+            visits = self._run_wave(frontier)
+            all_visits.append(visits)
+            frontier = self._next_frontier
+            if self.checkpoint_dir:
+                self._checkpoint(frontier)
+            self.wave += 1
+            if stop_after_wave is not None and self.wave > stop_after_wave:
+                break
+        if all_visits:
+            return pa.concat_tables(all_visits)
+        return _empty_visits()
+
+    def _run_wave(self, frontier):
+        urls = [u for u, _ in frontier]
+        depth_hints = [d for _, d in frontier]
+        n = len(urls)
+        visit_orders = list(range(self.visit_counter, self.visit_counter + n))
+        self.visit_counter += n
+
+        # 1. politeness schedule (virtual clock, queue order)
+        hosts = [self._host(u) for u in urls]
+        scheduled = self.politeness.schedule(hosts, 0.0)
+
+        # 2+3. fetch + extract + candidate prep (distributed)
+        unique_urls = list(dict.fromkeys(urls))
+        records = self._fetch_extract(unique_urls)
+
+        # 4. batched dedup pre-probe: wave's candidate hashes + seed urls
+        cand_hashes = []
+        for u in unique_urls:
+            rec = records.get(u)
+            if rec:
+                cand_hashes.extend(rec['cand_hash'])
+        self_hashes = [U.url_hash64(u) for u in urls]
+        probe_keys = np.array(self_hashes + cand_hashes, dtype=np.int64)
+        preseen_arr = self.seen.contains_batch(probe_keys.astype(np.uint64))
+        preseen = dict(zip(probe_keys.tolist(), preseen_arr.tolist()))
+
+        # 5. the sequential resolve fold (exact reference bookkeeping)
+        local = {}            # hash -> depth registered this wave
+        new_frontier = []
+        out = {k: [] for k in ('url', 'depth', 'visit_order', 'status',
+                               'scheduled_ts', 'text', 'links')}
+        extra = {}
+        if self.with_contacts:
+            extra['emails'] = []
+            extra['phones'] = []
+        if self.with_excerpt:
+            extra['excerpt'] = []
+
+        for i, (url, depth_hint) in enumerate(frontier):
+            h = self_hashes[i]
+            if h in local:
+                depth = local[h]
+            elif preseen[h]:
+                depth = depth_hint   # registered at discovery with this depth
+            else:
+                local[h] = depth_hint
+                depth = depth_hint
+            rec = records.get(url)
+            status = rec['status'] if rec else 404
+            text = rec['text'] if rec else ''
+            outstanding = []
+            if depth != self.max_depth and rec:
+                for link, lh, valid in zip(rec['cand_link'], rec['cand_hash'],
+                                           rec['cand_valid']):
+                    if lh not in local and not preseen.get(lh, False):
+                        local[lh] = depth + 1
+                        if valid:
+                            outstanding.append(link)
+                            new_frontier.append((link, depth + 1))
+                            if len(outstanding) == self.max_links:
+                                break
+            out['url'].append(url)
+            out['depth'].append(depth)
+            out['visit_order'].append(visit_orders[i])
+            out['status'].append(status)
+            out['scheduled_ts'].append(float(scheduled[i]))
+            out['text'].append(text)
+            out['links'].append(outstanding)
+            if self.with_contacts:
+                extra['emails'].append(rec['emails'] if rec else [])
+                extra['phones'].append(rec['phones'] if rec else [])
+            if self.with_excerpt:
+                extra['excerpt'].append(rec['excerpt'] if rec else '')
+
+        # 6. commit registrations to the shard actors
+        if local:
+            self.seen.add_batch(np.array(list(local), dtype=np.int64).astype(np.uint64))
+
+        self._next_frontier = new_frontier
+        cols = {
+            'url': pa.array(out['url'], pa.string()),
+            'depth': pa.array(out['depth'], pa.int32()),
+            'visit_order': pa.array(out['visit_order'], pa.int64()),
+            'status': pa.array(out['status'], pa.int32()),
+            'scheduled_ts': pa.array(out['scheduled_ts'], pa.float64()),
+            'text': pa.array(out['text'], pa.large_string()),
+            'links': pa.array(out['links'], pa.list_(pa.string())),
+        }
+        for k, v in extra.items():
+            typ = pa.string() if k == 'excerpt' else pa.list_(pa.string())
+            cols[k] = pa.array(v, typ)
+        return pa.table(cols)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (per-wave lineage, FIXTURES.md §5)
+
+    def _checkpoint(self, frontier):
+        root = self.checkpoint_dir
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, '_wave_%05d.tmp' % self.wave)
+        final = os.path.join(root, 'wave_%05d' % self.wave)
+        os.makedirs(tmp, exist_ok=True)
+        # frontier
+        pq.write_table(pa.table({
+            'url': pa.array([u for u, _ in frontier], pa.string()),
+            'depth': pa.array([d for _, d in frontier], pa.int32()),
+        }), os.path.join(tmp, 'frontier.parquet'))
+        # seen lineage: (shard, kind, snapshot, num_urls)
+        snaps = self.seen.snapshots()
+        counts = self.seen.counts()
+        pq.write_table(pa.table({
+            'shard': pa.array([s for s, _, _ in snaps], pa.int32()),
+            'filter_kind': pa.array([k for _, k, _ in snaps], pa.string()),
+            'snapshot': pa.array([b for _, _, b in snaps], pa.large_binary()),
+            'num_urls': pa.array(counts, pa.int64()),
+        }), os.path.join(tmp, 'seen.parquet'))
+        with open(os.path.join(tmp, 'politeness.json'), 'w') as f:
+            json.dump(self.politeness.snapshots(), f)
+        with open(os.path.join(tmp, 'manifest.json'), 'w') as f:
+            json.dump({'wave': self.wave, 'visit_counter': self.visit_counter},
+                      f)
+        _atomic_write_dir(tmp, final)
+        # LATEST pointer, atomic (reference State.save pattern,
+        # download.py:924-945)
+        ptr_tmp = os.path.join(root, '_LATEST.tmp')
+        with open(ptr_tmp, 'w') as f:
+            f.write('wave_%05d' % self.wave)
+        os.replace(ptr_tmp, os.path.join(root, 'LATEST'))
+
+    def resume(self):
+        """Restore state from the last committed wave; returns the
+        frontier to continue with (or None if no checkpoint)."""
+        root = self.checkpoint_dir
+        latest = os.path.join(root, 'LATEST')
+        if not os.path.exists(latest):
+            return None
+        wave_dir = os.path.join(root, open(latest).read().strip())
+        seen_tbl = pq.read_table(os.path.join(wave_dir, 'seen.parquet'))
+        self.seen.restore([(r['shard'], r['filter_kind'], r['snapshot'])
+                           for r in seen_tbl.to_pylist()])
+        with open(os.path.join(wave_dir, 'politeness.json')) as f:
+            self.politeness.restore(json.load(f))
+        with open(os.path.join(wave_dir, 'manifest.json')) as f:
+            man = json.load(f)
+        self.visit_counter = man['visit_counter']
+        self.wave = man['wave'] + 1
+        fr = pq.read_table(os.path.join(wave_dir, 'frontier.parquet'))
+        return list(zip(fr.column('url').to_pylist(),
+                        fr.column('depth').to_pylist()))
+
+    def run_resumed(self, max_waves: int | None = None):
+        """Continue a checkpointed crawl to completion."""
+        frontier = self.resume()
+        if frontier is None:
+            raise ValueError('no checkpoint at %s' % self.checkpoint_dir)
+        all_visits = []
+        while frontier:
+            if max_waves is not None and self.wave >= max_waves:
+                break
+            visits = self._run_wave(frontier)
+            all_visits.append(visits)
+            frontier = self._next_frontier
+            if self.checkpoint_dir:
+                self._checkpoint(frontier)
+            self.wave += 1
+        if all_visits:
+            return pa.concat_tables(all_visits)
+        return _empty_visits()
+
+
+def _empty_visits():
+    return pa.table({
+        'url': pa.array([], pa.string()),
+        'depth': pa.array([], pa.int32()),
+        'visit_order': pa.array([], pa.int64()),
+        'status': pa.array([], pa.int32()),
+        'scheduled_ts': pa.array([], pa.float64()),
+        'text': pa.array([], pa.large_string()),
+        'links': pa.array([], pa.list_(pa.string())),
+    })
+
+
+def crawl_bfs(corpus, seeds, **kwargs) -> pa.Table:
+    """One-shot BFS crawl; see :class:`Crawler` for options."""
+    return Crawler(corpus, **kwargs).run(seeds)

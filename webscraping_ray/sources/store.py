@@ -1,0 +1,135 @@
+"""CorpusStore — "the web" as hash-bucketed Parquet.
+
+The reference's page cache is a sqlite key→blob store
+(``pdict.PersistentDict``, reference pdict.py:42-259); at corpus scale
+the equivalent is an immutable Parquet dataset bucketed by
+``url_hash64(url) % num_buckets``.  A frontier "fetch" then becomes a
+partition-pruned read: only the buckets containing frontier URLs are
+opened, with an ``isin`` row filter pushed into the Parquet scanner —
+never a full-corpus scan per wave.
+
+Layout::
+
+    root/
+      bucket=0/ *.parquet
+      bucket=1/ *.parquet
+      ...
+      _corpus_meta.json        (num_buckets, schema fingerprint)
+
+At 10^10-URL scale ``num_buckets`` would be O(10^4-10^5) so each bucket
+is a few GB; lookups touch |distinct buckets of the wave| directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..kernels.urls import url_hash64
+
+META_NAME = '_corpus_meta.json'
+
+
+def bucket_of(url: str, num_buckets: int) -> int:
+    return url_hash64(url) % num_buckets
+
+
+class AddBucket:
+    """map_batches stage: append the store's bucket column."""
+
+    def __init__(self, num_buckets: int):
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        buckets = [url_hash64(u) % self.num_buckets
+                   for u in batch.column('url').to_pylist()]
+        return batch.append_column('bucket', pa.array(buckets, pa.int32()))
+
+
+def write_corpus(pages_ds, root: str, num_buckets: int = 16):
+    """Write a pages Dataset as a hash-bucketed corpus store.
+
+    ``pages_ds`` is a ``ray.data.Dataset`` with at least a ``url``
+    column.  Output is partitioned by bucket so later fetch-joins prune
+    at the directory level (resumable too: finished buckets can be
+    skipped on re-run).
+    """
+    os.makedirs(root, exist_ok=True)
+    ds = pages_ds.map_batches(AddBucket(num_buckets), batch_format='pyarrow')
+    ds.write_parquet(root, partition_cols=['bucket'])
+    with open(os.path.join(root, META_NAME), 'w') as f:
+        json.dump({'num_buckets': num_buckets}, f)
+    return root
+
+
+class CorpusStore:
+    """Read side of the bucketed corpus."""
+
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, META_NAME)) as f:
+            self.num_buckets = json.load(f)['num_buckets']
+
+    def _bucket_files(self, buckets):
+        import glob
+
+        files = []
+        for b in sorted(buckets):
+            files.extend(sorted(glob.glob(
+                os.path.join(self.root, 'bucket=%d' % b, '*.parquet'))))
+        return files
+
+    def lookup_ds(self, urls, columns=None):
+        """Ray Dataset of corpus rows whose url is in ``urls``.
+
+        Partition-pruned (only the buckets of the given urls are read)
+        with the isin filter pushed to the Parquet scanner.
+        """
+        import ray.data
+
+        by_bucket = {}
+        for u in urls:
+            by_bucket.setdefault(bucket_of(u, self.num_buckets), []).append(u)
+        if not by_bucket:
+            return None
+        files = self._bucket_files(by_bucket)
+        if not files:
+            return None
+        flt = pc.field('url').isin(pa.array(sorted(set(urls)), pa.string()))
+        return ray.data.read_parquet(files, columns=columns, filter=flt)
+
+    def lookup_table(self, urls, columns=None) -> pa.Table:
+        """Driver-side Arrow table lookup (small waves / tests).
+
+        Uses pyarrow.dataset directly — no Ray tasks — which is faster
+        for small frontier waves than spinning Dataset read tasks.
+        """
+        by_bucket = {}
+        for u in urls:
+            by_bucket.setdefault(bucket_of(u, self.num_buckets), []).append(u)
+        if not by_bucket:
+            return None
+        tables = []
+        want = pa.array(sorted(set(urls)), pa.string())
+        for b, us in sorted(by_bucket.items()):
+            d = os.path.join(self.root, 'bucket=%d' % b)
+            if not os.path.isdir(d):
+                continue
+            dset = pads.dataset(d, format='parquet')
+            cols = columns or [c for c in dset.schema.names]
+            tables.append(dset.to_table(columns=cols,
+                                        filter=pc.field('url').isin(want)))
+        if not tables:
+            return None
+        return pa.concat_tables(tables)
+
+    def read_all(self, columns=None):
+        """Full-corpus Dataset (for whole-corpus extraction pipelines)."""
+        import ray.data
+
+        return ray.data.read_parquet(self.root, columns=columns,
+                                     file_extensions=['parquet'])

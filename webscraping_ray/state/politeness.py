@@ -1,0 +1,108 @@
+"""Politeness scheduler: the reference throttle on a virtual clock.
+
+The reference blocks each thread until ``now >= _domains[key]`` and
+then sets ``_domains[key] = now + delay * (1 + variance*(rand-0.5))``
+(reference download.py:454-473, SLEEP_TIME poll download.py:46).
+
+For a corpus crawl the budget is simulated on a deterministic virtual
+clock (variance=0, the reference's deterministic mode): each host's
+k-th fetch in queue order is scheduled at
+``max(host_next_ok, wave_start)`` and advances ``host_next_ok`` by
+``delay``.  The schedule is a recorded column (``scheduled_ts``); the
+wave's virtual end is the max scheduled slot, which seeds the next
+wave's start — so the recorded timeline equals what a live polite
+crawl would have done, without wall-clock sleeping.
+
+Sharding: hosts hash-partition across ``PolitenessShard`` actors; each
+shard sees its hosts' rows in wave order (order within a host is
+preserved by the split), so the assignment is deterministic at any
+shard count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels.urls import url_hash64
+
+
+class PolitenessShard:
+    """Per-host next-allowed virtual timestamps for one shard of hosts."""
+
+    def __init__(self, delay: float = 5.0):
+        self.delay = float(delay)
+        self.next_ok = {}  # host -> virtual ts
+
+    def schedule_batch(self, hosts, wave_start: float):
+        """Assign a virtual fetch ts to each row (hosts in wave order)."""
+        out = np.empty(len(hosts), dtype=np.float64)
+        for i, h in enumerate(hosts):
+            t = max(self.next_ok.get(h, wave_start), wave_start)
+            out[i] = t
+            self.next_ok[h] = t + self.delay
+        return out
+
+    def snapshot(self) -> dict:
+        return dict(self.next_ok)
+
+    def restore(self, state: dict) -> None:
+        self.next_ok = dict(state)
+
+
+class PolitenessPool:
+    """Driver handle over politeness shard actors (or in-process)."""
+
+    def __init__(self, num_shards: int = 2, delay: float = 5.0,
+                 use_ray: bool = True):
+        self.num_shards = num_shards
+        self.delay = delay
+        self.use_ray = use_ray
+        if use_ray:
+            import ray
+
+            cls = ray.remote(num_cpus=0.25)(PolitenessShard)
+            self.shards = [cls.remote(delay) for _ in range(num_shards)]
+        else:
+            self.shards = [PolitenessShard(delay) for _ in range(num_shards)]
+
+    def schedule(self, hosts, wave_start: float) -> np.ndarray:
+        """scheduled_ts per row, preserving wave order within each host."""
+        n = len(hosts)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return out
+        shard_ids = np.array([url_hash64(h) % self.num_shards for h in hosts],
+                             dtype=np.int64)
+        futs, spans = [], []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_ids == s)
+            if not idx.size:
+                continue
+            sub = [hosts[i] for i in idx]
+            if self.use_ray:
+                futs.append(self.shards[s].schedule_batch.remote(sub, wave_start))
+                spans.append(idx)
+            else:
+                out[idx] = self.shards[s].schedule_batch(sub, wave_start)
+        if futs:
+            import ray
+            for idx, res in zip(spans, ray.get(futs)):
+                out[idx] = res
+        return out
+
+    def snapshots(self) -> list:
+        if self.use_ray:
+            import ray
+            return ray.get([s.snapshot.remote() for s in self.shards])
+        return [s.snapshot() for s in self.shards]
+
+    def restore(self, states) -> None:
+        futs = []
+        for shard, state in zip(self.shards, states):
+            if self.use_ray:
+                futs.append(shard.restore.remote(state))
+            else:
+                shard.restore(state)
+        if futs:
+            import ray
+            ray.get(futs)
