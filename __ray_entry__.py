@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in webscraping_ray) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps SURVEY.md §2 operators onto the testdata tables;
+``oracle_sql()`` provides the DuckDB-checkable subset.  Non-SQL-
+expressible pipelines (BFS crawl, MinHash-LSH, SimHash, language-ID,
+fingerprints, ANN) are rows-only checks backed by pytest oracles
+(the vendored sequential crawler and property tests).
 """
 
 from __future__ import annotations
@@ -18,27 +15,167 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = '/root/testdata/sf0.001'
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BFS crawl of the documents-derived web at sf0.001."""
+    from webscraping_ray.pipelines import relational as R
+
+    return R.crawl_documents(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from webscraping_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations (State counters / windowed)
+        'agg_counters': R.agg_counters,
+        'count_by_lang': R.count_by_lang,
+        'events_window': R.events_window,
+        # sort / top-k (Queue.pull, link_score priority)
+        'topk_priority': R.topk_priority,
+        'priority_scores': R.priority_scores,
+        # dedup
+        'dedup_first': R.dedup_first,
+        'dedup_exact_text': R.dedup_exact_text,
+        # joins / lookups
+        'join_orders_customers': R.join_orders_customers,
+        'semi_join_customers': R.semi_join_customers,
+        'anti_join_customers': R.anti_join_customers,
+        'asof_latest_event': R.asof_latest_event,
+        # per-document kernels
+        'normalize_text': R.normalize_text,
+        'token_count': R.token_count,
+        'quality': R.quality,
+        'url_parse': R.url_parse,
+        'xpath_titles': R.xpath_titles,
+        'extract_contacts': R.extract_contacts,
+        'excerpts': R.excerpts,
+        'media_meta': R.media_meta,
+        # similarity / training-data ops
+        'knn_query0': R.knn_query0,
+        'knn_ivf_query0': R.knn_ivf_query0,        # rows-only
+        'minhash_dups': R.minhash_dups,            # rows-only
+        'simhash_fingerprints': R.simhash_fingerprints,  # rows-only
+        'embedding_dups': R.embedding_dups,        # rows-only
+        'langid': R.langid,                        # rows-only
+        'fingerprints': R.fingerprints,            # rows-only
+        # the flagship crawl
+        'crawl_bfs': R.crawl_documents,            # rows-only (pytest oracle)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        'agg_counters': """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        'count_by_lang': """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        'events_window': """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        'topk_priority': """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        'priority_scores': """
+            SELECT doc_id,
+                   CAST(100 + length('http://src' || (doc_id % 8) ||
+                        '.com/d/' || doc_id) AS BIGINT) AS score
+            FROM documents
+        """,
+        'dedup_first': """
+            SELECT user_id, event_type, min(event_id) AS first_event_id
+            FROM events GROUP BY user_id, event_type
+        """,
+        'dedup_exact_text': """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        'join_orders_customers': """
+            SELECT c_nationkey AS nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        'semi_join_customers': """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        'anti_join_customers': """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000.0)
+        """,
+        'asof_latest_event': """
+            SELECT user_id, event_id AS last_event_id,
+                   round(value, 2) AS last_value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events
+                  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+            WHERE rn = 1
+        """,
+        'normalize_text': """
+            SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        """,
+        'token_count': """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        'quality': """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(regexp_extract_all(lower(text), '\\w+'))) AS BIGINT) AS n_unique_tokens
+            FROM documents
+        """,
+        'url_parse': """
+            SELECT doc_id, source || '.com' AS domain, 'pdf' AS extension
+            FROM documents
+        """,
+        'xpath_titles': """
+            SELECT doc_id, 'Doc ' || doc_id AS title, 'Doc ' || doc_id AS h1
+            FROM documents
+        """,
+        'extract_contacts': """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'user' || doc_id || '@example.com'
+                        ELSE '' END AS email,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '(555) 010-' ||
+                             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS phone
+            FROM documents
+        """,
+        'excerpts': """
+            SELECT doc_id, 'Doc ' || doc_id || ' summary' AS excerpt
+            FROM documents
+        """,
+        'media_meta': """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        'knn_query0': """
+            SELECT vec_id, CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                       ) DESC, vec_id) AS BIGINT) AS rank
+            FROM embeddings ORDER BY rank LIMIT 10
+        """,
+    }

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: frontier pages/sec (fetch+extract) — a BFS crawl over a
+deterministic synthetic Common-Crawl-style corpus (bucketed Parquet
+store), plus a whole-corpus extraction sweep and the operator suite
+over $GRAFT_SF_DIR tables.
+
+Usage:
+    python bench.py              # one timed run at $RAY_GRAFT_CPUS (32)
+    python bench.py --scaling    # fresh 8-cpu and 32-cpu subprocesses,
+                                 # reports throughputs + efficiency and
+                                 # asserts crawl-output equality
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
+     GRAFT_BENCH_PAGES (synthetic corpus size, default 24000).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+N_PAGES = int(os.environ.get('GRAFT_BENCH_PAGES', '24000'))
+N_HOSTS = 64
+CORPUS_SEED = 42
+
+
+def corpus_root() -> str:
+    return '/tmp/graft_bench_corpus_%d_%d_%d' % (N_PAGES, N_HOSTS, CORPUS_SEED)
+
+
+def ensure_corpus():
+    """Build (once) the deterministic bench corpus store."""
+    from webscraping_ray.sources import corpus, store
+
+    root = corpus_root()
+    if os.path.exists(os.path.join(root, '_corpus_meta.json')):
+        return root, 0.0
+    t0 = time.time()
+    ds = corpus.pages_dataset(N_PAGES, n_hosts=N_HOSTS, seed=CORPUS_SEED,
+                              override_num_blocks=64)
+    store.write_corpus(ds, root, num_buckets=32)
+    return root, time.time() - t0
+
+
+def run_bench():
+    os.environ['PYTHONPATH'] = REPO + os.pathsep + os.environ.get('PYTHONPATH', '')
+    import ray
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from webscraping_ray.pipelines import relational as R
+    from webscraping_ray.pipelines.crawl import Crawler
+    from webscraping_ray.sources import corpus, store
+    from webscraping_ray.stages.extract_stage import ExtractPages
+
+    queries = {}
+    root, gen_sec = ensure_corpus()
+    queries['corpus_gen'] = round(gen_sec, 3)
+    cs = store.CorpusStore(root)
+
+    # warm the page cache (untimed read) so we measure compute+shuffle
+    cs.read_all(columns=['url']).count()
+
+    # --- headline 1: whole-corpus extraction sweep (M1 pipeline) ---
+    t0 = time.time()
+    n = (cs.read_all(columns=['url', 'html'])
+         .map_batches(ExtractPages(with_links=True, with_contacts=True,
+                                   with_excerpt=True),
+                      batch_format='pyarrow', batch_size=256)
+         .count())
+    extract_sec = time.time() - t0
+    queries['extract_sweep'] = round(extract_sec, 3)
+    extract_pps = n / extract_sec
+
+    # --- headline 2: BFS crawl (fetch+extract+dedup+politeness) ---
+    seeds = [corpus.page_url(h, h) for h in range(N_HOSTS)]
+    # page id h lives on host page_host_id(h); use real urls per host
+    cumw = corpus.host_cumweights(N_HOSTS)
+    seeds = []
+    seen_hosts = set()
+    for i in range(N_PAGES):
+        h = corpus.page_host_id(i, CORPUS_SEED, cumw)
+        if h not in seen_hosts:
+            seen_hosts.add(h)
+            seeds.append(corpus.page_url(h, i))
+        if len(seeds) >= 32:
+            break
+    t0 = time.time()
+    c = Crawler(cs, max_depth=4, max_links=100, delay=5.0,
+                num_seen_shards=8, batch_size=256)
+    visits = c.run(seeds)
+    crawl_sec = time.time() - t0
+    queries['crawl_bfs'] = round(crawl_sec, 3)
+    crawl_pps = visits.num_rows / crawl_sec
+    fp = hashlib.blake2b(
+        ('|'.join(visits.column('url').to_pylist()) + '#' +
+         '|'.join(map(str, visits.column('depth').to_pylist()))).encode(),
+        digest_size=8).hexdigest()
+
+    # --- operator suite over the sf tables ---
+    suite = {
+        'agg_counters': R.agg_counters,
+        'join_orders_customers': R.join_orders_customers,
+        'topk_priority': R.topk_priority,
+        'dedup_exact_text': R.dedup_exact_text,
+        'asof_latest_event': R.asof_latest_event,
+        'knn_query0': R.knn_query0,
+        'minhash_dups': R.minhash_dups,
+        'quality': R.quality,
+    }
+    for name, fn in suite.items():
+        t0 = time.time()
+        out = fn(SF_DIR)
+        if hasattr(out, 'count'):
+            out.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    headline_sec = round(extract_sec + crawl_sec, 3)
+    result = {
+        'metric': 'crawl+extract seconds (synthetic corpus %d pages)' % N_PAGES,
+        'value': headline_sec,
+        'unit': 'sec',
+        'queries': queries,
+        'sf': SF_DIR,
+        'num_cpus': NUM_CPUS,
+        'extract_pages_per_sec': round(extract_pps, 1),
+        'crawl_pages_per_sec': round(crawl_pps, 1),
+        'crawl_visits': visits.num_rows,
+        'crawl_fingerprint': fp,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    """Same job at 8 and 32 cpus in fresh processes; report efficiency."""
+    def run(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=REPO).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo['value'] / r_hi['value']) / (hi / lo)
+    print(json.dumps({
+        'sec_%d' % lo: r_lo['value'],
+        'sec_%d' % hi: r_hi['value'],
+        'crawl_pps_%d' % lo: r_lo['crawl_pages_per_sec'],
+        'crawl_pps_%d' % hi: r_hi['crawl_pages_per_sec'],
+        'extract_pps_%d' % lo: r_lo['extract_pages_per_sec'],
+        'extract_pps_%d' % hi: r_hi['extract_pages_per_sec'],
+        'scaling_efficiency': round(eff, 3),
+        'crawl_outputs_identical':
+            r_lo['crawl_fingerprint'] == r_hi['crawl_fingerprint'],
+    }))
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,474 @@
+"""Relational/dataflow operator suite over the driver testdata tables.
+
+Each function maps a reference operator (SURVEY.md §2) onto the
+idiomatic Ray Data shape and takes ``sf_dir`` → Dataset / pyarrow
+Table.  Oracle SQL lives in ``__ray_entry__.oracle_sql``; column names
+match the SQL aliases exactly.
+
+Patterns used (and why):
+- **broadcast join** for small dimension sides (``ray.put`` once, dict
+  lookup per batch) — no shuffle (reference lookup ≙ cache hash join).
+- **partial aggregation** inside map_batches before the groupby — the
+  shuffle carries one row per key per batch, not per input row.
+- **vectorized batch kernels** — pyarrow.compute / numpy / pandas; the
+  per-row python kernels (normalize, xpath, emails) run inside
+  map_batches bodies over whole columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ASOF_CUTOFF = '2024-01-15 00:00:00'
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f'{sf_dir}/{name}.parquet', columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# aggregations (reference State counters, download.py:898-917)
+
+def agg_counters(sf_dir: str):
+    """events by event_type → n, sum_value (crawl-counter analog)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, 'events', ['event_type', 'value'])
+    out = ds.groupby('event_type').aggregate(
+        Count(alias_name='n'), Sum('value', alias_name='sum_value'))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index('sum_value'),
+                               'sum_value', pc.round(t['sum_value'], 2)),
+        batch_format='pyarrow')
+
+
+def count_by_lang(sf_dir: str):
+    """documents by lang → n_docs, sum_chars."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, 'documents', ['lang', 'n_chars'])
+    return ds.groupby('lang').aggregate(
+        Count(alias_name='n_docs'), Sum('n_chars', alias_name='sum_chars'))
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (streaming-window analog).
+
+    Partial aggregation per batch (event_type, hour) → small groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['event_type', 'ts', 'value'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start=df['ts'].dt.floor('h'))
+        g = df.groupby(['event_type', 'window_start'], as_index=False).agg(
+            n=('value', 'size'), sum_value=('value', 'sum'))
+        return g
+
+    partials = ds.map_batches(partial, batch_format='pandas')
+    out = partials.groupby(['event_type', 'window_start']).aggregate(
+        Sum('n', alias_name='n'), Sum('sum_value', alias_name='sum_value'))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index('sum_value'),
+                               'sum_value', pc.round(t['sum_value'], 2)),
+        batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# sorts / top-k (reference Queue.pull, pdict.py:468-478)
+
+def topk_priority(sf_dir: str):
+    """Top-100 orders by totalprice (priority-queue pull semantics)."""
+    ds = _read(sf_dir, 'orders', ['o_orderkey', 'o_totalprice'])
+    return ds.sort(['o_totalprice', 'o_orderkey'],
+                   descending=[True, False]).limit(100)
+
+
+def priority_scores(sf_dir: str):
+    """DataCrawler.link_score over derived doc urls
+    (reference download.py:1062-1078)."""
+    from ..kernels.urls import link_score
+    from ..sources.docs_pages import doc_url
+
+    ds = _read(sf_dir, 'documents', ['doc_id'])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_pylist()
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'score': pa.array([link_score(doc_url(i)) for i in ids],
+                                           pa.int64())})
+
+    return ds.map_batches(score, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# dedup (reference UnicodeWriter unique_by, common.py:564-589; content dedup)
+
+def dedup_first(sf_dir: str):
+    """First event per (user_id, event_type) — keep min event_id."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type', 'event_id'])
+    return ds.groupby(['user_id', 'event_type']).aggregate(
+        Min('event_id', alias_name='first_event_id'))
+
+
+def dedup_exact_text(sf_dir: str):
+    """Exact content dedup over documents (min doc_id per md5)."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return exact_dedup(ds, 'text', 'doc_id')
+
+
+# ---------------------------------------------------------------------------
+# joins / lookups (reference cache lookup / exists, download.py:194-310)
+
+def join_orders_customers(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → per-nation rollup."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust['c_custkey'], cust['c_nationkey'])))
+
+    class JoinAgg:
+        def __init__(self):
+            import ray as _ray
+            self.lookup = _ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nk = df['o_custkey'].map(self.lookup)
+            g = pd.DataFrame({'nationkey': nk, 'price': df['o_totalprice']})
+            out = g.groupby('nationkey', as_index=False).agg(
+                n_orders=('price', 'size'), sum_price=('price', 'sum'))
+            return out
+
+    ds = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    partials = ds.map_batches(JoinAgg, batch_format='pandas', concurrency=2,
+                              num_cpus=0.5)
+    out = partials.groupby('nationkey').aggregate(
+        Sum('n_orders', alias_name='n_orders'),
+        Sum('sum_price', alias_name='sum_price'))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index('sum_price'),
+                               'sum_price', pc.round(t['sum_price'], 2)),
+        batch_format='pyarrow')
+
+
+BIG_ORDER_PRICE = 300_000.0
+
+
+def _customers_with_order_flag(sf_dir: str, want_exists: bool,
+                               min_price: float | None = None):
+    """Semi/anti join of customer against (optionally filtered) orders.
+
+    The order-key set is broadcast once (ray.put); each customer batch
+    filters with a vectorized is_in — no shuffle (reference
+    Download.exists / seen-set probe, download.py:287-310, 1041).
+    """
+    import ray
+
+    orders = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    if min_price is not None:
+        orders = orders.map_batches(
+            lambda t: t.filter(pc.greater(t['o_totalprice'], min_price)),
+            batch_format='pyarrow')
+    keys = orders.unique('o_custkey')
+    key_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t['c_custkey'], value_set=ray.get(key_ref))
+        if not want_exists:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    ds = _read(sf_dir, 'customer', ['c_custkey'])
+    return ds.map_batches(flt, batch_format='pyarrow')
+
+
+def semi_join_customers(sf_dir: str):
+    """Customers that have orders (Download.exists semi-join)."""
+    return _customers_with_order_flag(sf_dir, True)
+
+
+def anti_join_customers(sf_dir: str):
+    """Customers with no big order (seen-set anti-join over a
+    filtered right side — kept non-degenerate on the testdata)."""
+    return _customers_with_order_flag(sf_dir, False,
+                                      min_price=BIG_ORDER_PRICE)
+
+
+def asof_latest_event(sf_dir: str):
+    """Per-user latest event at/before the cutoff (archive.org as-of
+    lookup, reference download.py:530-546)."""
+    ds = _read(sf_dir, 'events', ['user_id', 'event_id', 'ts', 'value'])
+    cutoff = pa.scalar(np.datetime64(ASOF_CUTOFF.replace(' ', 'T'), 'us'))
+    filt = ds.map_batches(lambda t: t.filter(pc.less_equal(t['ts'], cutoff)),
+                          batch_format='pyarrow')
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'])
+        last = g.iloc[-1]
+        return pd.DataFrame({'user_id': [last['user_id']],
+                             'last_event_id': [last['event_id']],
+                             'last_value': [round(last['value'], 2)]})
+
+    return filt.groupby('user_id').map_groups(latest, batch_format='pandas')
+
+
+# ---------------------------------------------------------------------------
+# per-document kernel ops (documents table / derived pages)
+
+def normalize_text(sf_dir: str):
+    """common.normalize over documents.text (reference common.py:317-334)."""
+    from ..kernels.text import normalize
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'text_norm': pa.array(
+                             [normalize(s) for s in t.column('text').to_pylist()],
+                             pa.string())})
+
+    return ds.map_batches(norm, batch_format='pyarrow')
+
+
+def token_count(sf_dir: str):
+    """Whitespace token counts per document."""
+    from ..stages.textstats import whitespace_token_count
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'n_tokens': pa.array(
+                             [whitespace_token_count(s)
+                              for s in t.column('text').to_pylist()], pa.int64())})
+
+    return ds.map_batches(cnt, batch_format='pyarrow')
+
+
+def quality(sf_dir: str):
+    """Quality features (SQL-checkable integer subset)."""
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def q(t: pa.Table) -> pa.Table:
+        texts = t.column('text').to_pylist()
+        n_chars, n_tok, n_uniq = [], [], []
+        for s in texts:
+            toks = _TOKEN_RE.findall((s or '').lower())
+            n_chars.append(len(s or ''))
+            n_tok.append(len(toks))
+            n_uniq.append(len(set(toks)))
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'n_chars': pa.array(n_chars, pa.int64()),
+                         'n_tokens': pa.array(n_tok, pa.int64()),
+                         'n_unique_tokens': pa.array(n_uniq, pa.int64())})
+
+    return ds.map_batches(q, batch_format='pyarrow')
+
+
+def url_parse(sf_dir: str):
+    """get_domain / get_extension over constructed urls
+    (reference common.py:397-429)."""
+    from ..kernels.text import get_domain, get_extension
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source'])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_pylist()
+        srcs = t.column('source').to_pylist()
+        urls = ['http://www.%s.com/files/report_%d.PDF' % (s, i)
+                for i, s in zip(ids, srcs)]
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'domain': pa.array([get_domain(u) for u in urls],
+                                            pa.string()),
+                         'extension': pa.array([get_extension(u) for u in urls],
+                                               pa.string())})
+
+    return ds.map_batches(parse, batch_format='pyarrow')
+
+
+def _derived_pages(sf_dir: str):
+    from ..sources.docs_pages import pages_ds_from_documents
+
+    return pages_ds_from_documents(sf_dir)
+
+
+def xpath_titles(sf_dir: str):
+    """xpath.get('//title') + h1 over derived pages (reference xpath.py:77-81)."""
+    from ..kernels import xpath as X
+    from ..kernels.text import html_to_unicode
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def titles(t: pa.Table) -> pa.Table:
+        htmls = t.column('html').to_pylist()
+        title, h1 = [], []
+        for h in htmls:
+            page = html_to_unicode(h)
+            doc = X.Doc(page)
+            title.append(doc.get('//title'))
+            h1.append(doc.get('/html/body/h1'))
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'title': pa.array(title, pa.string()),
+                         'h1': pa.array(h1, pa.string())})
+
+    return pages.map_batches(titles, batch_format='pyarrow')
+
+
+def extract_contacts(sf_dir: str):
+    """Email/phone extraction over derived pages (reference alg.py:29-82)."""
+    from ..kernels.extract import extract_emails, extract_phones
+    from ..kernels.text import html_to_unicode
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def contacts(t: pa.Table) -> pa.Table:
+        htmls = t.column('html').to_pylist()
+        emails, phones = [], []
+        for h in htmls:
+            page = html_to_unicode(h)
+            es = extract_emails(page)
+            ps = extract_phones(page)
+            emails.append(es[0] if es else '')
+            phones.append(ps[0] if ps else '')
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'email': pa.array(emails, pa.string()),
+                         'phone': pa.array(phones, pa.string())})
+
+    return pages.map_batches(contacts, batch_format='pyarrow')
+
+
+def excerpts(sf_dir: str):
+    """alg.get_excerpt over derived pages (reference alg.py:7-25)."""
+    from ..kernels.extract import get_excerpt
+    from ..kernels.text import html_to_unicode
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def ex(t: pa.Table) -> pa.Table:
+        htmls = t.column('html').to_pylist()
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'excerpt': pa.array(
+                             [get_excerpt(html_to_unicode(h), try_meta=True)
+                              for h in htmls], pa.string())})
+
+    return pages.map_batches(ex, batch_format='pyarrow')
+
+
+def media_meta(sf_dir: str):
+    """Opaque-binary payload stage (multimodal plumbing): utf-8 payload
+    per doc → byte length via the actor-pool stage."""
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    class PayloadMeta:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column('text').to_pylist()
+            payloads = [(s or '').encode('utf-8') for s in texts]
+            return pa.table({'doc_id': t.column('doc_id'),
+                             'n_bytes': pa.array([len(p) for p in payloads],
+                                                 pa.int64())})
+
+    return ds.map_batches(PayloadMeta, batch_format='pyarrow', concurrency=2,
+                          num_cpus=0.5)
+
+
+# ---------------------------------------------------------------------------
+# similarity / dedup pipelines (training-data ops)
+
+def knn_query0(sf_dir: str):
+    """Exact cosine top-10 around vec_id=0 (brute-force baseline)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_brute
+
+    q = pq.read_table(f'{sf_dir}/embeddings.parquet',
+                      filters=[('vec_id', '=', 0)]).column('embedding').to_pylist()
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    out = knn_brute(ds, np.array(q, dtype=np.float64), k=10, query_ids=[0])
+    return pa.table({'vec_id': out.column('vec_id'),
+                     'rank': out.column('rank').cast(pa.int64())})
+
+
+def knn_ivf_query0(sf_dir: str):
+    """IVF-bucketed ANN variant of knn_query0 (scale path)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_ivf
+
+    q = pq.read_table(f'{sf_dir}/embeddings.parquet',
+                      filters=[('vec_id', '=', 0)]).column('embedding').to_pylist()
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return knn_ivf(ds, np.array(q, dtype=np.float64), k=10, n_clusters=8,
+                   nprobe=4, query_ids=[0])
+
+
+def minhash_dups(sf_dir: str):
+    from ..stages.dedup import minhash_dup_pairs
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return minhash_dup_pairs(ds, threshold=0.8)
+
+
+def simhash_fingerprints(sf_dir: str):
+    from ..stages.dedup import SimHash
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return ds.map_batches(SimHash(), batch_format='pyarrow')
+
+
+def embedding_dups(sf_dir: str):
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return embedding_dup_pairs(ds, threshold=0.95)
+
+
+def langid(sf_dir: str):
+    from ..stages.textstats import LangId
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return ds.map_batches(LangId(), batch_format='pyarrow')
+
+
+def fingerprints(sf_dir: str):
+    from ..stages.textstats import Fingerprint
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return ds.map_batches(Fingerprint(), batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# the flagship crawl over derived pages
+
+def crawl_documents(sf_dir: str, max_depth: int = 6):
+    """BFS crawl of the documents-derived web (flagship pipeline).
+
+    Seeds: one per host (docs 0..7).  Returns visits (url, depth,
+    visit_order, status, n_links).
+    """
+    from ..pipelines.crawl import Crawler
+    from ..sources.docs_pages import N_HOSTS, doc_url, pages_table_from_documents
+
+    pages, n_docs = pages_table_from_documents(sf_dir)
+    seeds = [doc_url(i) for i in range(min(N_HOSTS, n_docs))]
+    c = Crawler(pages, max_depth=max_depth, max_links=100)
+    visits = c.run(seeds)
+    n_links = pa.array([len(x) for x in visits.column('links').to_pylist()],
+                       pa.int64())
+    return pa.table({'url': visits.column('url'),
+                     'depth': visits.column('depth'),
+                     'visit_order': visits.column('visit_order'),
+                     'status': visits.column('status'),
+                     'n_links': n_links})

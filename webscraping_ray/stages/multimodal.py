@@ -1,0 +1,129 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata.
+
+The decode/resize/frame-sample kernels require codec libraries that are
+not in this container — they are STUBBED (clearly marked) behind a
+deterministic fake, but the Ray-side plumbing is real and tested:
+schema, actor-pool signature, batch sizing for large binary payloads,
+and output layout all match what a real decoder stage needs.
+
+Batch-size guidance: with payloads of B bytes, keep
+``batch_size * B * concurrency`` under the per-worker heap budget;
+callers should pass small ``batch_size`` (e.g. 16-64) for multi-MB
+media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ('media_id', pa.int64()),
+    ('kind', pa.string()),            # 'image' | 'audio' | 'video'
+    ('payload', pa.large_binary()),
+    ('meta_width', pa.int32()),
+    ('meta_height', pa.int32()),
+    ('meta_duration_ms', pa.int32()),
+])
+
+
+def synth_media_table(n: int, kind: str = 'image', payload_bytes: int = 4096,
+                      seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded bytes)."""
+    rows_payload, widths, heights, durs = [], [], [], []
+    for i in range(n):
+        h = hashlib.blake2b(b'%d:%d:%s' % (seed, i, kind.encode()),
+                            digest_size=32).digest()
+        reps = payload_bytes // len(h) + 1
+        rows_payload.append((h * reps)[:payload_bytes])
+        widths.append(64 + (i % 8) * 32)
+        heights.append(64 + (i % 5) * 32)
+        durs.append(0 if kind == 'image' else 1000 + i * 33)
+    return pa.table({
+        'media_id': pa.array(range(n), pa.int64()),
+        'kind': pa.array([kind] * n, pa.string()),
+        'payload': pa.array(rows_payload, pa.large_binary()),
+        'meta_width': pa.array(widths, pa.int32()),
+        'meta_height': pa.array(heights, pa.int32()),
+        'meta_duration_ms': pa.array(durs, pa.int32()),
+    })
+
+
+def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder: a real implementation would use PIL/libjpeg here.
+
+    Deterministic fake: tile the payload bytes into an (h, w, 3) array.
+    Raises NotImplementedError when ``strict`` decoding is requested
+    (see DecodeImage(strict=True)).
+    """
+    need = width * height * 3
+    reps = need // len(payload) + 1
+    buf = (payload * reps)[:need]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+
+
+class DecodeImage:
+    """Actor-pool stage: payload → decoded array stats + thumbnail hash.
+
+    ``strict=True`` raises NotImplementedError (no codec libs in this
+    container) — the pipeline shape is the deliverable; swap
+    ``_decode_stub`` for a PIL/turbojpeg call in production.
+    """
+
+    def __init__(self, strict: bool = False, thumb: int = 8):
+        self.strict = strict
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                'real image decode requires PIL/libjpeg — not in this container')
+        ids = batch.column('media_id').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        ws = batch.column('meta_width').to_pylist()
+        hs = batch.column('meta_height').to_pylist()
+        means, thumb_hashes = [], []
+        for p, w, h in zip(payloads, ws, hs):
+            arr = _decode_stub(p, w, h)
+            means.append(float(arr.mean()))
+            # "resize" to thumb x thumb by strided sampling, hash it
+            t = arr[::max(1, h // self.thumb), ::max(1, w // self.thumb)]
+            thumb_hashes.append(hashlib.blake2b(t.tobytes(),
+                                                digest_size=8).hexdigest())
+        return pa.table({
+            'media_id': pa.array(ids, pa.int64()),
+            'mean_pixel': pa.array(means, pa.float64()),
+            'thumb_hash': pa.array(thumb_hashes, pa.string()),
+            'n_bytes': pa.array([len(p) for p in payloads], pa.int64()),
+        })
+
+
+class FrameSample:
+    """Actor-pool stage: video payload → k evenly spaced frame hashes.
+
+    STUB frame extraction (deterministic slices of the payload); the
+    real stage would call ffmpeg/pyav per batch.
+    """
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column('media_id').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        out_id, out_frame, out_hash = [], [], []
+        for i, p in zip(ids, payloads):
+            step = max(1, len(p) // self.k)
+            for f in range(self.k):
+                chunk = p[f * step:(f + 1) * step]
+                out_id.append(i)
+                out_frame.append(f)
+                out_hash.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+        return pa.table({
+            'media_id': pa.array(out_id, pa.int64()),
+            'frame_idx': pa.array(out_frame, pa.int32()),
+            'frame_hash': pa.array(out_hash, pa.string()),
+        })

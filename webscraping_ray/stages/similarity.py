@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute` — exact cosine top-k per query: the query matrix is
+  broadcast once (``ray.put``), every data batch does one numpy matmul,
+  per-batch top-k partials are merged in a tiny final reduce.  The
+  baseline and the oracle for the ANN variants.
+- :func:`knn_ivf` — IVF-style scale path: coarse centroids (numpy
+  k-means on a sample), data bucketed by nearest centroid once, queries
+  probe only the ``nprobe`` nearest buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def knn_brute(ds, queries: np.ndarray, k: int = 10,
+              emb_col: str = 'embedding', id_col: str = 'vec_id',
+              query_ids=None) -> pa.Table:
+    """Exact cosine top-k: returns (query_id, rank, vec_id, cosine).
+
+    Deterministic tie-break: higher cosine first, then smaller vec_id.
+    """
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    if query_ids is None:
+        query_ids = list(range(len(Q)))
+    qref = ray.put(Q)
+
+    class PartialTopK:
+        def __init__(self):
+            self.Q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            M = _normalize(np.array(batch.column(emb_col).to_pylist(),
+                                    dtype=np.float64))
+            S = self.Q @ M.T                    # (nq, nb)
+            kk = min(k, S.shape[1])
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(S.shape[0]):
+                # partial top-k with deterministic tie-break
+                order = np.lexsort((ids, -S[qi]))[:kk]
+                out_q.extend([qi] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_cos.extend(S[qi][order].tolist())
+            return pa.table({'qi': pa.array(out_q, pa.int32()),
+                             id_col: pa.array(out_id, pa.int64()),
+                             'cosine': pa.array(out_cos, pa.float64())})
+
+    partials = ds.map_batches(PartialTopK, batch_format='pyarrow',
+                              batch_size=4096, concurrency=2, num_cpus=0.5).take_all()
+    # final merge (tiny: nq * k * n_batches rows)
+    best = {}
+    for r in partials:
+        best.setdefault(r['qi'], []).append((r['cosine'], r[id_col]))
+    out_q, out_rank, out_id, out_cos = [], [], [], []
+    for qi in sorted(best):
+        rows = sorted(best[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (cos, vid) in enumerate(rows):
+            out_q.append(query_ids[qi])
+            out_rank.append(rank + 1)
+            out_id.append(vid)
+            out_cos.append(cos)
+    return pa.table({'query_id': pa.array(out_q, pa.int64()),
+                     'rank': pa.array(out_rank, pa.int32()),
+                     id_col: pa.array(out_id, pa.int64()),
+                     'cosine': pa.array(out_cos, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# IVF (bucketed) variant — the scale path
+
+def _kmeans(X: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
+              emb_col: str = 'embedding', id_col: str = 'vec_id',
+              seed: int = 42):
+    """Train coarse centroids on a sample and bucket the dataset.
+
+    Returns (centroids, bucketed_ds) where bucketed_ds has an extra
+    ``ivf_bucket`` column.  One pass over the data; the bucketed
+    dataset can be written partitioned by bucket for reuse.
+    """
+    import ray
+
+    n = ds.count()
+    frac = min(1.0, sample_size / max(1, n))
+    sample = ds.random_sample(frac, seed=seed).take_all()
+    X = _normalize(np.array([r[emb_col] for r in sample], dtype=np.float64))
+    C = _kmeans(X, n_clusters, seed=seed)
+    cref = ray.put(C)
+
+    class AssignBucket:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _normalize(np.array(batch.column(emb_col).to_pylist(),
+                                    dtype=np.float64))
+            assign = np.argmax(M @ self.C.T, axis=1).astype(np.int32)
+            return batch.append_column('ivf_bucket', pa.array(assign, pa.int32()))
+
+    return C, ds.map_batches(AssignBucket, batch_format='pyarrow',
+                             concurrency=2, num_cpus=0.5)
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+            nprobe: int = 4, emb_col: str = 'embedding',
+            id_col: str = 'vec_id', query_ids=None, seed: int = 42) -> pa.Table:
+    """Approximate top-k: probe only the nprobe nearest IVF buckets."""
+    import pyarrow.compute as pc
+
+    C, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col, id_col=id_col,
+                            seed=seed)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    sub = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t['ivf_bucket'],
+                                    value_set=pa.array(wanted, pa.int32()))),
+        batch_format='pyarrow')
+    return knn_brute(sub, Q, k, emb_col, id_col, query_ids)
