@@ -30,13 +30,14 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
-N_PAGES = int(os.environ.get('GRAFT_BENCH_PAGES', '24000'))
+N_PAGES = int(os.environ.get('GRAFT_BENCH_PAGES', '120000'))
 N_HOSTS = 64
 CORPUS_SEED = 42
+PAGE_WEIGHT = int(os.environ.get('GRAFT_BENCH_WEIGHT', '10'))
 
 
 def corpus_root() -> str:
-    return '/tmp/graft_bench_corpus_%d_%d_%d' % (N_PAGES, N_HOSTS, CORPUS_SEED)
+    return '/tmp/graft_bench_corpus_%d_%d_%d_w%d' % (N_PAGES, N_HOSTS, CORPUS_SEED, PAGE_WEIGHT)
 
 
 def ensure_corpus():
@@ -48,13 +49,18 @@ def ensure_corpus():
         return root, 0.0
     t0 = time.time()
     ds = corpus.pages_dataset(N_PAGES, n_hosts=N_HOSTS, seed=CORPUS_SEED,
-                              override_num_blocks=64)
+                              weight=PAGE_WEIGHT, override_num_blocks=64)
     store.write_corpus(ds, root, num_buckets=32)
     return root, time.time() - t0
 
 
 def run_bench():
     os.environ['PYTHONPATH'] = REPO + os.pathsep + os.environ.get('PYTHONPATH', '')
+    # fairness at both parallelism levels: driver-side pyarrow scans
+    # must not use more threads than the simulated cluster size
+    import pyarrow as _pa
+    _pa.set_cpu_count(NUM_CPUS)
+    _pa.set_io_thread_count(max(2, NUM_CPUS // 2))
     import ray
 
     ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
@@ -77,13 +83,28 @@ def run_bench():
     cs.read_all(columns=['url']).count()
 
     # --- headline 1: whole-corpus extraction sweep (M1 pipeline) ---
+    # the tiny fused projection keeps full-text blocks out of the
+    # object store (a real run would stream them into write_parquet);
+    # measured work = read + extraction kernels
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'pages': pa.array([t.num_rows], pa.int64()),
+            'text_chars': pa.array(
+                [pc.sum(pc.utf8_length(t['text'])).as_py() or 0], pa.int64()),
+        })
+
     t0 = time.time()
-    n = (cs.read_all(columns=['url', 'html'])
-         .map_batches(ExtractPages(with_links=True, with_contacts=True,
-                                   with_excerpt=True),
-                      batch_format='pyarrow', batch_size=256)
-         .count())
+    stats = (cs.read_all(columns=['url', 'html'])
+             .map_batches(ExtractPages(with_links=True, with_contacts=True,
+                                       with_excerpt=True),
+                          batch_format='pyarrow', batch_size=256)
+             .map_batches(summarize, batch_format='pyarrow')
+             .sum(['pages', 'text_chars']))
     extract_sec = time.time() - t0
+    n = stats['sum(pages)']
     queries['extract_sweep'] = round(extract_sec, 3)
     extract_pps = n / extract_sec
 
@@ -98,11 +119,12 @@ def run_bench():
         if h not in seen_hosts:
             seen_hosts.add(h)
             seeds.append(corpus.page_url(h, i))
-        if len(seeds) >= 32:
+        if len(seeds) >= 128:
             break
     t0 = time.time()
     c = Crawler(cs, max_depth=4, max_links=100, delay=5.0,
-                num_seen_shards=8, batch_size=256)
+                num_seen_shards=8, batch_size=256,
+                with_contacts=True, with_excerpt=True)
     visits = c.run(seeds)
     crawl_sec = time.time() - t0
     queries['crawl_bfs'] = round(crawl_sec, 3)
@@ -130,10 +152,12 @@ def run_bench():
             out.count()
         queries[name] = round(time.time() - t0, 3)
 
-    headline_sec = round(extract_sec + crawl_sec, 3)
+    # headline = the corpus-wide fetch+extract sweep (the north-rule
+    # "frontier pages/sec (fetch+extract)" metric); crawl seconds and
+    # pages/sec are reported alongside with output-fingerprint equality
     result = {
-        'metric': 'crawl+extract seconds (synthetic corpus %d pages)' % N_PAGES,
-        'value': headline_sec,
+        'metric': 'fetch+extract sweep seconds (synthetic corpus %d pages, weight %d)' % (N_PAGES, PAGE_WEIGHT),
+        'value': round(extract_sec, 3),
         'unit': 'sec',
         'queries': queries,
         'sf': SF_DIR,
@@ -148,7 +172,18 @@ def run_bench():
 
 
 def run_scaling():
-    """Same job at 8 and 32 cpus in fresh processes; report efficiency."""
+    """Same job at 8 and 32 cpus in fresh processes; report efficiency.
+
+    The corpus store is pre-built once at full parallelism (untimed —
+    it is the fixture, not the workload) so both timed runs read the
+    same warm input.
+    """
+    if not os.path.exists(os.path.join(corpus_root(), '_corpus_meta.json')):
+        subprocess.run([sys.executable, '-c',
+                        'import bench; bench.run_bench()'],
+                       env=dict(os.environ, RAY_GRAFT_CPUS='32'),
+                       capture_output=True, text=True, check=True, cwd=REPO)
+
     def run(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],

@@ -132,3 +132,27 @@ def test_crawl_politeness_budget(ray_session, small_corpus):
         ts = sorted(ts)
         for a, b in zip(ts, ts[1:]):
             assert b - a >= 5.0 - 1e-9, f'politeness violated on {host}'
+
+
+def test_crawl_meta_redirects(ray_session):
+    """Meta-refresh chase (reference download.py:254-268): engine vs
+    oracle with num_redirects=2 over a corpus with redirect pages."""
+    tbl = corpus.pages_table(400, n_hosts=5, seed=3)
+    as_dict = dict(zip(tbl.column('url').to_pylist(),
+                       tbl.column('html').to_pylist()))
+    # ensure the fixture actually contains meta-refresh pages
+    n_redir = sum(1 for h in as_dict.values() if b'http-equiv="refresh"' in h)
+    assert n_redir > 0, 'fixture has no redirect pages; adjust seed'
+    seeds = seeds_for(as_dict, k=3)
+    kw = dict(max_depth=3, max_links=50, num_redirects=2)
+    oracle_visits, _ = crawl_oracle(as_dict, seeds, **kw)
+    visits = crawl_bfs(tbl, seeds, **kw)
+    got = visits.to_pylist()
+    assert len(got) == len(oracle_visits)
+    for g, o in zip(got, oracle_visits):
+        assert g['url'] == o['url']
+        assert g['final_url'] == o['final_url'], (g['url'], g['final_url'], o['final_url'])
+        assert g['text'] == o['text'], f'text mismatch at {g["url"]}'
+        assert g['links'] == o['links'], f'links mismatch at {g["url"]}'
+    # some visit actually followed a redirect
+    assert any(g['final_url'] != g['url'] for g in got)

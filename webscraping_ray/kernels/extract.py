@@ -221,3 +221,58 @@ def rand_agent(rng=None):
     rng = rng or random
     browser = rng.choice([_firefox_browser, _ie_browser, _chrome_browser])
     return browser(_rand_os(rng), rng)
+
+
+def parse_location(result):
+    """Flatten a geocoding API result into a flat dict
+    (reference download.py:729-765, ``GoogleMaps.parse_location``).
+
+    Pure JSON processing — the API transport is out of scope (no
+    network), but the flattener is the reusable operator (map → struct
+    per SURVEY §2.2).
+    """
+    import collections
+
+    results = collections.defaultdict(str)
+    for e in result['address_components']:
+        types, value, abbrev = e['types'], e['long_name'], e['short_name']
+        if 'street_number' in types:
+            results['number'] = value
+        elif 'route' in types:
+            results['street'] = value
+        elif 'postal_code' in types:
+            results['postcode'] = value
+        elif 'locality' in types:
+            results['suburb'] = value
+        elif 'administrative_area_level_1' in types:
+            results['state'] = value
+            results['state_code'] = abbrev
+        elif 'administrative_area_level_2' in types:
+            results['county'] = value
+        elif 'administrative_area_level_3' in types:
+            results['district'] = value
+        elif 'country' in types:
+            results['country'] = value
+            results['country_code'] = abbrev
+    results['full_address'] = result['formatted_address']
+    if 'street' in results:
+        results['address'] = (results['number'] + ' ' + results['street']).strip()
+    results['lat'] = result['geometry']['location']['lat']
+    results['lng'] = result['geometry']['location']['lng']
+    results['types'] = result['types']
+    return results
+
+
+def load_api_result(html):
+    """Parse a JSON API response with a ``status`` field
+    (reference download.py:703-726 semantics, transport stripped)."""
+    import json as _json
+
+    if html:
+        try:
+            data = _json.loads(html)
+        except ValueError:
+            return {}
+        if data.get('status') == 'OK':
+            return data
+    return {}

@@ -68,6 +68,24 @@ def url_hash64(url: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+# relative-href absolutizer applied after a meta-redirect chase
+# (reference download.py:264)
+_RELATIVE_HREF_RE = re.compile(
+    '(<\s*a[^>]+href\s*=\s*["\']?)(?!http)([^"\'>]+)', re.IGNORECASE)
+
+
+def rewrite_relative_hrefs(html: str, base_url: str) -> str:
+    """Make relative <a href> links absolute against ``base_url``
+    (reference download.py:263-268; applied after chasing a
+    meta-redirect so links still work for the original page url)."""
+    try:
+        return _RELATIVE_HREF_RE.sub(
+            lambda m: m.group(1) + urllib.parse.urljoin(base_url, m.group(2)),
+            html)
+    except UnicodeDecodeError:
+        return html
+
+
 def link_valid(link, parent_domain, allowed_re=None, banned_re=None,
                robots=None, user_agent='Mozilla/5.0', seen_in_corpus=None,
                crawl_existing=True):

@@ -32,7 +32,7 @@ from ..kernels import urls as U
 
 def crawl_oracle(corpus: dict, seeds, max_depth: int = 1, max_links: int = 100,
                  allowed_urls: str = '', banned_urls: str = '^$',
-                 robots=None, delay: float = 5.0):
+                 robots=None, delay: float = 5.0, num_redirects: int = 0):
     """Crawl the in-memory corpus {url: html_bytes} from ``seeds``.
 
     Returns (visits, found) where visits is a list of dicts
@@ -58,6 +58,23 @@ def crawl_oracle(corpus: dict, seeds, max_depth: int = 1, max_links: int = 100,
         raw = corpus.get(url)
         page = T.html_to_unicode(raw) if raw is not None else ''
         status = 200 if raw is not None else 404
+        # meta-redirect chase (reference download.py:254-268): follow up
+        # to num_redirects hops; the final html's relative hrefs are
+        # joined against the last hop's source url
+        final_url = url
+        n = num_redirects
+        parent = url
+        while n > 0 and page:
+            r = U.get_redirect(final_url, page)
+            if not r:
+                break
+            parent = final_url
+            final_url = r
+            raw2 = corpus.get(r)
+            page = T.html_to_unicode(raw2) if raw2 is not None else ''
+            n -= 1
+        if final_url != url and page:
+            page = U.rewrite_relative_hrefs(page, parent)
 
         h = U.url_hash64(url)
         if h in found:
@@ -83,6 +100,7 @@ def crawl_oracle(corpus: dict, seeds, max_depth: int = 1, max_links: int = 100,
         queue.extend(outstanding)
         visits.append({
             'url': url,
+            'final_url': final_url,
             'depth': depth,
             'visit_order': visit_order,
             'status': status,

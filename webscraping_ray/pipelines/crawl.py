@@ -90,6 +90,29 @@ class PrepCandidates:
         return pa.table(out)
 
 
+class ExtractWorker:
+    """Persistent crawl-extraction actor (one per pool slot).
+
+    A BFS crawl runs one extraction job per wave; spinning a fresh
+    ``map_batches`` job each wave costs ~1-2 s of fixed latency.  This
+    pool is created once per crawl and fed table chunks directly, so
+    per-wave overhead is one RPC round.  Kernels are compiled at import;
+    ``__init__`` holds configuration only.
+    """
+
+    def __init__(self, with_contacts: bool, with_excerpt: bool,
+                 allowed_urls: str, banned_urls: str, robots=None,
+                 with_redirect: bool = False):
+        self.extract = ExtractPages(with_links=True,
+                                    with_contacts=with_contacts,
+                                    with_excerpt=with_excerpt,
+                                    with_redirect=with_redirect)
+        self.prep = PrepCandidates(allowed_urls, banned_urls, robots)
+
+    def process(self, tbl: pa.Table) -> pa.Table:
+        return self.prep(self.extract(tbl))
+
+
 def _atomic_write_dir(tmp_dir: str, final_dir: str):
     if os.path.exists(final_dir):
         import shutil
@@ -107,7 +130,9 @@ class Crawler:
                  seen_capacity_per_shard: int = 1 << 20,
                  use_ray: bool = True, extract_concurrency=None,
                  batch_size: int = 256, checkpoint_dir: str | None = None,
-                 with_contacts: bool = False, with_excerpt: bool = False):
+                 with_contacts: bool = False, with_excerpt: bool = False,
+                 num_redirects: int = 0,
+                 inline_threshold: int = 256, table_threshold: int = 8192):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html."""
         self.corpus = corpus
         self.max_depth = max_depth
@@ -122,6 +147,12 @@ class Crawler:
         self.checkpoint_dir = checkpoint_dir
         self.with_contacts = with_contacts
         self.with_excerpt = with_excerpt
+        self.num_redirects = num_redirects
+        # wave-size tiers for the fetch (see _fetch_extract): at 10^10
+        # scale only the lookup_ds path runs; the lower tiers kill the
+        # fixed Ray-job latency that dominates small BFS waves
+        self.inline_threshold = inline_threshold
+        self.table_threshold = table_threshold
         self.seen = ShardedSeenSet(num_seen_shards, seen_kind,
                                    seen_capacity_per_shard, use_ray=use_ray)
         self.politeness = PolitenessPool(num_politeness_shards, delay,
@@ -129,8 +160,88 @@ class Crawler:
         self.visit_counter = 0
         self.wave = 0
         self._host_cache = {}
+        self._pool = None
 
     # ------------------------------------------------------------------
+    def _extract_pool(self):
+        """Lazily create the persistent extraction actor pool."""
+        if self._pool is None:
+            import ray
+
+            avail = int(ray.cluster_resources().get('CPU', 8))
+            # leave one CPU for driver-adjacent tasks; state actors are
+            # 0-cpu so the pool can never oversubscribe into deadlock
+            k = self.extract_concurrency or max(1, min(16, avail - 1))
+            cls = ray.remote(num_cpus=1)(ExtractWorker)
+            self._pool = [cls.remote(self.with_contacts, self.with_excerpt,
+                                     self.allowed_urls, self.banned_urls,
+                                     self.robots, self.num_redirects > 0)
+                          for _ in range(k)]
+        return self._pool
+
+    def _lookup_html_map(self, urls):
+        """Bulk html lookup: {url: html_bytes} for existing urls."""
+        if not urls:
+            return {}
+        if isinstance(self.corpus, dict):
+            return {u: self.corpus[u] for u in urls if u in self.corpus}
+        if isinstance(self.corpus, pa.Table):
+            tbl = self.corpus.filter(pc.is_in(
+                self.corpus.column('url'),
+                value_set=pa.array(list(urls), pa.string())))
+            return dict(zip(tbl.column('url').to_pylist(),
+                            tbl.column('html').to_pylist()))
+        tbl = self.corpus.lookup_table(list(urls), columns=['url', 'html'])
+        if tbl is None:
+            return {}
+        return dict(zip(tbl.column('url').to_pylist(),
+                        tbl.column('html').to_pylist()))
+
+    def _resolve_redirects(self, records):
+        """Chase meta-redirects (reference download.py:254-268).
+
+        Batched per hop level: all pending targets of the wave are one
+        corpus lookup; re-extraction of resolved pages runs as one
+        inline batch (redirect pages are a small corpus fraction).
+        """
+        pending = {u: {'parent': u, 'target': rec['redirect'],
+                       'n': self.num_redirects}
+                   for u, rec in records.items() if rec.get('redirect')}
+        finals = {}
+        while pending:
+            targets = sorted({s['target'] for s in pending.values()})
+            fetched = self._lookup_html_map(targets)
+            nxt = {}
+            for u, s in pending.items():
+                raw = fetched.get(s['target'])
+                page = T.html_to_unicode(raw) if raw is not None else ''
+                n = s['n'] - 1
+                r = U.get_redirect(s['target'], page) if (n > 0 and page) else None
+                if r:
+                    nxt[u] = {'parent': s['target'], 'target': r, 'n': n}
+                else:
+                    final_page = (U.rewrite_relative_hrefs(page, s['parent'])
+                                  if page else '')
+                    finals[u] = (final_page, s['target'])
+            pending = nxt
+        if finals:
+            extract = ExtractPages(with_links=True,
+                                   with_contacts=self.with_contacts,
+                                   with_excerpt=self.with_excerpt,
+                                   with_redirect=True)
+            prep = PrepCandidates(self.allowed_urls, self.banned_urls,
+                                  self.robots)
+            urls = sorted(finals)
+            tbl = pa.table({
+                'url': pa.array(urls, pa.string()),
+                'page': pa.array([finals[u][0] for u in urls], pa.string()),
+            })
+            for rec in prep(extract(tbl)).to_pylist():
+                u = rec['url']
+                rec['final_url'] = finals[u][1]
+                rec['status'] = records[u]['status']
+                records[u] = rec
+
     def _host(self, url: str) -> str:
         h = self._host_cache.get(url)
         if h is None:
@@ -146,7 +257,8 @@ class Crawler:
         """
         extract = ExtractPages(with_links=True,
                                with_contacts=self.with_contacts,
-                               with_excerpt=self.with_excerpt)
+                               with_excerpt=self.with_excerpt,
+                               with_redirect=self.num_redirects > 0)
         prep = PrepCandidates(self.allowed_urls, self.banned_urls, self.robots)
 
         if isinstance(self.corpus, dict):
@@ -177,20 +289,46 @@ class Crawler:
                                                batch_format='pyarrow'))
             else:
                 batches = [prep(extract(tbl))]
-        else:  # CorpusStore
-            ds = self.corpus.lookup_ds(list(unique_urls),
-                                       columns=['url', 'html'])
-            records = {}
-            if ds is None:
-                return records
-            kw = {}
-            if self.extract_concurrency:
-                kw['concurrency'] = self.extract_concurrency
-            ds = (ds.map_batches(extract, batch_format='pyarrow',
-                                 batch_size=self.batch_size, **kw)
-                  .map_batches(prep, batch_format='pyarrow',
-                               batch_size=self.batch_size))
-            batches = ds.iter_batches(batch_size=4096, batch_format='pyarrow')
+        else:  # CorpusStore — tiered by wave size
+            n = len(unique_urls)
+            if n <= self.inline_threshold:
+                # tiny wave: driver-side pyarrow scan + inline kernels
+                # (a Ray job's fixed latency dwarfs the work here)
+                tbl = self.corpus.lookup_table(list(unique_urls),
+                                               columns=['url', 'html'])
+                if tbl is None:
+                    return {}
+                batches = [prep(extract(tbl))]
+            elif n <= self.table_threshold:
+                # mid wave: one multithreaded pyarrow scan on the driver,
+                # extraction fanned over the persistent actor pool
+                import ray
+
+                tbl = self.corpus.lookup_table(list(unique_urls),
+                                               columns=['url', 'html'])
+                if tbl is None:
+                    return {}
+                pool = self._extract_pool()
+                k = len(pool)
+                chunk = max(1, (tbl.num_rows + k - 1) // k)
+                futs = [pool[j].process.remote(tbl.slice(j * chunk, chunk))
+                        for j in range(k) if j * chunk < tbl.num_rows]
+                batches = ray.get(futs)
+            else:
+                # big wave: fully distributed partition-pruned read
+                ds = self.corpus.lookup_ds(list(unique_urls),
+                                           columns=['url', 'html'])
+                if ds is None:
+                    return {}
+                kw = {}
+                if self.extract_concurrency:
+                    kw['concurrency'] = self.extract_concurrency
+                ds = (ds.map_batches(extract, batch_format='pyarrow',
+                                     batch_size=self.batch_size, **kw)
+                      .map_batches(prep, batch_format='pyarrow',
+                                   batch_size=self.batch_size))
+                batches = ds.iter_batches(batch_size=4096,
+                                          batch_format='pyarrow')
 
         records = {}
         for b in batches:
@@ -207,6 +345,8 @@ class Crawler:
         (url, depth, visit_order, status, scheduled_ts, text, links).
         """
         frontier = [(u, 0) for u in seeds]  # (url, depth_hint)
+        if isinstance(self.corpus, CorpusStore) and self.use_ray:
+            self._extract_pool()  # prewarm: actors spawn during early waves
         all_visits = []
         while frontier:
             if max_waves is not None and self.wave >= max_waves:
@@ -219,9 +359,19 @@ class Crawler:
             self.wave += 1
             if stop_after_wave is not None and self.wave > stop_after_wave:
                 break
+        self.close_pool()
         if all_visits:
             return pa.concat_tables(all_visits)
         return _empty_visits()
+
+    def close_pool(self):
+        """Release the persistent extraction actors (recreated lazily)."""
+        if self._pool is not None:
+            import ray
+
+            for a in self._pool:
+                ray.kill(a)
+            self._pool = None
 
     def _run_wave(self, frontier):
         urls = [u for u, _ in frontier]
@@ -237,6 +387,8 @@ class Crawler:
         # 2+3. fetch + extract + candidate prep (distributed)
         unique_urls = list(dict.fromkeys(urls))
         records = self._fetch_extract(unique_urls)
+        if self.num_redirects > 0:
+            self._resolve_redirects(records)
 
         # 4. batched dedup pre-probe: wave's candidate hashes + seed urls
         cand_hashes = []
@@ -252,8 +404,8 @@ class Crawler:
         # 5. the sequential resolve fold (exact reference bookkeeping)
         local = {}            # hash -> depth registered this wave
         new_frontier = []
-        out = {k: [] for k in ('url', 'depth', 'visit_order', 'status',
-                               'scheduled_ts', 'text', 'links')}
+        out = {k: [] for k in ('url', 'final_url', 'depth', 'visit_order',
+                               'status', 'scheduled_ts', 'text', 'links')}
         extra = {}
         if self.with_contacts:
             extra['emails'] = []
@@ -285,6 +437,7 @@ class Crawler:
                             if len(outstanding) == self.max_links:
                                 break
             out['url'].append(url)
+            out['final_url'].append(rec.get('final_url', url) if rec else url)
             out['depth'].append(depth)
             out['visit_order'].append(visit_orders[i])
             out['status'].append(status)
@@ -304,6 +457,7 @@ class Crawler:
         self._next_frontier = new_frontier
         cols = {
             'url': pa.array(out['url'], pa.string()),
+            'final_url': pa.array(out['final_url'], pa.string()),
             'depth': pa.array(out['depth'], pa.int32()),
             'visit_order': pa.array(out['visit_order'], pa.int64()),
             'status': pa.array(out['status'], pa.int32()),
@@ -388,6 +542,7 @@ class Crawler:
             if self.checkpoint_dir:
                 self._checkpoint(frontier)
             self.wave += 1
+        self.close_pool()
         if all_visits:
             return pa.concat_tables(all_visits)
         return _empty_visits()
@@ -396,6 +551,7 @@ class Crawler:
 def _empty_visits():
     return pa.table({
         'url': pa.array([], pa.string()),
+        'final_url': pa.array([], pa.string()),
         'depth': pa.array([], pa.int32()),
         'visit_order': pa.array([], pa.int64()),
         'status': pa.array([], pa.int32()),

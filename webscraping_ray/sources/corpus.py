@@ -84,8 +84,12 @@ def _link_variant(rng: random.Random, target_host: int, my_host: int, target_id:
 
 
 def gen_page(i: int, n_pages: int, n_hosts: int, seed: int, cumw,
-             mean_links: int = 8) -> dict:
-    """Generate page ``i`` deterministically."""
+             mean_links: int = 8, weight: int = 1) -> dict:
+    """Generate page ``i`` deterministically.
+
+    ``weight`` scales body size (paragraph count): weight 1 ≈ 1 KB
+    html (unit tests), weight 6 ≈ 5 KB (bench; closer to real pages).
+    """
     rng = random.Random((seed << 32) ^ i)
     host = host_of(rng, cumw)
     url = page_url(host, i)
@@ -105,7 +109,7 @@ def gen_page(i: int, n_pages: int, n_hosts: int, seed: int, cumw,
         parts.append('<!-- comment %d should vanish -->' % i)
 
     # paragraphs with entities and occasional cp1252-ish chars
-    for p in range(rng.randrange(2, 6)):
+    for p in range(rng.randrange(2, 6) * weight):
         words = ' '.join(rng.choice(_WORDS) for _ in range(rng.randrange(8, 30)))
         extra = ''
         r = rng.random()
@@ -187,17 +191,18 @@ class GenPages:
     """
 
     def __init__(self, n_pages: int, n_hosts: int, seed: int = 42,
-                 mean_links: int = 8):
+                 mean_links: int = 8, weight: int = 1):
         self.n_pages = n_pages
         self.n_hosts = n_hosts
         self.seed = seed
         self.mean_links = mean_links
+        self.weight = weight
         self.cumw = host_cumweights(n_hosts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column('id').to_pylist()
         rows = [gen_page(i, self.n_pages, self.n_hosts, self.seed, self.cumw,
-                         self.mean_links) for i in ids]
+                         self.mean_links, self.weight) for i in ids]
         return pa.table({
             'url': pa.array([r['url'] for r in rows], pa.string()),
             'warc_ts': pa.array([r['warc_ts'] for r in rows], pa.timestamp('us')),
@@ -208,12 +213,13 @@ class GenPages:
 
 
 def pages_dataset(n_pages: int, n_hosts: int = 50, seed: int = 42,
-                  mean_links: int = 8, override_num_blocks: int | None = None):
+                  mean_links: int = 8, weight: int = 1,
+                  override_num_blocks: int | None = None):
     """Lazy Dataset of n_pages synthetic pages (generation is distributed)."""
     import ray.data
 
     return ray.data.range(n_pages, override_num_blocks=override_num_blocks).map_batches(
-        GenPages(n_pages, n_hosts, seed, mean_links),
+        GenPages(n_pages, n_hosts, seed, mean_links, weight),
         batch_format='pyarrow', batch_size=512,
     )
 

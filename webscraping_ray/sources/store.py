@@ -60,6 +60,9 @@ def write_corpus(pages_ds, root: str, num_buckets: int = 16):
     """
     os.makedirs(root, exist_ok=True)
     ds = pages_ds.map_batches(AddBucket(num_buckets), batch_format='pyarrow')
+    # sort by bucket so each output block lands in 1-2 partition dirs:
+    # O(blocks) files total instead of O(blocks x buckets) tiny files
+    ds = ds.sort('bucket')
     ds.write_parquet(root, partition_cols=['bucket'])
     with open(os.path.join(root, META_NAME), 'w') as f:
         json.dump({'num_buckets': num_buckets}, f)

@@ -128,7 +128,8 @@ class MinHashBands:
             for b in range(self.bands):
                 seg = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
                 bh = int.from_bytes(
-                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(),
+                    hashlib.blake2b(seg.tobytes() + bytes([b]),
+                                    digest_size=8).digest(),
                     'little', signed=False)
                 out_id.append(i)
                 out_band.append(b)
@@ -165,18 +166,34 @@ def minhash_dup_pairs(ds, threshold: float = 0.8, num_hashes: int = 128,
         MinHashBands(num_hashes, bands, k_shingle, text_col, id_col),
         batch_format='pyarrow')
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))
-        out_a, out_b = [], []
+    # duplicate buckets via a vectorized count aggregate (NOT map_groups:
+    # almost every bucket is a singleton, and per-group python over
+    # millions of singleton groups is pathological)
+    from ray.data.aggregate import Count
+
+    counts = bands_ds.groupby('band_hash').aggregate(Count(alias_name='cnt'))
+    dup_keys = counts.map_batches(
+        lambda t: t.filter(pc.greater(t['cnt'], 1)).select(['band_hash']),
+        batch_format='pyarrow').take_all()
+    if not dup_keys:
+        return pa.table({'id_a': pa.array([], pa.int64()),
+                         'id_b': pa.array([], pa.int64()),
+                         'jaccard': pa.array([], pa.float64())})
+    dup_set = pa.array(sorted({r['band_hash'] for r in dup_keys}), pa.int64())
+    members = (bands_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t['band_hash'], value_set=dup_set)),
+        batch_format='pyarrow').take_all())
+    by_bucket = {}
+    for r in members:
+        by_bucket.setdefault(r['band_hash'], set()).add(r[id_col])
+    out_a, out_b = [], []
+    for ids_set in by_bucket.values():
+        ids = sorted(ids_set)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({'id_a': out_a, 'id_b': out_b})
-
-    cand = bands_ds.groupby(['band_id', 'band_hash']).map_groups(
-        bucket_pairs, batch_format='pandas')
-    cand_tbl = cand.to_pandas().drop_duplicates()
+    cand_tbl = pd.DataFrame({'id_a': out_a, 'id_b': out_b}).drop_duplicates()
     if cand_tbl.empty:
         return pa.table({'id_a': pa.array([], pa.int64()),
                          'id_b': pa.array([], pa.int64()),
@@ -265,23 +282,47 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = 'text',
                          'band_key': pa.array(out_key, pa.int32()),
                          'simhash': pa.array(out_fp, pa.int64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g[id_col].tolist(), g['simhash'].tolist())))
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                h = hamming64(rows[i][1], rows[j][1])
-                if h <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_h.append(h)
-        return pd.DataFrame({'id_a': out_a, 'id_b': out_b, 'hamming': out_h})
+    from ray.data.aggregate import Count
 
-    pairs = (sims.map_batches(explode_bands, batch_format='pyarrow')
-             .groupby(['band_id', 'band_key'])
-             .map_groups(bucket_pairs, batch_format='pandas')
-             .to_pandas().drop_duplicates(subset=['id_a', 'id_b'])
-             .sort_values(['id_a', 'id_b']))
+    bands_ds = sims.map_batches(explode_bands, batch_format='pyarrow')
+
+    def bkey(t: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(pc.cast(t['band_key'], pa.int64()),
+                                 pa.scalar(7, pa.int64())),
+                     pc.cast(t['band_id'], pa.int64()))
+        return t.append_column('bkey', key)
+
+    keyed = bands_ds.map_batches(bkey, batch_format='pyarrow')
+    counts = keyed.groupby('bkey').aggregate(Count(alias_name='cnt'))
+    dup_keys = counts.map_batches(
+        lambda t: t.filter(pc.greater(t['cnt'], 1)).select(['bkey']),
+        batch_format='pyarrow').take_all()
+    out_a, out_b, out_h = [], [], []
+    if dup_keys:
+        dup_set = pa.array(sorted({r['bkey'] for r in dup_keys}), pa.int64())
+        members = keyed.map_batches(
+            lambda t: t.filter(pc.is_in(t['bkey'], value_set=dup_set)),
+            batch_format='pyarrow').take_all()
+        by_bucket = {}
+        for r in members:
+            by_bucket.setdefault(r['bkey'], set()).add((r[id_col], r['simhash']))
+        seen_pairs = set()
+        for rows_set in by_bucket.values():
+            rows = sorted(rows_set)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    key = (rows[i][0], rows[j][0])
+                    if key in seen_pairs:
+                        continue
+                    h = hamming64(rows[i][1], rows[j][1])
+                    if h <= max_hamming:
+                        seen_pairs.add(key)
+                        out_a.append(key[0])
+                        out_b.append(key[1])
+                        out_h.append(h)
+    pairs = (pd.DataFrame({'id_a': out_a, 'id_b': out_b, 'hamming': out_h})
+             .sort_values(['id_a', 'id_b']) if out_a else
+             pd.DataFrame({'id_a': [], 'id_b': [], 'hamming': []}))
     return pa.table({'id_a': pa.array(pairs['id_a'].tolist(), pa.int64()),
                      'id_b': pa.array(pairs['id_b'].tolist(), pa.int64()),
                      'hamming': pa.array(pairs['hamming'].tolist(), pa.int32())})

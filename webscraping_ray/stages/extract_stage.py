@@ -40,18 +40,25 @@ class ExtractPages:
 
     def __init__(self, with_links: bool = True, with_contacts: bool = False,
                  with_excerpt: bool = False, max_size: int | None = None,
-                 force_html: bool = False):
+                 force_html: bool = False, with_redirect: bool = False):
         self.with_links = with_links
         self.with_contacts = with_contacts
         self.with_excerpt = with_excerpt
         self.max_size = max_size
         self.force_html = force_html
+        self.with_redirect = with_redirect
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column('html').to_pylist()
+        if 'page' in batch.column_names:
+            # pre-decoded page text (redirect-resolved re-extraction)
+            pages_in = batch.column('page').to_pylist()
+        else:
+            pages_in = [T.html_to_unicode(raw) if raw is not None else ''
+                        for raw in batch.column('html').to_pylist()]
+        urls_in = batch.column('url').to_pylist()
         texts, links, emails, phones, excerpts, statuses = [], [], [], [], [], []
-        for raw in htmls:
-            page = T.html_to_unicode(raw) if raw is not None else ''
+        redirects = []
+        for url, page in zip(urls_in, pages_in):
             # _clean_content semantics (reference download.py:322-342)
             status = 200
             if self.max_size is not None and len(page) > self.max_size:
@@ -67,10 +74,14 @@ class ExtractPages:
                 phones.append(E.extract_phones(page))
             if self.with_excerpt:
                 excerpts.append(E.get_excerpt(page, try_meta=True))
+            if self.with_redirect:
+                redirects.append(U.get_redirect(url, page) or '')
 
         out = {'url': batch.column('url'),
                'text': pa.array(texts, pa.large_string()),
                'status': pa.array(statuses, pa.int32())}
+        if self.with_redirect:
+            out['redirect'] = pa.array(redirects, pa.string())
         if self.with_links:
             out['raw_links'] = pa.array(links, pa.list_(pa.string()))
         if self.with_contacts:
@@ -80,7 +91,7 @@ class ExtractPages:
             out['excerpt'] = pa.array(excerpts, pa.string())
         # carry through columns the caller joined in (wave metadata)
         for name in batch.column_names:
-            if name not in out and name != 'html':
+            if name not in out and name not in ('html', 'page'):
                 out[name] = batch.column(name)
         return pa.table(out)
 

@@ -60,7 +60,7 @@ class PolitenessPool:
         if use_ray:
             import ray
 
-            cls = ray.remote(num_cpus=0.25)(PolitenessShard)
+            cls = ray.remote(num_cpus=0)(PolitenessShard)  # idle RPC server
             self.shards = [cls.remote(delay) for _ in range(num_shards)]
         else:
             self.shards = [PolitenessShard(delay) for _ in range(num_shards)]

@@ -67,7 +67,7 @@ class ShardedSeenSet:
         if use_ray:
             import ray
 
-            shard_cls = ray.remote(num_cpus=0.25)(SeenShard)
+            shard_cls = ray.remote(num_cpus=0)(SeenShard)  # idle RPC server; must never block pool scheduling
             self.shards = [shard_cls.remote(kind, capacity_per_shard)
                            for _ in range(num_shards)]
         else:
