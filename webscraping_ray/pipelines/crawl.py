@@ -44,6 +44,7 @@ from ..kernels import text as T
 from ..kernels import urls as U
 from ..sources.store import CorpusStore
 from ..stages.extract_stage import ExtractPages
+from ..state.metrics import CrawlState
 from ..state.politeness import PolitenessPool
 from ..state.seen import ShardedSeenSet
 
@@ -131,7 +132,7 @@ class Crawler:
                  use_ray: bool = True, extract_concurrency=None,
                  batch_size: int = 256, checkpoint_dir: str | None = None,
                  with_contacts: bool = False, with_excerpt: bool = False,
-                 num_redirects: int = 0,
+                 num_redirects: int = 0, state_file: str | None = None,
                  inline_threshold: int = 256, table_threshold: int = 8192):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html."""
         self.corpus = corpus
@@ -161,6 +162,7 @@ class Crawler:
         self.wave = 0
         self._host_cache = {}
         self._pool = None
+        self.state = CrawlState(state_file)
 
     # ------------------------------------------------------------------
     def _extract_pool(self):
@@ -374,6 +376,9 @@ class Crawler:
             self._pool = None
 
     def _run_wave(self, frontier):
+        import time as _time
+
+        stage_secs = {}
         urls = [u for u, _ in frontier]
         depth_hints = [d for _, d in frontier]
         n = len(urls)
@@ -381,16 +386,21 @@ class Crawler:
         self.visit_counter += n
 
         # 1. politeness schedule (virtual clock, queue order)
+        t0 = _time.time()
         hosts = [self._host(u) for u in urls]
         scheduled = self.politeness.schedule(hosts, 0.0)
+        stage_secs['politeness'] = _time.time() - t0
 
         # 2+3. fetch + extract + candidate prep (distributed)
+        t0 = _time.time()
         unique_urls = list(dict.fromkeys(urls))
         records = self._fetch_extract(unique_urls)
         if self.num_redirects > 0:
             self._resolve_redirects(records)
+        stage_secs['fetch_extract'] = _time.time() - t0
 
         # 4. batched dedup pre-probe: wave's candidate hashes + seed urls
+        t0 = _time.time()
         cand_hashes = []
         for u in unique_urls:
             rec = records.get(u)
@@ -400,6 +410,8 @@ class Crawler:
         probe_keys = np.array(self_hashes + cand_hashes, dtype=np.int64)
         preseen_arr = self.seen.contains_batch(probe_keys.astype(np.uint64))
         preseen = dict(zip(probe_keys.tolist(), preseen_arr.tolist()))
+        stage_secs['seen_probe'] = _time.time() - t0
+        t0 = _time.time()
 
         # 5. the sequential resolve fold (exact reference bookkeeping)
         local = {}            # hash -> depth registered this wave
@@ -450,11 +462,24 @@ class Crawler:
             if self.with_excerpt:
                 extra['excerpt'].append(rec['excerpt'] if rec else '')
 
+        stage_secs['fold'] = _time.time() - t0
+
         # 6. commit registrations to the shard actors
+        t0 = _time.time()
         if local:
             self.seen.add_batch(np.array(list(local), dtype=np.int64).astype(np.uint64))
+        stage_secs['seen_commit'] = _time.time() - t0
 
         self._next_frontier = new_frontier
+        host_hist = {}
+        for h in hosts:
+            host_hist[h] = host_hist.get(h, 0) + 1
+        self.state.record_wave(
+            wave=self.wave, n_rows=n,
+            n_ok=sum(1 for s in out['status'] if s == 200),
+            n_candidates=len(cand_hashes), n_new=len(local),
+            queue_size=len(new_frontier), stage_secs=stage_secs,
+            host_histogram=host_hist)
         cols = {
             'url': pa.array(out['url'], pa.string()),
             'final_url': pa.array(out['final_url'], pa.string()),
