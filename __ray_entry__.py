@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         'dedup_first': R.dedup_first,
         'dedup_exact_text': R.dedup_exact_text,
+        'user_event_counts': R.user_event_counts,
+        'page_links': R.page_links,
         # joins / lookups
         'join_orders_customers': R.join_orders_customers,
         'semi_join_customers': R.semi_join_customers,
@@ -92,6 +94,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(100 + length('http://src' || (doc_id % 8) ||
                         '.com/d/' || doc_id) AS BIGINT) AS score
+            FROM documents
+        """,
+        'user_event_counts': """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        'page_links': """
+            -- derived-page link count by construction (docs_pages.py):
+            -- same-host chain links m=1..3 where doc_id + 8*m < n_docs,
+            -- plus the cross-host link and the media link (get_links
+            -- does not media-filter), all distinct
+            SELECT doc_id,
+                   CAST(LEAST(3, GREATEST(0,
+                        CAST(floor(((SELECT count(*) FROM documents) - 1 - doc_id) / 8.0) AS BIGINT)
+                   )) + 2 AS BIGINT) AS n_links
             FROM documents
         """,
         'dedup_first': """

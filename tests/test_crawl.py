@@ -156,3 +156,42 @@ def test_crawl_meta_redirects(ray_session):
         assert g['links'] == o['links'], f'links mismatch at {g["url"]}'
     # some visit actually followed a redirect
     assert any(g['final_url'] != g['url'] for g in got)
+
+
+def test_crawl_asof_snapshots(ray_session):
+    """Multi-snapshot corpus: the fetch resolves the latest snapshot per
+    url (and as_of_ts selects the older one) — SURVEY §2.4 as-of."""
+    tbl = corpus.pages_table(200, n_hosts=4, seed=9, snapshot_frac=0.3)
+    # compare timestamps in int microseconds (arrow gives naive datetimes)
+    import datetime as _dt
+
+    def us(ts):
+        return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    urls = tbl.column('url').to_pylist()
+    assert len(urls) > len(set(urls)), 'fixture has no duplicate snapshots'
+    # oracle dict: latest snapshot per url
+    latest = {}
+    for u, ts, h in zip(urls, tbl.column('warc_ts').to_pylist(),
+                        tbl.column('html').to_pylist()):
+        if u not in latest or us(ts) >= latest[u][0]:
+            latest[u] = (us(ts), h)
+    as_dict = {u: h for u, (ts, h) in latest.items()}
+    seeds = seeds_for(as_dict, k=2)
+    oracle_visits, _ = crawl_oracle(as_dict, seeds, max_depth=2)
+    visits = crawl_bfs(tbl, seeds, max_depth=2)
+    assert_matches_oracle(visits, oracle_visits)
+    # at least one visited page should carry the updated-snapshot marker
+    assert any('updated snapshot' in r['text'] for r in visits.to_pylist())
+
+    # as_of_ts before the second snapshots -> original texts only
+    cutoff = corpus.BASE_TS_US + 300 * 1_000_000  # after all originals
+    old_dict = {}
+    for u, ts, h in zip(urls, tbl.column('warc_ts').to_pylist(),
+                        tbl.column('html').to_pylist()):
+        if us(ts) <= cutoff and (u not in old_dict or us(ts) >= old_dict[u][0]):
+            old_dict[u] = (us(ts), h)
+    old_as_dict = {u: h for u, (ts, h) in old_dict.items()}
+    oracle_old, _ = crawl_oracle(old_as_dict, seeds, max_depth=2)
+    visits_old = crawl_bfs(tbl, seeds, max_depth=2, as_of_ts=cutoff)
+    assert_matches_oracle(visits_old, oracle_old)
+    assert not any('updated snapshot' in r['text'] for r in visits_old.to_pylist())

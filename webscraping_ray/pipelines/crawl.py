@@ -114,6 +114,21 @@ class ExtractWorker:
         return self.prep(self.extract(tbl))
 
 
+def _ts_us(ts) -> int:
+    """Normalize a warc_ts value (int us, datetime, or None) to int us."""
+    if ts is None:
+        return -1
+    if isinstance(ts, int):
+        return ts
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+    return int(ts)
+
+
 def _atomic_write_dir(tmp_dir: str, final_dir: str):
     if os.path.exists(final_dir):
         import shutil
@@ -133,6 +148,7 @@ class Crawler:
                  batch_size: int = 256, checkpoint_dir: str | None = None,
                  with_contacts: bool = False, with_excerpt: bool = False,
                  num_redirects: int = 0, state_file: str | None = None,
+                 as_of_ts: int | None = None,
                  inline_threshold: int = 256, table_threshold: int = 8192):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html."""
         self.corpus = corpus
@@ -149,6 +165,10 @@ class Crawler:
         self.with_contacts = with_contacts
         self.with_excerpt = with_excerpt
         self.num_redirects = num_redirects
+        # as-of snapshot selection: fetch the latest snapshot with
+        # warc_ts <= as_of_ts (None = latest overall) when the corpus
+        # holds multiple snapshots per url (SURVEY §2.4 as-of join)
+        self.as_of_ts = as_of_ts
         # wave-size tiers for the fetch (see _fetch_extract): at 10^10
         # scale only the lookup_ds path runs; the lower tiers kill the
         # fixed Ray-job latency that dominates small BFS waves
@@ -252,6 +272,26 @@ class Crawler:
                 self._host_cache[url] = h
         return h
 
+    def _latest_snapshot(self, tbl: pa.Table) -> pa.Table:
+        """Resolve duplicate-url snapshots: keep the latest warc_ts
+        (<= as_of_ts when set).  No-op for single-snapshot corpora."""
+        if tbl is None or 'warc_ts' not in tbl.column_names:
+            return tbl
+        if self.as_of_ts is not None:
+            tbl = tbl.filter(pc.less_equal(
+                tbl['warc_ts'], pa.scalar(self.as_of_ts,
+                                          tbl.schema.field('warc_ts').type)))
+        urls = tbl.column('url').to_pylist()
+        if len(set(urls)) == len(urls):
+            return tbl
+        ts = tbl.column('warc_ts').to_pylist()
+        best = {}
+        for idx, (u, t) in enumerate(zip(urls, ts)):
+            cur = best.get(u)
+            if cur is None or t >= ts[cur]:
+                best[u] = idx
+        return tbl.take(sorted(best.values()))
+
     def _fetch_extract(self, unique_urls):
         """Distributed fetch + extract for the wave's unique urls.
 
@@ -276,7 +316,10 @@ class Crawler:
         elif isinstance(self.corpus, pa.Table):
             mask = pc.is_in(self.corpus.column('url'),
                             value_set=pa.array(unique_urls, pa.string()))
-            tbl = self.corpus.filter(mask).select(['url', 'html'])
+            cols = ['url', 'html'] + (
+                ['warc_ts'] if 'warc_ts' in self.corpus.column_names else [])
+            tbl = self._latest_snapshot(self.corpus.filter(mask).select(cols))
+            tbl = tbl.select(['url', 'html'])
             if self.use_ray:
                 import ray.data
                 kw = {}
@@ -296,20 +339,22 @@ class Crawler:
             if n <= self.inline_threshold:
                 # tiny wave: driver-side pyarrow scan + inline kernels
                 # (a Ray job's fixed latency dwarfs the work here)
-                tbl = self.corpus.lookup_table(list(unique_urls),
-                                               columns=['url', 'html'])
+                tbl = self.corpus.lookup_table(
+                    list(unique_urls), columns=['url', 'html', 'warc_ts'])
                 if tbl is None:
                     return {}
+                tbl = self._latest_snapshot(tbl).select(['url', 'html'])
                 batches = [prep(extract(tbl))]
             elif n <= self.table_threshold:
                 # mid wave: one multithreaded pyarrow scan on the driver,
                 # extraction fanned over the persistent actor pool
                 import ray
 
-                tbl = self.corpus.lookup_table(list(unique_urls),
-                                               columns=['url', 'html'])
+                tbl = self.corpus.lookup_table(
+                    list(unique_urls), columns=['url', 'html', 'warc_ts'])
                 if tbl is None:
                     return {}
+                tbl = self._latest_snapshot(tbl).select(['url', 'html'])
                 pool = self._extract_pool()
                 k = len(pool)
                 chunk = max(1, (tbl.num_rows + k - 1) // k)
@@ -317,9 +362,11 @@ class Crawler:
                         for j in range(k) if j * chunk < tbl.num_rows]
                 batches = ray.get(futs)
             else:
-                # big wave: fully distributed partition-pruned read
-                ds = self.corpus.lookup_ds(list(unique_urls),
-                                           columns=['url', 'html'])
+                # big wave: fully distributed partition-pruned read;
+                # warc_ts rides along so the records merge below keeps
+                # the latest snapshot per url
+                ds = self.corpus.lookup_ds(
+                    list(unique_urls), columns=['url', 'html', 'warc_ts'])
                 if ds is None:
                     return {}
                 kw = {}
@@ -335,7 +382,14 @@ class Crawler:
         records = {}
         for b in batches:
             for r in b.to_pylist():
-                records[r['url']] = r
+                ts = r.get('warc_ts')
+                if self.as_of_ts is not None and ts is not None and \
+                        _ts_us(ts) > self.as_of_ts:
+                    continue
+                prev = records.get(r['url'])
+                if prev is None or ts is None or \
+                        _ts_us(prev.get('warc_ts')) <= _ts_us(ts):
+                    records[r['url']] = r
         return records
 
     # ------------------------------------------------------------------

@@ -384,6 +384,39 @@ def media_meta(sf_dir: str):
                           num_cpus=0.5)
 
 
+def user_event_counts(sf_dir: str):
+    """Events per user via the salted two-phase aggregation
+    (skew-bounded groupby, SURVEY §4 hot-key handling)."""
+    from ..stages.partition import salted_agg
+
+    ds = _read(sf_dir, 'events', ['user_id', 'value'])
+    out = salted_agg(ds, 'user_id', value_col='value', num_salts=8)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index('sum_value'),
+                               'sum_value', pc.round(t['sum_value'], 2)),
+        batch_format='pyarrow')
+
+
+def page_links(sf_dir: str):
+    """xpath.get_links over derived pages (reference xpath.py:515-555):
+    link count per doc is known by construction, so SQL can oracle the
+    full link-extraction engine."""
+    from ..kernels import xpath as X
+    from ..kernels.text import html_to_unicode
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def links(t: pa.Table) -> pa.Table:
+        urls = t.column('url').to_pylist()
+        htmls = t.column('html').to_pylist()
+        n = [len(X.get_links(html_to_unicode(h), u))
+             for u, h in zip(urls, htmls)]
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'n_links': pa.array(n, pa.int64())})
+
+    return pages.map_batches(links, batch_format='pyarrow')
+
+
 # ---------------------------------------------------------------------------
 # similarity / dedup pipelines (training-data ops)
 

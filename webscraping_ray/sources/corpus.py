@@ -83,6 +83,9 @@ def _link_variant(rng: random.Random, target_host: int, my_host: int, target_id:
         return '%d' % target_id  # relative to /p/
 
 
+SNAPSHOT_TS_STEP_US = 500_000_000_000  # second-snapshot offset (~139h)
+
+
 def gen_page(i: int, n_pages: int, n_hosts: int, seed: int, cumw,
              mean_links: int = 8, weight: int = 1) -> dict:
     """Generate page ``i`` deterministically.
@@ -225,11 +228,30 @@ def pages_dataset(n_pages: int, n_hosts: int = 50, seed: int = 42,
 
 
 def pages_table(n_pages: int, n_hosts: int = 10, seed: int = 42,
-                mean_links: int = 8) -> pa.Table:
-    """Small in-memory corpus for unit tests (no Ray)."""
+                mean_links: int = 8, snapshot_frac: float = 0.0) -> pa.Table:
+    """Small in-memory corpus for unit tests (no Ray).
+
+    ``snapshot_frac`` > 0 duplicates that fraction of urls with a later
+    ``warc_ts`` snapshot (FIXTURES.md §1) whose html gains a marker
+    paragraph — exercising the store's as-of (latest-snapshot) path.
+    """
     cumw = host_cumweights(n_hosts)
     rows = [gen_page(i, n_pages, n_hosts, seed, cumw, mean_links)
             for i in range(n_pages)]
+    if snapshot_frac > 0:
+        extra = []
+        for r in rows:
+            i = int(r['url'].rsplit('/', 1)[1])
+            if (i * 2654435761) % 1000 < snapshot_frac * 1000:
+                r2 = dict(r)
+                r2['warc_ts'] = r['warc_ts'] + SNAPSHOT_TS_STEP_US
+                html2 = r['html'].replace(
+                    b'</body>', b'<p>updated snapshot</p></body>')
+                r2['html'] = html2
+                from ..kernels import text as _T
+                r2['text'] = _T.normalize(_T.html_to_unicode(html2))
+                extra.append(r2)
+        rows.extend(extra)
     return pa.table({
         'url': pa.array([r['url'] for r in rows], pa.string()),
         'warc_ts': pa.array([r['warc_ts'] for r in rows], pa.timestamp('us')),

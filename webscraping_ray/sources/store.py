@@ -60,9 +60,11 @@ def write_corpus(pages_ds, root: str, num_buckets: int = 16):
     """
     os.makedirs(root, exist_ok=True)
     ds = pages_ds.map_batches(AddBucket(num_buckets), batch_format='pyarrow')
-    # sort by bucket so each output block lands in 1-2 partition dirs:
-    # O(blocks) files total instead of O(blocks x buckets) tiny files
-    ds = ds.sort('bucket')
+    # sort by (bucket, url): each output block lands in 1-2 partition
+    # dirs (O(blocks) files, not O(blocks x buckets)), and within-file
+    # row groups get tight url min/max stats so frontier isin lookups
+    # prune at the row-group level, not just the directory level
+    ds = ds.sort(['bucket', 'url'])
     ds.write_parquet(root, partition_cols=['bucket'])
     with open(os.path.join(root, META_NAME), 'w') as f:
         json.dump({'num_buckets': num_buckets}, f)
