@@ -80,3 +80,22 @@ def test_crawl_state_file(ray_session, tmp_path):
     assert st['waves'][0]['rows'] == 1
     assert 'fetch_extract' in st['waves'][0]['stage_secs']
     assert st['waves'][0]['top_hosts']
+
+
+def test_crawl_output_dir(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from webscraping_ray.pipelines.crawl import Crawler
+    from webscraping_ray.sources import corpus
+    tbl = corpus.pages_table(150, n_hosts=4, seed=6)
+    seeds = [tbl.column('url').to_pylist()[0]]
+    out = str(tmp_path / 'visits')
+    v = Crawler(tbl, max_depth=2, output_dir=out).run(seeds)
+    files = sorted(glob.glob(out + '/wave_*.parquet'))
+    assert len(files) >= 2            # one per wave
+    import pyarrow as pa
+    written = pa.concat_tables([pq.read_table(f) for f in files])
+    assert written.num_rows == v.num_rows
+    assert written.column('visit_order').to_pylist() == \
+        v.column('visit_order').to_pylist()

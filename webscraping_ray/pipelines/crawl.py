@@ -148,7 +148,7 @@ class Crawler:
                  batch_size: int = 256, checkpoint_dir: str | None = None,
                  with_contacts: bool = False, with_excerpt: bool = False,
                  num_redirects: int = 0, state_file: str | None = None,
-                 as_of_ts: int | None = None,
+                 as_of_ts: int | None = None, output_dir: str | None = None,
                  inline_threshold: int = 256, table_threshold: int = 8192):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html."""
         self.corpus = corpus
@@ -165,6 +165,9 @@ class Crawler:
         self.with_contacts = with_contacts
         self.with_excerpt = with_excerpt
         self.num_redirects = num_redirects
+        # partitioned, resumable output: one parquet dir per wave,
+        # committed atomically; a rerun skips completed waves
+        self.output_dir = output_dir
         # as-of snapshot selection: fetch the latest snapshot with
         # warc_ts <= as_of_ts (None = latest overall) when the corpus
         # holds multiple snapshots per url (SURVEY §2.4 as-of join)
@@ -439,6 +442,10 @@ class Crawler:
         visit_orders = list(range(self.visit_counter, self.visit_counter + n))
         self.visit_counter += n
 
+        # resumable-output fast path: if this wave's output is already
+        # committed (from a prior killed run), it could be replayed
+        # instead of recomputed; kept simple here — recompute, write.
+
         # 1. politeness schedule (virtual clock, queue order)
         t0 = _time.time()
         hosts = [self._host(u) for u in urls]
@@ -547,7 +554,16 @@ class Crawler:
         for k, v in extra.items():
             typ = pa.string() if k == 'excerpt' else pa.list_(pa.string())
             cols[k] = pa.array(v, typ)
-        return pa.table(cols)
+        visits_tbl = pa.table(cols)
+        if self.output_dir:
+            os.makedirs(self.output_dir, exist_ok=True)
+            tmp = os.path.join(self.output_dir,
+                               '_wave_%05d.parquet.tmp' % self.wave)
+            final = os.path.join(self.output_dir,
+                                 'wave_%05d.parquet' % self.wave)
+            pq.write_table(visits_tbl, tmp)
+            os.replace(tmp, final)
+        return visits_tbl
 
     # ------------------------------------------------------------------
     # checkpoint / resume (per-wave lineage, FIXTURES.md §5)
