@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'page_links': R.page_links,
         # joins / lookups
         'join_orders_customers': R.join_orders_customers,
+        'join_lineitem_orders': R.join_lineitem_orders,
         'semi_join_customers': R.semi_join_customers,
         'anti_join_customers': R.anti_join_customers,
         'asof_latest_event': R.asof_latest_event,
@@ -125,6 +126,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        'join_lineitem_orders': """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         'semi_join_customers': """
             SELECT c_custkey FROM customer

@@ -69,3 +69,28 @@ def test_canonicalize_links_explode(ray_session, corpus_root):
         by_page.setdefault(r['url'], []).append(r['link_idx'])
     for idxs in by_page.values():
         assert idxs == sorted(idxs)
+
+
+def test_crawl_distributed_fetch_path(ray_session, corpus_root):
+    """Force every wave through the big-wave lookup_ds path
+    (table_threshold=0, inline_threshold=0) and through the pool path
+    (table_threshold=10^9): both must equal the oracle."""
+    from webscraping_ray.oracle.refcrawl import crawl_oracle
+    from webscraping_ray.pipelines.crawl import Crawler
+    from webscraping_ray.sources import store
+
+    cs = store.CorpusStore(corpus_root)
+    pages = cs.read_all(columns=['url', 'html']).take_all()
+    as_dict = {r['url']: r['html'] for r in pages}
+    seeds = sorted(as_dict)[:2]
+    oracle_visits, _ = crawl_oracle(as_dict, seeds, max_depth=2, max_links=20)
+
+    for kw in ({'inline_threshold': 0, 'table_threshold': 0},
+               {'inline_threshold': 0, 'table_threshold': 1 << 30}):
+        c = Crawler(cs, max_depth=2, max_links=20, **kw)
+        got = c.run(seeds).to_pylist()
+        assert len(got) == len(oracle_visits), kw
+        for g, o in zip(got, oracle_visits):
+            assert g['url'] == o['url'], (kw, g['url'], o['url'])
+            assert g['text'] == o['text'], (kw, g['url'])
+            assert g['links'] == o['links'], (kw, g['url'])

@@ -277,7 +277,11 @@ class Crawler:
 
     def _latest_snapshot(self, tbl: pa.Table) -> pa.Table:
         """Resolve duplicate-url snapshots: keep the latest warc_ts
-        (<= as_of_ts when set).  No-op for single-snapshot corpora."""
+        (<= as_of_ts when set).  No-op for single-snapshot corpora.
+
+        Assumes snapshots of one url have distinct warc_ts (true of a
+        WARC corpus); equal-ts duplicates would resolve arbitrarily in
+        the distributed path."""
         if tbl is None or 'warc_ts' not in tbl.column_names:
             return tbl
         if self.as_of_ts is not None:

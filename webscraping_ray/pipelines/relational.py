@@ -74,10 +74,17 @@ def events_window(sf_dir: str):
     partials = ds.map_batches(partial, batch_format='pandas')
     out = partials.groupby(['event_type', 'window_start']).aggregate(
         Sum('n', alias_name='n'), Sum('sum_value', alias_name='sum_value'))
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index('sum_value'),
-                               'sum_value', pc.round(t['sum_value'], 2)),
-        batch_format='pyarrow')
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index('sum_value'),
+                         'sum_value', pc.round(t['sum_value'], 2))
+        # normalize to timestamp[us] (pandas floor gives ns; DuckDB
+        # date_trunc gives us — align so the driver's value hash agrees)
+        idx = t.schema.get_field_index('window_start')
+        return t.set_column(idx, 'window_start',
+                            t['window_start'].cast(pa.timestamp('us')))
+
+    return out.map_batches(finish, batch_format='pyarrow')
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +170,33 @@ def join_orders_customers(sf_dir: str):
 
 
 BIG_ORDER_PRICE = 300_000.0
+
+
+def join_lineitem_orders(sf_dir: str):
+    """Both-sides-large hash join (lineitem ⋈ orders on orderkey) via
+    Ray Data's partitioned ``Dataset.join`` — the shuffle-join path for
+    when neither side fits a broadcast (contrast
+    ``join_orders_customers``'s broadcast pattern)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_extendedprice'])
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
+    joined = li.join(orders, 'inner', num_partitions=8,
+                     on=('l_orderkey',), right_on=('o_orderkey',))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby('o_orderpriority', as_index=False).agg(
+            n_items=('l_extendedprice', 'size'),
+            sum_price=('l_extendedprice', 'sum'))
+
+    out = joined.map_batches(partial, batch_format='pandas')
+    out = out.groupby('o_orderpriority').aggregate(
+        Sum('n_items', alias_name='n_items'),
+        Sum('sum_price', alias_name='sum_price'))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index('sum_price'),
+                               'sum_price', pc.round(t['sum_price'], 2)),
+        batch_format='pyarrow')
 
 
 def _customers_with_order_flag(sf_dir: str, want_exists: bool,
