@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'agg_counters': R.agg_counters,
         'count_by_lang': R.count_by_lang,
         'events_window': R.events_window,
+        'events_sessions': R.events_sessions,
+        'distinct_event_types': R.distinct_event_types,
         # sort / top-k (Queue.pull, link_score priority)
         'topk_priority': R.topk_priority,
         'priority_scores': R.priority_scores,
@@ -86,6 +88,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        'events_sessions': """
+            WITH marked AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        'distinct_event_types': """
+            SELECT DISTINCT event_type FROM events
         """,
         'topk_priority': """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -87,6 +87,35 @@ def events_window(sf_dir: str):
     return out.map_batches(finish, batch_format='pyarrow')
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user event sessions split at >gap idle
+    (the streaming-window pattern — ordered log partitioned by key,
+    windowed inside ``map_groups`` over the ts-sorted group)."""
+    ds = _read(sf_dir, 'events', ['user_id', 'event_id', 'ts', 'value'])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'])
+        new_session = (g['ts'].diff() > gap).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=('user_id', 'first'),
+            session_start=('ts', 'min'),
+            n_events=('event_id', 'size'),
+            sum_value=('value', 'sum'))
+        out['sum_value'] = out['sum_value'].round(2)
+        out['session_start'] = out['session_start'].astype('datetime64[us]')
+        return out.reset_index(drop=True)
+
+    return ds.groupby('user_id').map_groups(sessionize, batch_format='pandas')
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct values (ds.unique — a shuffle-backed set op)."""
+    ds = _read(sf_dir, 'events', ['event_type'])
+    vals = sorted(ds.unique('event_type'))
+    return pa.table({'event_type': pa.array(vals, pa.string())})
+
+
 # ---------------------------------------------------------------------------
 # sorts / top-k (reference Queue.pull, pdict.py:468-478)
 
