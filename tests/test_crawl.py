@@ -195,3 +195,14 @@ def test_crawl_asof_snapshots(ray_session):
     visits_old = crawl_bfs(tbl, seeds, max_depth=2, as_of_ts=cutoff)
     assert_matches_oracle(visits_old, oracle_old)
     assert not any('updated snapshot' in r['text'] for r in visits_old.to_pylist())
+
+
+def test_resume_rejects_shard_mismatch(ray_session, small_corpus, tmp_path):
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    ckpt = str(tmp_path / 'ckpt2')
+    c1 = Crawler(tbl, max_depth=3, checkpoint_dir=ckpt, num_seen_shards=4)
+    c1.run(seeds, stop_after_wave=0)
+    c2 = Crawler(tbl, max_depth=3, checkpoint_dir=ckpt, num_seen_shards=8)
+    with pytest.raises(ValueError, match='seen shards'):
+        c2.run_resumed()

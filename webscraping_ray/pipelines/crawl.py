@@ -595,7 +595,10 @@ class Crawler:
         with open(os.path.join(tmp, 'politeness.json'), 'w') as f:
             json.dump(self.politeness.snapshots(), f)
         with open(os.path.join(tmp, 'manifest.json'), 'w') as f:
-            json.dump({'wave': self.wave, 'visit_counter': self.visit_counter},
+            json.dump({'wave': self.wave, 'visit_counter': self.visit_counter,
+                       'num_seen_shards': self.seen.num_shards,
+                       'seen_kind': self.seen.kind,
+                       'num_politeness_shards': self.politeness.num_shards},
                       f)
         _atomic_write_dir(tmp, final)
         # LATEST pointer, atomic (reference State.save pattern,
@@ -620,6 +623,20 @@ class Crawler:
             self.politeness.restore(json.load(f))
         with open(os.path.join(wave_dir, 'manifest.json')) as f:
             man = json.load(f)
+        # shard layout is part of the lineage: membership keys are
+        # distributed by hash % num_shards, so resuming with a different
+        # shard count would silently corrupt the seen set
+        want = man.get('num_seen_shards')
+        if want is not None and want != self.seen.num_shards:
+            raise ValueError(
+                'checkpoint was written with %d seen shards; this crawler '
+                'has %d — resume with the same num_seen_shards' %
+                (want, self.seen.num_shards))
+        wantp = man.get('num_politeness_shards')
+        if wantp is not None and wantp != self.politeness.num_shards:
+            raise ValueError(
+                'checkpoint politeness shards %d != %d' %
+                (wantp, self.politeness.num_shards))
         self.visit_counter = man['visit_counter']
         self.wave = man['wave'] + 1
         fr = pq.read_table(os.path.join(wave_dir, 'frontier.parquet'))

@@ -79,6 +79,17 @@ class CorpusStore:
         with open(os.path.join(root, META_NAME)) as f:
             self.num_buckets = json.load(f)['num_buckets']
 
+    def _available_columns(self, sample_file, columns):
+        """Intersect requested columns with the store schema (callers may
+        ask for optional columns like warc_ts)."""
+        if not columns:
+            return columns
+        import pyarrow.parquet as pq
+
+        have = set(pq.ParquetFile(sample_file).schema_arrow.names)
+        kept = [c for c in columns if c in have]
+        return kept or None
+
     def _bucket_files(self, buckets):
         import glob
 
@@ -104,6 +115,7 @@ class CorpusStore:
         files = self._bucket_files(by_bucket)
         if not files:
             return None
+        columns = self._available_columns(files[0], columns)
         flt = pc.field('url').isin(pa.array(sorted(set(urls)), pa.string()))
         return ray.data.read_parquet(files, columns=columns, filter=flt)
 
@@ -125,7 +137,9 @@ class CorpusStore:
             if not os.path.isdir(d):
                 continue
             dset = pads.dataset(d, format='parquet')
-            cols = columns or [c for c in dset.schema.names]
+            have = set(dset.schema.names)
+            cols = ([c for c in columns if c in have] if columns
+                    else list(dset.schema.names)) or None
             tables.append(dset.to_table(columns=cols,
                                         filter=pc.field('url').isin(want)))
         if not tables:

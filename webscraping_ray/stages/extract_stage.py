@@ -113,8 +113,15 @@ class CanonicalizeLinks:
         urls = batch.column('url').to_pylist()
         rawss = batch.column('raw_links').to_pylist()
         if not self.explode:
-            canon = [[U.normalize_url(u, l) for l in (raws or [])]
-                     for u, raws in zip(urls, rawss)]
+            def safe_norm(u, raws):
+                out = []
+                for l in (raws or []):
+                    try:
+                        out.append(U.normalize_url(u, l))
+                    except UnicodeDecodeError:
+                        continue  # reference skips undecodable links
+                return out
+            canon = [safe_norm(u, raws) for u, raws in zip(urls, rawss)]
             return batch.set_column(
                 batch.schema.get_field_index('raw_links'), 'links',
                 pa.array(canon, pa.list_(pa.string())))
