@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the state structures and key
+kernels: the queue against a reference model, membership filters, URL
+canonicalization invariants."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from webscraping_ray.kernels import text as T
+from webscraping_ray.kernels import urls as U
+from webscraping_ray.state.cuckoo import BloomFilter, CuckooFilter, ExactSet
+
+
+keys64 = st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                  min_size=0, max_size=200, unique=True)
+
+
+@settings(max_examples=50, deadline=None)
+@given(keys64, keys64)
+def test_filters_membership_properties(added, probed):
+    """No false negatives for any filter kind; ExactSet has no false
+    positives either."""
+    added_arr = np.array(added, dtype=np.uint64)
+    probe_arr = np.array(probed, dtype=np.uint64)
+    for f in (CuckooFilter(max(16, len(added))),
+              BloomFilter(max(16, len(added))),
+              ExactSet()):
+        f.add_batch(added_arr)
+        if len(added):
+            assert f.contains_batch(added_arr).all()
+        # snapshot/restore preserves membership answers
+        g = type(f).restore(f.snapshot())
+        if len(probed):
+            np.testing.assert_array_equal(g.contains_batch(probe_arr),
+                                          f.contains_batch(probe_arr))
+    ex = ExactSet()
+    ex.add_batch(added_arr)
+    if len(probed):
+        want = np.array([k in set(added) for k in probed])
+        np.testing.assert_array_equal(ex.contains_batch(probe_arr), want)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.text(alphabet='abcdef', min_size=1, max_size=6),
+                          st.integers(min_value=0, max_value=9)),
+                min_size=0, max_size=30))
+def test_queue_matches_model(tmp_path_factory, ops):
+    """ParquetQueue pull order == model: priority desc, insertion order
+    for ties, each key at most once, duplicates ignored."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+
+    root = str(tmp_path_factory.mktemp('q'))
+    q = ParquetQueue(root)
+    q.push(ops)
+    model, seen = [], set()
+    for i, (k, p) in enumerate(ops):
+        if k not in seen:
+            seen.add(k)
+            model.append((-p, i, k))
+    model.sort()
+    expect = [k for _, _, k in model]
+    got = q.pull(limit=len(ops) + 1)
+    assert got == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=80))
+def test_normalize_never_raises_and_strips(s):
+    out = T.normalize(s)
+    assert isinstance(out, str)
+    assert out == out.strip(' \t\n\r\f\v')
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=60))
+def test_normalize_url_fixpoint(link):
+    """Canonicalizing an already-canonical absolute url is stable for
+    plain ascii paths without escapes (the dedup key must be stable)."""
+    base = 'http://example.com/'
+    try:
+        once = U.normalize_url(base, link)
+    except Exception:
+        return  # urllib may reject malformed ports etc. — not our kernel
+    if '%' in once or '&' in once or '#' in once or '/..' in once:
+        return  # unescape/defrag legitimately change these again
+    twice = U.normalize_url(base, once)
+    assert twice == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60))
+def test_url_hash_is_stable_and_int64(u):
+    h1 = U.url_hash64(u)
+    assert h1 == U.url_hash64(u)
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+               max_size=120))
+def test_xpath_engine_never_raises(html):
+    from webscraping_ray.kernels import xpath as X
+    doc = X.Doc(html)
+    doc.search('//a/@href')
+    doc.get('/div/span')
+    X.get_links(html, url='http://e.com/')

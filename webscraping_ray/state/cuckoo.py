@@ -51,7 +51,8 @@ class CuckooFilter:
         return (keys & self.mask).astype(np.uint64)
 
     def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
-        return (i ^ (fp.astype(np.uint64) * _FP_MIX & self.mask)) & self.mask
+        with np.errstate(over='ignore'):  # uint64 wrap is the hash mix
+            return (i ^ (fp.astype(np.uint64) * _FP_MIX & self.mask)) & self.mask
 
     def add_batch(self, keys) -> None:
         keys = np.asarray(keys, dtype=np.uint64)
