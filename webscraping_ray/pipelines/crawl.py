@@ -141,7 +141,8 @@ class Crawler:
 
     def __init__(self, corpus, max_depth: int = 1, max_links: int = 100,
                  allowed_urls: str = '', banned_urls: str = '^$', robots=None,
-                 delay: float = 5.0, seen_kind: str = 'exact',
+                 delay: float = 5.0, throttle_additional_key: str | None = None,
+                 seen_kind: str = 'exact',
                  num_seen_shards: int = 4, num_politeness_shards: int = 2,
                  seen_capacity_per_shard: int = 1 << 20,
                  use_ray: bool = True, extract_concurrency=None,
@@ -180,7 +181,8 @@ class Crawler:
         self.seen = ShardedSeenSet(num_seen_shards, seen_kind,
                                    seen_capacity_per_shard, use_ray=use_ray)
         self.politeness = PolitenessPool(num_politeness_shards, delay,
-                                         use_ray=use_ray)
+                                         use_ray=use_ray,
+                                         additional_key=throttle_additional_key)
         self.visit_counter = 0
         self.wave = 0
         self._host_cache = {}

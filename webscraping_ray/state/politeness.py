@@ -53,10 +53,14 @@ class PolitenessPool:
     """Driver handle over politeness shard actors (or in-process)."""
 
     def __init__(self, num_shards: int = 2, delay: float = 5.0,
-                 use_ray: bool = True):
+                 use_ray: bool = True, additional_key: str | None = None):
+        """``additional_key`` mirrors the reference's
+        ``throttle_additional_key`` (download.py:122,169,468): it joins
+        the per-host clock key so independent sessions pace separately."""
         self.num_shards = num_shards
         self.delay = delay
         self.use_ray = use_ray
+        self.additional_key = additional_key or ''
         if use_ray:
             import ray
 
@@ -71,6 +75,8 @@ class PolitenessPool:
         out = np.zeros(n, dtype=np.float64)
         if n == 0:
             return out
+        if self.additional_key:
+            hosts = ['%s:%s' % (self.additional_key, h) for h in hosts]
         shard_ids = np.array([url_hash64(h) % self.num_shards for h in hosts],
                              dtype=np.int64)
         futs, spans = [], []
