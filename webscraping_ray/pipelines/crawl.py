@@ -216,11 +216,12 @@ class Crawler:
             tbl = self.corpus.filter(pc.is_in(
                 self.corpus.column('url'),
                 value_set=pa.array(list(urls), pa.string())))
-            return dict(zip(tbl.column('url').to_pylist(),
-                            tbl.column('html').to_pylist()))
-        tbl = self.corpus.lookup_table(list(urls), columns=['url', 'html'])
+        else:
+            tbl = self.corpus.lookup_table(list(urls),
+                                           columns=['url', 'html', 'warc_ts'])
         if tbl is None:
             return {}
+        tbl = self._latest_snapshot(tbl)  # multi-snapshot redirect targets
         return dict(zip(tbl.column('url').to_pylist(),
                         tbl.column('html').to_pylist()))
 
