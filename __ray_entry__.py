@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_dups': R.embedding_dups,        # rows-only
         'langid': R.langid,                        # rows-only
         'fingerprints': R.fingerprints,            # rows-only
+        # training-data cleaning composition
+        'clean_corpus': R.clean_corpus,
+        'clean_corpus_neardup': R.clean_corpus_neardup,  # rows-only
         # the flagship crawl
         'crawl_bfs': R.crawl_documents,            # rows-only (pytest oracle)
     }
@@ -217,6 +220,11 @@ def oracle_sql() -> dict[str, str]:
         'media_meta': """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        'clean_corpus': """
+            SELECT min(doc_id) AS doc_id FROM documents
+            WHERE len(regexp_extract_all(lower(text), '\\w+')) >= 20
+            GROUP BY md5(text)
         """,
         'knn_query0': """
             SELECT vec_id, CAST(row_number() OVER (

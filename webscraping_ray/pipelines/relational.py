@@ -545,6 +545,54 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(Fingerprint(), batch_format='pyarrow')
 
 
+def clean_corpus(sf_dir: str, min_tokens: int = 20):
+    """Training-data cleaning composition (oracled subset): quality
+    filter (>= min_tokens word tokens) → exact content dedup (min
+    doc_id per identical text).  Returns surviving doc_id."""
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import AddContentHash
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def quality_filter(t: pa.Table) -> pa.Table:
+        texts = t.column('text').to_pylist()
+        keep = [len(_TOKEN_RE.findall((s or '').lower())) >= min_tokens
+                for s in texts]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    hashed = (ds.map_batches(quality_filter, batch_format='pyarrow')
+              .map_batches(AddContentHash('text'), batch_format='pyarrow')
+              .select_columns(['content_hash', 'doc_id']))
+    return (hashed.groupby('content_hash')
+            .aggregate(Min('doc_id', alias_name='doc_id'))
+            .select_columns(['doc_id']))
+
+
+def clean_corpus_neardup(sf_dir: str, min_tokens: int = 20,
+                         jaccard_threshold: float = 0.8):
+    """Full cleaning pipeline: quality filter → exact dedup →
+    MinHash-LSH near-dup removal (keep the lower doc_id of each
+    verified near-dup pair).  Rows-only (LSH is not SQL-expressible);
+    deterministic given the seeded MinHash."""
+    import pyarrow.compute as _pc
+
+    from ..stages.dedup import minhash_dup_pairs
+
+    survivors_ds = clean_corpus(sf_dir, min_tokens)
+    surviving = sorted(r['doc_id'] for r in survivors_ds.take_all())
+    keep_set = pa.array(surviving, pa.int64())
+    docs = _read(sf_dir, 'documents', ['doc_id', 'text']).map_batches(
+        lambda t: t.filter(_pc.is_in(t['doc_id'], value_set=keep_set)),
+        batch_format='pyarrow')
+    pairs = minhash_dup_pairs(docs, threshold=jaccard_threshold)
+    drop = {max(a, b) for a, b in zip(pairs.column('id_a').to_pylist(),
+                                      pairs.column('id_b').to_pylist())}
+    final = [d for d in surviving if d not in drop]
+    return pa.table({'doc_id': pa.array(final, pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # the flagship crawl over derived pages
 
