@@ -121,6 +121,38 @@ def test_checkpoint_resume_identical(ray_session, small_corpus, tmp_path):
     assert resumed.to_pylist() == full.to_pylist()
 
 
+def test_spill_frontier_identical(ray_session, small_corpus, tmp_path):
+    """Frontier spilled through the durable ParquetQueue every wave
+    (threshold 0) must replay exact BFS order — byte-identical visits
+    to the in-memory frontier path."""
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    plain = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+    spilled = crawl_bfs(tbl, seeds, max_depth=3, max_links=10,
+                        frontier_queue_dir=str(tmp_path / 'fq'),
+                        frontier_spill_threshold=0)
+    assert spilled.to_pylist() == plain.to_pylist()
+
+
+def test_spill_frontier_checkpoint_resume(ray_session, small_corpus, tmp_path):
+    """Kill/resume with the frontier living in the spill queue: the
+    claims watermark rewinds so the in-flight wave replays exactly."""
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+
+    ckpt = str(tmp_path / 'ckpt')
+    qdir = str(tmp_path / 'fq')
+    kw = dict(max_depth=3, max_links=10, checkpoint_dir=ckpt,
+              frontier_queue_dir=qdir, frontier_spill_threshold=0)
+    c1 = Crawler(tbl, **kw)
+    part1 = c1.run(seeds, stop_after_wave=1)
+    c2 = Crawler(tbl, **kw)
+    part2 = c2.run_resumed()
+    resumed = pa.concat_tables([part1, part2])
+    assert resumed.to_pylist() == full.to_pylist()
+
+
 def test_crawl_politeness_budget(ray_session, small_corpus):
     tbl, as_dict = small_corpus
     seeds = seeds_for(as_dict)

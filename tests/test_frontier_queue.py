@@ -44,6 +44,84 @@ def test_queue_survives_restart(tmp_path):
     assert q3.pull() == []
 
 
+def test_queue_clear_allows_repush(tmp_path):
+    """Reference pdict.Queue DELETEs cleared rows, so a cleared key can
+    be re-pushed and re-pulled (pdict.py:481-497)."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    q = ParquetQueue(str(tmp_path / 'q'))
+    q.push([('a', 1), ('b', 2)])
+    assert q.pull(limit=1) == ['b']      # b claimed
+    assert q.clear(keys=['b']) == 0      # deleting a claimed key: size unchanged
+    q.push([('b', 9)])                   # re-push after clear works
+    assert q.pull(limit=1) == ['b']
+    # clearing an unclaimed key then re-pushing also works
+    assert q.clear(keys=['a']) == 1
+    q.push([('a', 5)])
+    assert q.pull(limit=1) == ['a']
+
+
+def test_queue_clear_empty_list_clears_all(tmp_path):
+    """Reference 'if keys:' truthiness — clear([]) behaves like
+    clear(None) and removes everything (pdict.py:488)."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    q = ParquetQueue(str(tmp_path / 'q'))
+    q.push([('a', 1), ('b', 2)])
+    assert q.clear(keys=[]) == 2
+    assert len(q) == 0
+    assert q.pull() == []
+
+
+def test_queue_push_does_not_reread_segments(tmp_path, monkeypatch):
+    """Scale contract: push dedupes against the in-memory hash index —
+    no segment file is read after open (the round-1 version re-read
+    every segment per push, O(n²) over pushes)."""
+    import pyarrow.parquet as pq_mod
+    from webscraping_ray.pipelines import frontier as F
+
+    q = F.ParquetQueue(str(tmp_path / 'q'))
+    reads = []
+    real_read = pq_mod.read_table
+
+    def counting_read(*a, **kw):
+        reads.append(a)
+        return real_read(*a, **kw)
+
+    monkeypatch.setattr(F.pq, 'read_table', counting_read)
+    for i in range(50):
+        q.push([('k%d_%d' % (i, j), j % 7) for j in range(2000)])
+    assert reads == []               # pushes never re-read segments
+    assert len(q) == 100_000
+    # duplicate push across segments still ignored
+    q.push([('k0_0', 5), ('k49_1999', 5)])
+    assert len(q) == 100_000
+    # pull still returns global (priority desc, seq) order across all
+    # 50 segments via the heap merge
+    got = q.pull(limit=3)
+    assert got == ['k0_6', 'k0_13', 'k0_20']
+
+
+def test_queue_compaction_preserves_order(tmp_path):
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+
+    class SmallCompact(ParquetQueue):
+        COMPACT_SEGMENTS = 3
+        COMPACT_TOMBSTONES = 5
+
+    q = SmallCompact(str(tmp_path / 'q'))
+    for i in range(6):
+        q.push([('s%d_%d' % (i, j), (i + j) % 4) for j in range(10)])
+    assert len(q._segments()) <= 3 + 1   # compacted
+    assert len(q) == 60
+    q.clear(keys=['s0_0', 's0_1', 's1_0', 's1_1', 's2_0', 's2_1'])
+    assert len(q) == 54
+    # reopen: index rebuilt from compacted segments
+    q2 = SmallCompact(str(tmp_path / 'q'))
+    assert len(q2) == 54
+    pulled = q2.pull(limit=54)
+    assert len(pulled) == 54
+    assert 's0_0' not in pulled
+
+
 def test_write_csv_unique(ray_session, tmp_path):
     import glob
 

@@ -130,10 +130,26 @@ def _ts_us(ts) -> int:
 
 
 def _atomic_write_dir(tmp_dir: str, final_dir: str):
+    """Commit ``tmp_dir`` as ``final_dir`` crash-safely.
+
+    The old dir (a re-run of an already-checkpointed wave) is renamed
+    aside before the new one moves in, so a crash mid-commit never
+    leaves the LATEST pointer referencing a deleted directory — resume
+    falls back to whichever rename completed.
+    """
+    old = final_dir + '.old'
+    import shutil
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(final_dir):
-        import shutil
-        shutil.rmtree(final_dir)
+        os.rename(final_dir, old)
     os.rename(tmp_dir, final_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+#: driver-side marker: the next frontier lives in the spill queue
+_SPILLED = '__frontier_in_queue__'
 
 
 class Crawler:
@@ -150,7 +166,9 @@ class Crawler:
                  with_contacts: bool = False, with_excerpt: bool = False,
                  num_redirects: int = 0, state_file: str | None = None,
                  as_of_ts: int | None = None, output_dir: str | None = None,
-                 inline_threshold: int = 256, table_threshold: int = 8192):
+                 inline_threshold: int = 256, table_threshold: int = 8192,
+                 frontier_queue_dir: str | None = None,
+                 frontier_spill_threshold: int = 100_000):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html."""
         self.corpus = corpus
         self.max_depth = max_depth
@@ -178,6 +196,13 @@ class Crawler:
         # fixed Ray-job latency that dominates small BFS waves
         self.inline_threshold = inline_threshold
         self.table_threshold = table_threshold
+        # spill frontier (reference pdict.Queue, pdict.py:402-497):
+        # waves larger than the threshold live in the durable on-disk
+        # queue instead of a driver Python list — depth rides in the
+        # priority column (negated, so shallow-first matches BFS)
+        self.frontier_queue_dir = frontier_queue_dir
+        self.frontier_spill_threshold = frontier_spill_threshold
+        self._frontier_queue = None
         self.seen = ShardedSeenSet(num_seen_shards, seen_kind,
                                    seen_capacity_per_shard, use_ray=use_ray)
         self.politeness = PolitenessPool(num_politeness_shards, delay,
@@ -403,6 +428,43 @@ class Crawler:
         return records
 
     # ------------------------------------------------------------------
+    # spill frontier (pdict.Queue as the disk-backed deque,
+    # reference pdict.py:402-497 + download.py:843)
+
+    def _queue(self):
+        if self._frontier_queue is None:
+            from .frontier import ParquetQueue
+
+            self._frontier_queue = ParquetQueue(self.frontier_queue_dir)
+        return self._frontier_queue
+
+    def _spill_or_keep(self, new_frontier):
+        """Frontiers above the threshold go to the durable queue; the
+        driver keeps only the marker.  A wave is pushed at constant
+        priority so pull order (priority desc, then seq) replays the
+        wave's exact discovery order — a wave can mix depths (a seed
+        skipped by a max-depth parent keeps depth 0 beside depth-k
+        links), so depth must NOT drive the ordering; it rides encoded
+        in the key.  A url enters the frontier at most once per crawl
+        (seen-set registration), so the depth prefix never splits one
+        url into two queue keys in practice."""
+        if (self.frontier_queue_dir is not None
+                and len(new_frontier) > self.frontier_spill_threshold):
+            self._queue().push([('%d|%s' % (d, u), 0) for u, d in new_frontier])
+            return _SPILLED
+        return new_frontier
+
+    def _materialize_frontier(self, frontier):
+        if frontier == _SPILLED:
+            q = self._queue()
+            out = []
+            for key in q.pull(limit=len(q)):
+                d, u = key.split('|', 1)
+                out.append((u, int(d)))
+            return out
+        return frontier
+
+    # ------------------------------------------------------------------
     def run(self, seeds, max_waves: int | None = None,
             stop_after_wave: int | None = None):
         """Crawl from ``seeds`` (list of urls, queue order).
@@ -417,9 +479,9 @@ class Crawler:
         while frontier:
             if max_waves is not None and self.wave >= max_waves:
                 break
-            visits = self._run_wave(frontier)
+            visits = self._run_wave(self._materialize_frontier(frontier))
             all_visits.append(visits)
-            frontier = self._next_frontier
+            frontier = self._spill_or_keep(self._next_frontier)
             if self.checkpoint_dir:
                 self._checkpoint(frontier)
             self.wave += 1
@@ -581,11 +643,14 @@ class Crawler:
         tmp = os.path.join(root, '_wave_%05d.tmp' % self.wave)
         final = os.path.join(root, 'wave_%05d' % self.wave)
         os.makedirs(tmp, exist_ok=True)
-        # frontier
-        pq.write_table(pa.table({
-            'url': pa.array([u for u, _ in frontier], pa.string()),
-            'depth': pa.array([d for _, d in frontier], pa.int32()),
-        }), os.path.join(tmp, 'frontier.parquet'))
+        # frontier (when spilled, the durable queue itself is the
+        # checkpoint — its segments + claims manifest live on disk)
+        spilled = frontier == _SPILLED
+        if not spilled:
+            pq.write_table(pa.table({
+                'url': pa.array([u for u, _ in frontier], pa.string()),
+                'depth': pa.array([d for _, d in frontier], pa.int32()),
+            }), os.path.join(tmp, 'frontier.parquet'))
         # seen lineage: (shard, kind, snapshot, num_urls)
         snaps = self.seen.snapshots()
         counts = self.seen.counts()
@@ -597,11 +662,20 @@ class Crawler:
         }), os.path.join(tmp, 'seen.parquet'))
         with open(os.path.join(tmp, 'politeness.json'), 'w') as f:
             json.dump(self.politeness.snapshots(), f)
+        if spilled:
+            # queue watermark lineage: snapshot the claims manifest so
+            # resume rewinds any post-checkpoint pull (the in-flight
+            # wave) back to unclaimed
+            import shutil
+            shutil.copy(os.path.join(self.frontier_queue_dir, 'claims.json'),
+                        os.path.join(tmp, 'queue_claims.json'))
         with open(os.path.join(tmp, 'manifest.json'), 'w') as f:
             json.dump({'wave': self.wave, 'visit_counter': self.visit_counter,
                        'num_seen_shards': self.seen.num_shards,
                        'seen_kind': self.seen.kind,
-                       'num_politeness_shards': self.politeness.num_shards},
+                       'num_politeness_shards': self.politeness.num_shards,
+                       'frontier_spilled': spilled,
+                       'frontier_queue_dir': self.frontier_queue_dir},
                       f)
         _atomic_write_dir(tmp, final)
         # LATEST pointer, atomic (reference State.save pattern,
@@ -619,6 +693,16 @@ class Crawler:
         if not os.path.exists(latest):
             return None
         wave_dir = os.path.join(root, open(latest).read().strip())
+        if not os.path.isdir(wave_dir):
+            # LATEST may point at a wave whose commit was interrupted;
+            # fall back to the newest wave dir that actually exists
+            done = sorted(d for d in os.listdir(root)
+                          if d.startswith('wave_') and
+                          os.path.isdir(os.path.join(root, d)) and
+                          not d.endswith('.old'))
+            if not done:
+                return None
+            wave_dir = os.path.join(root, done[-1])
         seen_tbl = pq.read_table(os.path.join(wave_dir, 'seen.parquet'))
         self.seen.restore([(r['shard'], r['filter_kind'], r['snapshot'])
                            for r in seen_tbl.to_pylist()])
@@ -642,6 +726,16 @@ class Crawler:
                 (wantp, self.politeness.num_shards))
         self.visit_counter = man['visit_counter']
         self.wave = man['wave'] + 1
+        if man.get('frontier_spilled'):
+            # rewind the queue's claim watermark to checkpoint time and
+            # reopen (rebuilds the in-memory hash index)
+            import shutil
+            qdir = man.get('frontier_queue_dir') or self.frontier_queue_dir
+            self.frontier_queue_dir = qdir
+            shutil.copy(os.path.join(wave_dir, 'queue_claims.json'),
+                        os.path.join(qdir, 'claims.json'))
+            self._frontier_queue = None
+            return _SPILLED
         fr = pq.read_table(os.path.join(wave_dir, 'frontier.parquet'))
         return list(zip(fr.column('url').to_pylist(),
                         fr.column('depth').to_pylist()))
@@ -655,9 +749,9 @@ class Crawler:
         while frontier:
             if max_waves is not None and self.wave >= max_waves:
                 break
-            visits = self._run_wave(frontier)
+            visits = self._run_wave(self._materialize_frontier(frontier))
             all_visits.append(visits)
-            frontier = self._next_frontier
+            frontier = self._spill_or_keep(self._next_frontier)
             if self.checkpoint_dir:
                 self._checkpoint(frontier)
             self.wave += 1

@@ -4,24 +4,41 @@
   (``pdict.Queue``, reference pdict.py:402-497: INSERT-OR-IGNORE push,
   claim-status pull ordered by priority desc, clear) re-expressed as
   Parquet segments + a claim manifest.  Designed so push/pull survive
-  process death: state is (segments on disk) + (claimed-hash sets per
-  pull), committed atomically.
-- :func:`write_csv_unique` — ``common.UnicodeWriter`` with
-  unique/unique_by semantics (reference common.py:535-649) as a
-  Ray Data pipeline: dedup on the key columns (first wins by a stable
-  order column) then ``write_csv``.
+  process death: state is (segments on disk) + (claims manifest),
+  committed atomically.
+
+  Scale design (the round-1 version re-read every segment per push —
+  O(n²) over pushes; this one is amortized O(batch)):
+
+  * **push** dedupes against an in-memory ``key_hash`` set built ONCE
+    at open (one streaming scan of segment hashes — 8 bytes/key, so
+    10^9 queued keys ≈ 8 GB driver-side, the same budget as the
+    reference's sqlite PK index) and appends one new segment sorted by
+    ``(priority desc, seq)``.  No existing segment is read.
+  * **pull** is a k-way heap merge over per-segment *streaming*
+    row-group readers — each segment is already sorted, so pull reads
+    only ``O(limit + skipped-claims)`` rows, not the whole queue.
+  * **clear** matches reference truthiness semantics (pdict.py:481-497):
+    falsy ``keys`` (None or ``[]``) deletes ALL rows; a truthy list
+    physically deletes those keys (claimed or not) so they can be
+    re-pushed and re-pulled later.  Deletions are tombstoned in the
+    manifest and physically compacted out of segments once they exceed
+    a threshold.
 """
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..kernels.urls import url_hash64
+
+_SCHEMA = pa.schema([('key', pa.string()), ('key_hash', pa.int64()),
+                     ('priority', pa.int64()), ('seq', pa.int64())])
 
 
 class ParquetQueue:
@@ -30,7 +47,9 @@ class ParquetQueue:
     Layout::
 
         root/seg_00000.parquet      (key, key_hash, priority, seq)
-        root/claims.json            {"claimed": [key_hash...], "next_seq": N}
+                                    sorted by (priority desc, seq)
+        root/claims.json            {"claimed": [...], "deleted": [...],
+                                     "next_seq": N, "next_seg": M}
 
     push() ignores keys already present (INSERT OR IGNORE,
     pdict.py:463); pull(limit) claims the top-priority unclaimed keys
@@ -40,6 +59,9 @@ class ParquetQueue:
     batch, mirroring the reference's claim-status semantics.
     """
 
+    COMPACT_TOMBSTONES = 4096   # physical compaction threshold
+    COMPACT_SEGMENTS = 64       # merge small segments past this count
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -48,104 +70,185 @@ class ParquetQueue:
             with open(self._claims_path) as f:
                 st = json.load(f)
             self._claimed = set(st['claimed'])
+            # deletion tombstones: hash -> seq watermark; rows of that
+            # hash with seq <= watermark are dead (lets a cleared key
+            # be re-pushed while its old segment rows still exist)
+            self._deleted = {int(k): v
+                             for k, v in st.get('deleted', {}).items()}
             self._next_seq = st['next_seq']
             self._next_seg = st['next_seg']
         else:
             self._claimed = set()
+            self._deleted = {}
             self._next_seq = 0
             self._next_seg = 0
             self._commit_claims()
+        # the only full scan: hash index of every live key on disk,
+        # built once per open (hash+seq columns only — never keys)
+        self._hashes = set()
+        for seg in self._segments():
+            t = pq.read_table(os.path.join(self.root, seg),
+                              columns=['key_hash', 'seq'])
+            for h, s in zip(t.column('key_hash').to_pylist(),
+                            t.column('seq').to_pylist()):
+                if s > self._deleted.get(h, -1):
+                    self._hashes.add(h)
 
     # ------------------------------------------------------------------
     def _segments(self):
         return sorted(f for f in os.listdir(self.root)
                       if f.startswith('seg_') and f.endswith('.parquet'))
 
-    def _read_all(self) -> pa.Table:
-        segs = self._segments()
-        if not segs:
-            return pa.table({'key': pa.array([], pa.string()),
-                             'key_hash': pa.array([], pa.int64()),
-                             'priority': pa.array([], pa.int64()),
-                             'seq': pa.array([], pa.int64())})
-        return pa.concat_tables(
-            pq.read_table(os.path.join(self.root, s)) for s in segs)
-
     def _commit_claims(self):
         tmp = self._claims_path + '.tmp'
         with open(tmp, 'w') as f:
             json.dump({'claimed': sorted(self._claimed),
+                       'deleted': {str(k): v
+                                   for k, v in self._deleted.items()},
                        'next_seq': self._next_seq,
                        'next_seg': self._next_seg}, f)
         os.replace(tmp, self._claims_path)
 
-    # ------------------------------------------------------------------
-    def push(self, key_map):
-        """Add [(key, priority)]; existing keys are ignored
-        (INSERT OR IGNORE, pdict.py:453-465)."""
-        if not key_map:
-            return
-        existing = set(self._read_all().column('key_hash').to_pylist())
-        keys, hashes, prios, seqs = [], [], [], []
-        seen_batch = set()
-        for key, prio in key_map:
-            h = url_hash64(key)
-            if h in existing or h in seen_batch:
-                continue
-            seen_batch.add(h)
-            keys.append(key)
-            hashes.append(h)
-            prios.append(int(prio))
-            seqs.append(self._next_seq)
-            self._next_seq += 1
-        if not keys:
-            return
+    def _write_segment(self, tbl: pa.Table):
         seg = os.path.join(self.root, 'seg_%05d.parquet' % self._next_seg)
         self._next_seg += 1
         tmp = seg + '.tmp'
-        pq.write_table(pa.table({
-            'key': pa.array(keys, pa.string()),
-            'key_hash': pa.array(hashes, pa.int64()),
-            'priority': pa.array(prios, pa.int64()),
-            'seq': pa.array(seqs, pa.int64()),
-        }), tmp)
+        pq.write_table(tbl, tmp)
         os.replace(tmp, seg)
+
+    # ------------------------------------------------------------------
+    def push(self, key_map):
+        """Add [(key, priority)]; existing keys are ignored
+        (INSERT OR IGNORE, pdict.py:453-465).  O(batch): probes the
+        in-memory hash set, writes one sorted segment."""
+        if not key_map:
+            return
+        rows = []
+        for key, prio in key_map:
+            h = url_hash64(key)
+            if h in self._hashes:
+                continue
+            self._hashes.add(h)
+            rows.append((-int(prio), self._next_seq, key, h))
+            self._next_seq += 1
+        if not rows:
+            return
+        rows.sort()  # (priority desc, seq) within the segment
+        self._write_segment(pa.table({
+            'key': pa.array([r[2] for r in rows], pa.string()),
+            'key_hash': pa.array([r[3] for r in rows], pa.int64()),
+            'priority': pa.array([-r[0] for r in rows], pa.int64()),
+            'seq': pa.array([r[1] for r in rows], pa.int64()),
+        }, schema=_SCHEMA))
         self._commit_claims()
+        if len(self._segments()) > self.COMPACT_SEGMENTS:
+            self._compact()
 
     def __len__(self):
         """Unclaimed count (SELECT count(*) WHERE status=0,
-        pdict.py:446-450)."""
-        tbl = self._read_all()
-        hashes = tbl.column('key_hash').to_pylist()
-        return sum(1 for h in hashes if h not in self._claimed)
+        pdict.py:446-450) — O(1) from the in-memory index."""
+        return len(self._hashes) - len(self._claimed & self._hashes)
+
+    def _iter_segment(self, seg: str):
+        """Stream (neg_priority, seq, key, hash) rows of one sorted
+        segment, row-group at a time."""
+        pf = pq.ParquetFile(os.path.join(self.root, seg))
+        for batch in pf.iter_batches(batch_size=8192):
+            keys = batch.column(0).to_pylist()
+            hashes = batch.column(1).to_pylist()
+            prios = batch.column(2).to_pylist()
+            seqs = batch.column(3).to_pylist()
+            for k, h, p, s in zip(keys, hashes, prios, seqs):
+                yield (-p, s, k, h)
 
     def pull(self, limit: int = 1000):
         """Claim up to ``limit`` top-priority keys (pdict.py:468-478).
 
         Order: priority DESC, then insertion seq (stable, deterministic
         — the reference's sqlite order for ties is rowid insertion).
+        K-way heap merge over sorted segments; reads O(limit + claimed
+        prefix) rows, not the whole queue.
         """
-        tbl = self._read_all()
-        rows = [r for r in tbl.to_pylist() if r['key_hash'] not in self._claimed]
-        rows.sort(key=lambda r: (-r['priority'], r['seq']))
-        take = rows[:limit]
-        self._claimed.update(r['key_hash'] for r in take)
+        return [k for k, _ in self.pull_entries(limit)]
+
+    def pull_entries(self, limit: int = 1000):
+        """Like :meth:`pull` but returns [(key, priority)] — the
+        crawler's spill frontier rides depth in the priority column."""
+        iters = [self._iter_segment(s) for s in self._segments()]
+        heap = []
+        for i, it in enumerate(iters):
+            row = next(it, None)
+            if row is not None:
+                heapq.heappush(heap, (row, i))
+        taken = []
+        taken_hashes = set()
+        while heap and len(taken) < limit:
+            (negp, seq, key, h), i = heapq.heappop(heap)
+            if (h not in self._claimed and h not in taken_hashes
+                    and seq > self._deleted.get(h, -1)):
+                taken.append((key, -negp, h))
+                taken_hashes.add(h)
+            row = next(iters[i], None)
+            if row is not None:
+                heapq.heappush(heap, (row, i))
+        self._claimed.update(h for _, _, h in taken)
         self._commit_claims()
-        return [r['key'] for r in take]
+        return [(k, p) for k, p, _ in taken]
 
     def clear(self, keys=None) -> int:
-        """Remove keys (or all); returns removed count (pdict.py:481-497)."""
+        """Remove keys from the queue; returns the drop in unclaimed
+        count (pdict.py:481-497).  Reference truthiness: falsy ``keys``
+        (None or empty list) removes ALL rows; a key list physically
+        deletes those keys — claimed or not — so they can be re-pushed.
+        """
         prev = len(self)
-        if keys is None:
+        if not keys:  # reference 'if keys:' truthiness — [] clears all
             for s in self._segments():
                 os.remove(os.path.join(self.root, s))
             self._claimed = set()
+            self._deleted = {}
+            self._hashes = set()
             self._commit_claims()
             return prev
         drop = {url_hash64(k) for k in keys}
-        self._claimed.update(drop)
+        self._hashes -= drop
+        self._claimed -= drop
+        for h in drop:  # tombstone every existing row of these hashes
+            self._deleted[h] = self._next_seq - 1
         self._commit_claims()
+        if len(self._deleted) > self.COMPACT_TOMBSTONES:
+            self._compact()
         return prev - len(self)
+
+    # ------------------------------------------------------------------
+    def _compact(self):
+        """Rewrite all segments into one, dropping tombstoned rows.
+
+        Claimed rows are retained (the claim manifest is the authority;
+        the reference likewise keeps claimed rows in the table).  Runs
+        when tombstones or segment count exceed thresholds — amortized
+        O(n / threshold) per operation.
+        """
+        segs = self._segments()
+        if not segs:
+            self._deleted = {}
+            self._commit_claims()
+            return
+        tables = [pq.read_table(os.path.join(self.root, s)) for s in segs]
+        merged = pa.concat_tables(tables)
+        if self._deleted:
+            keep = [s > self._deleted.get(h, -1)
+                    for h, s in zip(merged.column('key_hash').to_pylist(),
+                                    merged.column('seq').to_pylist())]
+            merged = merged.filter(pa.array(keep, pa.bool_()))
+        merged = merged.sort_by([('priority', 'descending'),
+                                 ('seq', 'ascending')])
+        for s in segs:
+            os.remove(os.path.join(self.root, s))
+        self._deleted = {}
+        if merged.num_rows:
+            self._write_segment(merged)
+        self._commit_claims()
 
 
 def write_csv_unique(ds, out_dir: str, unique_by=None, order_col=None):
