@@ -145,11 +145,18 @@ def run_bench():
         'minhash_dups': R.minhash_dups,
         'quality': R.quality,
     }
+    def consume(out) -> int:
+        """Fully execute a query result.  A bare ``count()`` on a
+        mapped Dataset can skip the map (Ray answers from metadata), so
+        suite timings stream every output batch instead."""
+        if hasattr(out, 'iter_batches'):
+            return sum(b.num_rows
+                       for b in out.iter_batches(batch_format='pyarrow'))
+        return out.num_rows
+
     for name, fn in suite.items():
         t0 = time.time()
-        out = fn(SF_DIR)
-        if hasattr(out, 'count'):
-            out.count()
+        consume(fn(SF_DIR))
         queries[name] = round(time.time() - t0, 3)
 
     # headline = the corpus-wide fetch+extract sweep (the north-rule

@@ -59,6 +59,53 @@ def test_cuckoo_overflow_spill():
     assert f.contains_batch(keys).all()
 
 
+def test_cuckoo_overflow_exact_no_fp_aliasing():
+    """Overflow stores FULL keys: a non-member that merely shares a
+    16-bit fingerprint with a spilled key must NOT become a false
+    positive (the round-1 version aliased 1/65536 of the keyspace per
+    spilled fingerprint)."""
+    f = CuckooFilter(capacity=64)
+    keys = rng.integers(0, 2**63, size=600, dtype=np.int64).astype(np.uint64)
+    f.add_batch(keys)
+    assert f.overflow, 'test needs the overflow path exercised'
+    assert f.contains_batch(keys).all()
+    # craft non-members sharing fingerprints (bits 48..63) with spilled
+    # keys but differing low bits → different buckets, same fp
+    spilled = np.fromiter(f.overflow, dtype=np.uint64,
+                          count=len(f.overflow))
+    aliases = (spilled & np.uint64(0xFFFF) << np.uint64(48)) | \
+        np.uint64(0x123456789AB)
+    aliases = aliases[~np.isin(aliases, keys)]
+    hits = f.contains_batch(aliases)
+    # aliases may still hit the table by chance, but must not ALL hit:
+    # with the old fingerprint-only overflow check every alias hit
+    assert not hits.all()
+
+
+def test_cuckoo_count_and_idempotence():
+    f = CuckooFilter(capacity=4096)
+    keys = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    f.add_batch(keys)
+    c1 = f.count
+    assert c1 == len(np.unique(keys))
+    f.add_batch(keys)          # re-insert: count unchanged, no bloat
+    assert f.count == c1
+    f.add_batch(np.concatenate([keys[:10], keys[:10]]))  # dup batch
+    assert f.count == c1
+    assert f.contains_batch(keys).all()
+
+
+def test_cuckoo_overflow_snapshot_roundtrip():
+    f = CuckooFilter(capacity=64)
+    keys = rng.integers(0, 2**63, size=600, dtype=np.int64).astype(np.uint64)
+    f.add_batch(keys)
+    assert f.overflow
+    g = CuckooFilter.restore(f.snapshot())
+    assert g.overflow == f.overflow
+    np.testing.assert_array_equal(g.contains_batch(keys),
+                                  f.contains_batch(keys))
+
+
 def test_sharded_seen_inprocess():
     from webscraping_ray.state.seen import ShardedSeenSet
     s = ShardedSeenSet(num_shards=4, kind='exact', use_ray=False)

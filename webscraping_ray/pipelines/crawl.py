@@ -198,8 +198,8 @@ class Crawler:
         self.table_threshold = table_threshold
         # spill frontier (reference pdict.Queue, pdict.py:402-497):
         # waves larger than the threshold live in the durable on-disk
-        # queue instead of a driver Python list — depth rides in the
-        # priority column (negated, so shallow-first matches BFS)
+        # queue instead of a driver Python list — depth rides encoded
+        # in the key so pull (seq order) replays discovery order
         self.frontier_queue_dir = frontier_queue_dir
         self.frontier_spill_threshold = frontier_spill_threshold
         self._frontier_queue = None

@@ -186,9 +186,11 @@ def join_orders_customers(sf_dir: str):
                 n_orders=('price', 'size'), sum_price=('price', 'sum'))
             return out
 
+    from ..stages import POOL_NUM_CPUS, pool_size
+
     ds = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
-    partials = ds.map_batches(JoinAgg, batch_format='pandas', concurrency=2,
-                              num_cpus=0.5)
+    partials = ds.map_batches(JoinAgg, batch_format='pandas',
+                              concurrency=pool_size(), num_cpus=POOL_NUM_CPUS)
     out = partials.groupby('nationkey').aggregate(
         Sum('n_orders', alias_name='n_orders'),
         Sum('sum_price', alias_name='sum_price'))
@@ -443,8 +445,10 @@ def media_meta(sf_dir: str):
                              'n_bytes': pa.array([len(p) for p in payloads],
                                                  pa.int64())})
 
-    return ds.map_batches(PayloadMeta, batch_format='pyarrow', concurrency=2,
-                          num_cpus=0.5)
+    from ..stages import POOL_NUM_CPUS, pool_size
+
+    return ds.map_batches(PayloadMeta, batch_format='pyarrow',
+                          concurrency=pool_size(), num_cpus=POOL_NUM_CPUS)
 
 
 def user_event_counts(sf_dir: str):

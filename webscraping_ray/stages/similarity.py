@@ -21,7 +21,7 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 def knn_brute(ds, queries: np.ndarray, k: int = 10,
               emb_col: str = 'embedding', id_col: str = 'vec_id',
-              query_ids=None) -> pa.Table:
+              query_ids=None, concurrency=None) -> pa.Table:
     """Exact cosine top-k: returns (query_id, rank, vec_id, cosine).
 
     Deterministic tie-break: higher cosine first, then smaller vec_id.
@@ -54,8 +54,12 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
                              id_col: pa.array(out_id, pa.int64()),
                              'cosine': pa.array(out_cos, pa.float64())})
 
+    from . import POOL_NUM_CPUS, pool_size
+
     partials = ds.map_batches(PartialTopK, batch_format='pyarrow',
-                              batch_size=4096, concurrency=2, num_cpus=0.5).take_all()
+                              batch_size=4096,
+                              concurrency=pool_size(concurrency),
+                              num_cpus=POOL_NUM_CPUS).take_all()
     # final merge (tiny: nq * k * n_batches rows)
     best = {}
     for r in partials:
@@ -120,8 +124,10 @@ def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
             assign = np.argmax(M @ self.C.T, axis=1).astype(np.int32)
             return batch.append_column('ivf_bucket', pa.array(assign, pa.int32()))
 
+    from . import POOL_NUM_CPUS, pool_size
+
     return C, ds.map_batches(AssignBucket, batch_format='pyarrow',
-                             concurrency=2, num_cpus=0.5)
+                             concurrency=pool_size(), num_cpus=POOL_NUM_CPUS)
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,

@@ -38,8 +38,12 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         self.mask = np.uint64(n_buckets - 1)
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
-        self.overflow = set()     # exact spill for failed inserts
-        self.count = 0
+        # exact spill for failed inserts: stores the FULL 64-bit key
+        # (storing only the evicted fingerprint would make every key
+        # sharing that fingerprint — 1/65536 of the keyspace — a
+        # filter-wide false positive once any insert overflows)
+        self.overflow = set()
+        self.count = 0            # distinct keys inserted (approx.)
 
     # --- key -> (fingerprint, i1, i2) ------------------------------------
     def _fp(self, keys: np.ndarray) -> np.ndarray:
@@ -56,13 +60,51 @@ class CuckooFilter:
 
     def add_batch(self, keys) -> None:
         keys = np.asarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return
+        keys = np.unique(keys)                 # idempotent insert
+        present = self.contains_batch(keys)    # skip already-present
+        keys = keys[~present]
+        if keys.size == 0:
+            return
         fps = self._fp(keys)
         i1s = self._i1(keys)
-        for fp, i1 in zip(fps, i1s):
-            self._add_one(np.uint16(fp), np.uint64(i1))
-        self.count += len(keys)
+        i2s = self._alt(i1s, fps)
+        # vectorized fast path: rounds of one-key-per-bucket scatter
+        # alternating primary/secondary buckets; within-batch bucket
+        # conflicts defer to the next round.  Only keys whose both
+        # buckets fill up reach the Python kick walk (<0.1% at the
+        # design load).
+        pending = np.arange(len(keys))
+        for _ in range(8):
+            if pending.size == 0:
+                break
+            placed = self._scatter_round(fps, i1s, pending)
+            pending = pending[~placed]
+            if pending.size == 0:
+                break
+            placed = self._scatter_round(fps, i2s, pending)
+            pending = pending[~placed]
+        for j in pending:
+            self._add_one(int(keys[j]), np.uint16(fps[j]), np.uint64(i1s[j]))
+        self.count += len(keys)               # distinct new keys only
 
-    def _add_one(self, fp, i1):
+    def _scatter_round(self, fps, buckets, pending) -> np.ndarray:
+        """One vectorized placement round: for the first key targeting
+        each distinct bucket, fill that bucket's first free slot.
+        Returns a placed-mask aligned with ``pending``."""
+        b = buckets[pending].astype(np.int64)
+        first_for_bucket = np.zeros(len(pending), dtype=bool)
+        _, first = np.unique(b, return_index=True)
+        first_for_bucket[first] = True
+        rows = self.table[b]
+        is_empty = rows == 0
+        ok = first_for_bucket & is_empty.any(axis=1)
+        slot = is_empty.argmax(axis=1)
+        self.table[b[ok], slot[ok]] = fps[pending[ok]]
+        return ok
+
+    def _add_one(self, key, fp, i1):
         i2 = self._alt(i1, fp)
         for i in (i1, i2):
             row = self.table[int(i)]
@@ -70,12 +112,15 @@ class CuckooFilter:
             if empty.size:
                 row[empty[0]] = fp
                 return
-        # evict: deterministic walk (slot j = kick % 4)
+        # evict: deterministic walk (slot j = kick % 4), recording the
+        # displacements so a failed walk can be rolled back
         i = i1
         cur = fp
+        trail = []
         for kick in range(self.MAX_KICKS):
             j = kick % 4
             row = self.table[int(i)]
+            trail.append((int(i), j, row[j]))
             cur, row[j] = row[j], cur
             i = self._alt(i, cur)
             row = self.table[int(i)]
@@ -83,8 +128,12 @@ class CuckooFilter:
             if empty.size:
                 row[empty[0]] = cur
                 return
-        # spill to the exact overflow set: no false negatives, ever
-        self.overflow.add(int(cur))
+        # walk failed: restore the table and spill the FULL key to the
+        # exact overflow set — no false negatives, and no filter-wide
+        # fingerprint aliasing
+        for bi, j, old in reversed(trail):
+            self.table[bi][j] = old
+        self.overflow.add(int(key))
 
     def contains_batch(self, keys) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
@@ -97,9 +146,9 @@ class CuckooFilter:
         r2 = self.table[i2s.astype(np.int64)]
         hit = (r1 == fps[:, None]).any(axis=1) | (r2 == fps[:, None]).any(axis=1)
         if self.overflow:
-            ov = np.fromiter(self.overflow, dtype=np.uint16,
+            ov = np.fromiter(self.overflow, dtype=np.uint64,
                              count=len(self.overflow))
-            hit |= np.isin(fps, ov)
+            hit |= np.isin(keys, ov)   # exact: full keys, not fingerprints
         return hit
 
     def __contains__(self, key) -> bool:
@@ -107,7 +156,8 @@ class CuckooFilter:
 
     # --- snapshot / restore ----------------------------------------------
     def snapshot(self) -> bytes:
-        ov = np.fromiter(self.overflow, dtype=np.uint16, count=len(self.overflow))
+        ov = np.fromiter(sorted(self.overflow), dtype=np.uint64,
+                         count=len(self.overflow))
         head = np.array([self.n_buckets, self.count, len(self.overflow)],
                         dtype=np.int64)
         return head.tobytes() + self.table.tobytes() + ov.tobytes()
@@ -123,7 +173,7 @@ class CuckooFilter:
         self.table = np.frombuffer(blob[24:24 + tbl_bytes],
                                    dtype=np.uint16).reshape(n_buckets, 4).copy()
         self.overflow = set(np.frombuffer(blob[24 + tbl_bytes:],
-                                          dtype=np.uint16).tolist())
+                                          dtype=np.uint64).tolist())
         self.count = count
         return self
 

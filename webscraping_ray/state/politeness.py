@@ -8,10 +8,16 @@ For a corpus crawl the budget is simulated on a deterministic virtual
 clock (variance=0, the reference's deterministic mode): each host's
 k-th fetch in queue order is scheduled at
 ``max(host_next_ok, wave_start)`` and advances ``host_next_ok`` by
-``delay``.  The schedule is a recorded column (``scheduled_ts``); the
-wave's virtual end is the max scheduled slot, which seeds the next
-wave's start — so the recorded timeline equals what a live polite
-crawl would have done, without wall-clock sleeping.
+``delay``.  The schedule is a recorded column (``scheduled_ts``).
+
+Clock model: the crawler passes ``wave_start=0.0`` every wave (the
+frozen-clock model the vendored oracle pins), so each host's timeline
+runs independently from t=0 and consecutive fetches of one host are
+exactly ``delay`` apart regardless of wave boundaries.  The recorded
+schedule is a per-host pacing contract — NOT a global wall-clock
+simulation across hosts (hosts do not rebase to the wave's end).
+Callers wanting a global timeline can thread the previous wave's max
+slot in as ``wave_start``.
 
 Sharding: hosts hash-partition across ``PolitenessShard`` actors; each
 shard sees its hosts' rows in wave order (order within a host is
