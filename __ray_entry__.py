@@ -63,7 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'knn_ivf_query0': R.knn_ivf_query0,        # rows-only
         'minhash_dups': R.minhash_dups,            # rows-only
         'simhash_fingerprints': R.simhash_fingerprints,  # rows-only
-        'embedding_dups': R.embedding_dups,        # rows-only
+        'embedding_dups': R.embedding_dups,        # exact — SQL-oracled
+        'embedding_dups_ivf': R.embedding_dups_ivf,  # rows-only scale path
         'langid': R.langid,                        # rows-only
         'fingerprints': R.fingerprints,            # rows-only
         # training-data cleaning composition
@@ -225,6 +226,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             WHERE len(regexp_extract_all(lower(text), '\\w+')) >= 20
             GROUP BY md5(text)
+        """,
+        'embedding_dups': """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
         'knn_query0': """
             SELECT vec_id, CAST(row_number() OVER (

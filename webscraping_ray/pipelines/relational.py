@@ -529,10 +529,26 @@ def simhash_fingerprints(sf_dir: str):
 
 
 def embedding_dups(sf_dir: str):
+    """Exact cosine near-dup pairs (brute path — the oracle-checkable
+    baseline; see :func:`embedding_dups_ivf` for the scale path)."""
     from ..stages.dedup import embedding_dup_pairs
 
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    return embedding_dup_pairs(ds, threshold=0.95)
+    out = embedding_dup_pairs(ds, threshold=0.95, method='brute')
+    return out.set_column(out.schema.get_field_index('cosine'), 'cosine',
+                          pc.round(out['cosine'], 6))
+
+
+def embedding_dups_ivf(sf_dir: str):
+    """IVF-bucketed cosine near-dup pairs (the 100-TB path: per-bucket
+    matmuls, no full matrix anywhere).  Rows-only; recall vs the brute
+    oracle is asserted in tests and recorded in BASELINE.md."""
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    out = embedding_dup_pairs(ds, threshold=0.95, method='ivf')
+    return out.set_column(out.schema.get_field_index('cosine'), 'cosine',
+                          pc.round(out['cosine'], 6))
 
 
 def langid(sf_dir: str):
@@ -579,22 +595,36 @@ def clean_corpus_neardup(sf_dir: str, min_tokens: int = 20,
     """Full cleaning pipeline: quality filter → exact dedup →
     MinHash-LSH near-dup removal (keep the lower doc_id of each
     verified near-dup pair).  Rows-only (LSH is not SQL-expressible);
-    deterministic given the seeded MinHash."""
-    import pyarrow.compute as _pc
+    deterministic given the seeded MinHash.
+
+    Dataset-native end to end: survivors stay distributed (semi-join of
+    documents against the survivor ids via ``Dataset.join``), and the
+    drop set — the verified pair list, small by construction — is the
+    only broadcast (``ray.put`` once, anti-join filter per batch)."""
+    import ray
 
     from ..stages.dedup import minhash_dup_pairs
 
     survivors_ds = clean_corpus(sf_dir, min_tokens)
-    surviving = sorted(r['doc_id'] for r in survivors_ds.take_all())
-    keep_set = pa.array(surviving, pa.int64())
-    docs = _read(sf_dir, 'documents', ['doc_id', 'text']).map_batches(
-        lambda t: t.filter(_pc.is_in(t['doc_id'], value_set=keep_set)),
-        batch_format='pyarrow')
+    docs = (_read(sf_dir, 'documents', ['doc_id', 'text'])
+            .join(survivors_ds.map_batches(
+                lambda t: pa.table({'keep_id': t['doc_id']}),
+                batch_format='pyarrow'),
+                'inner', num_partitions=8,
+                on=('doc_id',), right_on=('keep_id',))
+            .select_columns(['doc_id', 'text']))
     pairs = minhash_dup_pairs(docs, threshold=jaccard_threshold)
-    drop = {max(a, b) for a, b in zip(pairs.column('id_a').to_pylist(),
-                                      pairs.column('id_b').to_pylist())}
-    final = [d for d in surviving if d not in drop]
-    return pa.table({'doc_id': pa.array(final, pa.int64())})
+    drop = sorted({max(a, b)
+                   for a, b in zip(pairs.column('id_a').to_pylist(),
+                                   pairs.column('id_b').to_pylist())})
+    drop_ref = ray.put(pa.array(drop, pa.int64()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(
+            pc.is_in(t['doc_id'], value_set=ray.get(drop_ref))))
+
+    return docs.select_columns(['doc_id']).map_batches(
+        anti, batch_format='pyarrow')
 
 
 # ---------------------------------------------------------------------------

