@@ -70,8 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,  # rows-only
-        # the flagship crawl
-        'crawl_bfs': R.crawl_documents,            # rows-only (pytest oracle)
+        # the flagship crawl — DuckDB recursive-CTE oracled (plus the
+        # vendored sequential-crawler oracle in pytest)
+        'crawl_bfs': R.crawl_documents,
     }
 
 
@@ -131,14 +132,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         'page_links': """
             -- derived-page link count by construction (docs_pages.py):
-            -- same-host chain links m=1..3 where doc_id + 8*m < n_docs,
-            -- plus the cross-host link and the media link (get_links
-            -- does not media-filter), all distinct
+            -- B-ary tree children m=1..3 at h + 8*(3k+m) < n_docs
+            -- (h + 24k == 3*doc_id - 2*h), plus the query, cross-host
+            -- and media links (get_links does not filter), all distinct
             SELECT doc_id,
                    CAST(LEAST(3, GREATEST(0,
-                        CAST(floor(((SELECT count(*) FROM documents) - 1 - doc_id) / 8.0) AS BIGINT)
-                   )) + 2 AS BIGINT) AS n_links
+                        CAST(floor(((SELECT count(*) FROM documents) - 1
+                             - (3*doc_id - 2*(doc_id % 8))) / 8.0) AS BIGINT)
+                   )) + 3 AS BIGINT) AS n_links
             FROM documents
+        """,
+        'crawl_bfs': """
+            -- the flagship BFS crawl over the docs-derived web: the
+            -- unique-parent B-ary link graph makes depth, visit order,
+            -- status and emitted-link counts a recursive CTE (chain
+            -- visits) plus one deterministic 404 /q/ visit per
+            -- non-leaf page.  Visit order: wave by wave, parents in
+            -- wave order, emissions in document order (children m=1..3
+            -- then the /q/ link) — (depth, parent host, parent local
+            -- index, link idx) is exactly that order.
+            WITH RECURSIVE bfs AS (
+              SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k,
+                     0 AS depth, doc_id % 8 AS ph,
+                     CAST(0 AS BIGINT) AS pk, 0 AS idx
+              FROM documents WHERE doc_id < 8
+              UNION ALL
+              SELECT d.doc_id, d.doc_id % 8, d.doc_id // 8, b.depth + 1,
+                     b.h, b.k, m.m - 1
+              FROM bfs b
+              JOIN (VALUES (1), (2), (3)) AS m(m) ON true
+              JOIN documents d ON d.doc_id = b.h + 8 * (3 * b.k + m.m)
+              WHERE b.depth < 6
+            ), nd AS (SELECT count(*) AS n FROM documents),
+            allv AS (
+              SELECT 'http://src' || h || '.com/d/' || doc_id AS url,
+                     depth, 200 AS status,
+                     CASE WHEN depth < 6 THEN
+                       LEAST(3, GREATEST(0,
+                         CAST(floor(((SELECT n FROM nd) - 1
+                              - (3*doc_id - 2*h)) / 8.0) AS BIGINT))) + 1
+                     ELSE 0 END AS n_links,
+                     ph, pk, idx
+              FROM bfs
+              UNION ALL
+              SELECT 'http://src' || h || '.com/q/' || doc_id
+                       || '?a=1&b=2',
+                     depth + 1, 404, 0, h, k, 3
+              FROM bfs WHERE depth < 6
+            )
+            SELECT url, CAST(depth AS INT) AS depth,
+                   CAST(row_number() OVER (ORDER BY depth, ph, pk, idx)
+                        - 1 AS BIGINT) AS visit_order,
+                   CAST(status AS INT) AS status,
+                   CAST(n_links AS BIGINT) AS n_links
+            FROM allv
         """,
         'dedup_first': """
             SELECT user_id, event_type, min(event_id) AS first_event_id

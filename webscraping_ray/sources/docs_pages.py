@@ -7,15 +7,26 @@ reconstruct the expected extraction outputs by construction while the
 engine exercises the real kernels (xpath, email de-obfuscation, link
 canonicalization, BFS crawling).
 
-Layout (N docs, H hosts):
-- url:    http://src{doc_id % H}.com/d/{doc_id}      (per-host domains)
-- links:  same-host chain  doc_id + H*(1..L)  (no wrap → resolvable),
-          one cross-host link doc_id+1 (registered, filtered by the
-          same-domain check), one media link (filtered), a fragment
-          variant and an ``&amp;`` query variant (canonicalization).
+Link graph (N docs, H hosts, branching B): host ``h = doc_id % H``
+holds docs with local index ``k = doc_id // H`` forming a B-ary tree in
+level order — the unique tree parent of local ``k >= 1`` is
+``(k - 1) // B``.  A unique parent per doc makes the BFS depth /
+visit-order / link-count of the flagship crawl expressible as a DuckDB
+recursive CTE (the ``crawl_bfs`` oracle) while the page html still
+exercises every kernel quirk:
+
+- child m=1 carries a ``#top`` fragment (urldefrag canonicalization),
+- child m=2 is written absolute, child m=3 relative (urljoin),
+- a ``/q/{id}?a=1&amp;b=2`` link per page: entity unescaping, valid and
+  followed but missing from the corpus → a deterministic 404 visit,
+- a cross-host ``/x/{id}`` link: filtered by the same-domain check
+  (registered-but-not-followed, the reference's found bookkeeping),
+- a ``/img/{id}.png`` link: filtered by the media-extension check.
+
+Layout of non-link content (unchanged from round 1):
 - email:  'user{doc_id} AT example DOT com' on doc_id % 3 == 0
 - phone:  '(555) 010-{doc_id%10000:04d}' on doc_id % 5 == 0
-- title:  'Doc {doc_id}'
+- title:  'Doc {doc_id}'; meta description 'Doc {doc_id} summary'
 """
 
 from __future__ import annotations
@@ -23,24 +34,28 @@ from __future__ import annotations
 import pyarrow as pa
 
 N_HOSTS = 8
-LINKS_PER_DOC = 3
+BRANCH = 3
 
 
 def doc_url(doc_id: int) -> str:
     return 'http://src%d.com/d/%d' % (doc_id % N_HOSTS, doc_id)
 
 
-def doc_links(doc_id: int, n_docs: int):
-    """Same-host link targets (resolvable by construction)."""
+def doc_children(doc_id: int, n_docs: int):
+    """Same-host tree children of ``doc_id`` (unique-parent B-ary tree
+    in per-host local index space)."""
+    h = doc_id % N_HOSTS
+    k = doc_id // N_HOSTS
     out = []
-    for m in range(1, LINKS_PER_DOC + 1):
-        j = doc_id + N_HOSTS * m
+    for m in range(1, BRANCH + 1):
+        j = h + N_HOSTS * (BRANCH * k + m)
         if j < n_docs:
             out.append(j)
     return out
 
 
 def doc_html(doc_id: int, text: str, n_docs: int) -> bytes:
+    h = doc_id % N_HOSTS
     parts = ['<html><head><meta charset=utf-8><title>Doc %d</title>' % doc_id,
              '<meta name="description" content="Doc %d summary">' % doc_id,
              '</head><body><h1>Doc %d</h1>' % doc_id,
@@ -50,14 +65,15 @@ def doc_html(doc_id: int, text: str, n_docs: int) -> bytes:
         parts.append('<p>contact: user%d AT example DOT com</p>' % doc_id)
     if doc_id % 5 == 0:
         parts.append('<p>call (555) 010-%04d</p>' % (doc_id % 10000))
-    for m, j in enumerate(doc_links(doc_id, n_docs)):
+    for m, j in enumerate(doc_children(doc_id, n_docs)):
         if m == 0:
             parts.append('<a href="/d/%d#top">l%d</a>' % (j, m))
         elif m == 1:
-            parts.append('<a href="/d/%d?a=1&amp;b=2">l%d</a>' % (j, m))
-        else:
             parts.append('<a href="http://src%d.com/d/%d">l%d</a>' % (j % N_HOSTS, j, m))
-    parts.append('<a href="http://src%d.com/d/%d">cross</a>' % ((doc_id + 1) % N_HOSTS, doc_id + 1))
+        else:
+            parts.append('<a href="/d/%d">l%d</a>' % (j, m))
+    parts.append('<a href="/q/%d?a=1&amp;b=2">query</a>' % doc_id)
+    parts.append('<a href="http://src%d.com/x/%d">cross</a>' % ((h + 1) % N_HOSTS, doc_id))
     parts.append('<a href="/img/%d.png">media</a>' % doc_id)
     parts.append('</body></html>')
     return ''.join(parts).encode('utf-8')
