@@ -153,6 +153,48 @@ def test_spill_frontier_checkpoint_resume(ray_session, small_corpus, tmp_path):
     assert resumed.to_pylist() == full.to_pylist()
 
 
+def test_distributed_wave_resolve_identical(ray_session, tmp_path):
+    """Waves above table_threshold take the fully distributed resolve
+    (no driver-side text/candidate materialization).  Visit metadata
+    must be identical to the driver fold, and the per-wave pages
+    parquet must hold the byte-identical text."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from webscraping_ray.sources import store
+
+    root = str(tmp_path / 'corpus')
+    ds = corpus.pages_dataset(1500, n_hosts=8, seed=11, weight=1,
+                              override_num_blocks=4)
+    store.write_corpus(ds, root, num_buckets=4)
+    cs = store.CorpusStore(root)
+    cumw = corpus.host_cumweights(8)
+    seeds, seen_h = [], set()
+    for i in range(1500):
+        h = corpus.page_host_id(i, 11, cumw)
+        if h not in seen_h:
+            seen_h.add(h)
+            seeds.append(corpus.page_url(h, i))
+    kw = dict(max_depth=3, max_links=100, num_seen_shards=4)
+    v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
+    out = str(tmp_path / 'out')
+    v_dist = Crawler(cs, table_threshold=20, output_dir=out, **kw).run(seeds)
+    cols = ['url', 'depth', 'visit_order', 'status', 'scheduled_ts']
+    assert v_dist.select(cols).to_pylist() == v_driver.select(cols).to_pylist()
+    # distributed waves write text to parquet instead of returning it
+    files = glob.glob(out + '/wave_*_pages/*.parquet')
+    assert files, 'distributed waves must write page output'
+    written = pa.concat_tables([pq.read_table(f) for f in files])
+    expect = {r['url']: r['text'] for r in
+              v_driver.select(['url', 'text']).to_pylist()}
+    for r in written.select(['url', 'text']).to_pylist():
+        assert expect[r['url']] == r['text'], r['url']
+    # edges written per wave; visits metadata parquet matches return
+    assert glob.glob(out + '/wave_*_edges')
+    vfiles = sorted(glob.glob(out + '/wave_*_visits.parquet'))
+    assert vfiles
+
+
 def test_crawl_politeness_budget(ray_session, small_corpus):
     tbl, as_dict = small_corpus
     seeds = seeds_for(as_dict)

@@ -27,6 +27,24 @@ metadata and the sequential bookkeeping fold):
 Determinism: the fold order is a function of the frontier only, so
 crawl order, seen-set and outputs are identical at any parallelism —
 asserted in tests and the scaling bench.
+
+Two resolve tiers:
+
+- **Driver fold** (small waves, wave 0, redirect crawls): the exact
+  sequential bookkeeping above; O(wave) driver memory.
+- **Distributed resolve** (waves > ``table_threshold`` whose rows are
+  all preseen — every wave after the first): no page text or candidate
+  data ever reaches the driver.  Fetch+extract stream through
+  ``map_batches``; candidates explode to flat rows, join the wave
+  metadata on url, drop preseen via batched shard RPCs, and first-seen
+  resolution is ``groupby(cand_hash).min(visit_order << 32 | link_idx)``
+  — provably equal to the sequential fold under the preseen
+  precondition (no intra-wave self/candidate interplay) with the
+  ``max_links`` break enforced by rare iterative trims.  Page text and
+  the emitted-edge list are written to parquet from the distributed
+  stages; the driver returns visit metadata only (url, depth, order,
+  status, scheduled_ts — text/links columns are null in the returned
+  table and live in the wave output files).
 """
 
 from __future__ import annotations
@@ -489,7 +507,7 @@ class Crawler:
                 break
         self.close_pool()
         if all_visits:
-            return pa.concat_tables(all_visits)
+            return pa.concat_tables(all_visits, promote_options='default')
         return _empty_visits()
 
     def close_pool(self):
@@ -520,6 +538,31 @@ class Crawler:
         hosts = [self._host(u) for u in urls]
         scheduled = self.politeness.schedule(hosts, 0.0)
         stage_secs['politeness'] = _time.time() - t0
+
+        # distributed-resolve tier: big waves never materialize page
+        # text or candidate links on the driver (see
+        # _run_wave_distributed).  Exactness precondition: every
+        # frontier row already registered in the seen set (true for
+        # every wave after the first — the previous wave's commit
+        # registered them) and unique — then depth == depth_hint and
+        # first-seen resolution is a pure groupby-min.  Wave 0 (or a
+        # redirect-chasing crawl) takes the driver fold.
+        if (self.use_ray and isinstance(self.corpus, CorpusStore)
+                and n > self.table_threshold and self.num_redirects == 0
+                and len(set(urls)) == n):
+            t0 = _time.time()
+            self_h = np.array([U.url_hash64(u) for u in urls], dtype=np.int64)
+            preseen_self = self.seen.contains_batch(self_h.astype(np.uint64))
+            stage_secs['seen_probe_self'] = _time.time() - t0
+            if preseen_self.all():
+                # the persistent mid-tier extraction pool reserves
+                # CPUs; release it or the Dataset join's shuffle
+                # aggregators can never schedule (recreated lazily if a
+                # later, smaller wave takes the pool tier again)
+                self.close_pool()
+                return self._run_wave_distributed(
+                    urls, depth_hints, visit_orders, scheduled, hosts,
+                    stage_secs)
 
         # 2+3. fetch + extract + candidate prep (distributed)
         t0 = _time.time()
@@ -633,6 +676,314 @@ class Crawler:
             pq.write_table(visits_tbl, tmp)
             os.replace(tmp, final)
         return visits_tbl
+
+    # ------------------------------------------------------------------
+    # distributed wave resolve (the 10^10-scale path)
+
+    def _join_partitions(self) -> int:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get('CPU', 8)))
+
+    def _visits_from_meta(self, urls, depth_hints, visit_orders, scheduled,
+                          status_of):
+        """Metadata-only visits table (distributed tier: text/links live
+        in the wave's parquet output, not on the driver)."""
+        statuses = [status_of.get(u, 404) for u in urls]
+        return pa.table({
+            'url': pa.array(urls, pa.string()),
+            'final_url': pa.array(urls, pa.string()),
+            'depth': pa.array(depth_hints, pa.int32()),
+            'visit_order': pa.array(visit_orders, pa.int64()),
+            'status': pa.array(statuses, pa.int32()),
+            'scheduled_ts': pa.array([float(s) for s in scheduled],
+                                     pa.float64()),
+        })
+
+    def _run_wave_distributed(self, urls, depth_hints, visit_orders,
+                              scheduled, hosts, stage_secs):
+        """One BFS wave with no driver-side page or candidate data.
+
+        The driver holds only (url, depth) metadata; everything else —
+        fetch join, extraction, candidate explode, seen-probe,
+        first-seen resolution, registration, output writes — runs as
+        Dataset stages.  First-seen resolution is ``groupby(cand_hash)``
+        min over ``(parent_visit_order, link_idx)`` (SURVEY §7 hard
+        part 2), exact under the caller-checked precondition (all
+        frontier rows preseen ⇒ depth == depth_hint, no intra-wave
+        self/candidate interplay).  The reference's ``max_links`` break
+        (download.py:1046) is enforced by an iterative trim: parents
+        whose valid winners exceed the cap deactivate their
+        post-break candidates and winners are recomputed — one round
+        almost always suffices (no parent over cap ⇒ zero rounds).
+        """
+        import time as _time
+
+        import ray
+        import ray.data
+        from ray.data.aggregate import Count, Min
+
+        n = len(urls)
+        P = self._join_partitions()
+        t0 = _time.time()
+
+        extract = ExtractPages(with_links=True,
+                               with_contacts=self.with_contacts,
+                               with_excerpt=self.with_excerpt)
+        prep = PrepCandidates(self.allowed_urls, self.banned_urls, self.robots)
+        rec = self.corpus.lookup_ds(urls, columns=['url', 'html', 'warc_ts'])
+        if rec is None:
+            # nothing resolvable: every visit is a 404 leaf
+            stage_secs['fetch_extract'] = _time.time() - t0
+            self._next_frontier = []
+            visits = self._visits_from_meta(urls, depth_hints, visit_orders,
+                                            scheduled, {})
+            self._record_distributed_wave(visits, hosts, 0, 0, stage_secs)
+            return visits
+        if self.as_of_ts is not None:
+            cutoff = self.as_of_ts
+            rec = rec.map_batches(
+                lambda t: t.filter(pc.less_equal(
+                    t['warc_ts'], pa.scalar(cutoff,
+                                            t.schema.field('warc_ts').type))),
+                batch_format='pyarrow')
+        kw = {}
+        if self.extract_concurrency:
+            kw['concurrency'] = self.extract_concurrency
+        rec = (rec.map_batches(extract, batch_format='pyarrow',
+                               batch_size=self.batch_size, **kw)
+               .map_batches(prep, batch_format='pyarrow',
+                            batch_size=self.batch_size)
+               .materialize())
+        stage_secs['fetch_extract'] = _time.time() - t0
+
+        # page output: written straight from the distributed blocks,
+        # keyed by url — visit metadata (depth/order/schedule) is a
+        # separate tiny parquet the driver writes below; a consumer
+        # joins on url.  (Ray's hash join rejects list columns, and the
+        # page rows never need one anyway.)
+        t0 = _time.time()
+        if self.output_dir:
+            os.makedirs(self.output_dir, exist_ok=True)
+            drop = {'cand_link', 'cand_hash', 'cand_valid', 'warc_ts'}
+            rec.map_batches(
+                lambda t: t.select([c for c in t.column_names
+                                    if c not in drop]),
+                batch_format='pyarrow') \
+                .write_parquet(os.path.join(self.output_dir,
+                                            'wave_%05d_pages' % self.wave))
+        stage_secs['pages_output'] = _time.time() - t0
+
+        # candidate explode (flat columns only — joinable), then attach
+        # parent visit metadata via a hash join on url
+        t0 = _time.time()
+
+        def explode(t: pa.Table) -> pa.Table:
+            us = t.column('url').to_pylist()
+            cl = t.column('cand_link').to_pylist()
+            ch = t.column('cand_hash').to_pylist()
+            cv = t.column('cand_valid').to_pylist()
+            o_u, o_j, o_link, o_lh, o_valid = [], [], [], [], []
+            for u, links, hashes, valids in zip(us, cl, ch, cv):
+                if hashes is None:
+                    continue
+                for j, (lk, lh, va) in enumerate(zip(links, hashes, valids)):
+                    o_u.append(u)
+                    o_j.append(j)
+                    o_link.append(lk)
+                    o_lh.append(lh)
+                    o_valid.append(va)
+            return pa.table({
+                'curl': pa.array(o_u, pa.string()),
+                'j': pa.array(o_j, pa.int32()),
+                'link': pa.array(o_link, pa.string()),
+                'lh': pa.array(o_lh, pa.int64()),
+                'valid': pa.array(o_valid, pa.bool_()),
+            })
+
+        # parent metadata: only non-leaf parents emit candidates
+        # (max_depth leaf check, reference download.py:1029-1031)
+        meta = pa.table({
+            'purl': pa.array(urls, pa.string()),
+            'pdepth': pa.array(depth_hints, pa.int32()),
+            'pvisit': pa.array(visit_orders, pa.int64()),
+        }).filter(pc.not_equal(
+            pa.array(depth_hints, pa.int32()),
+            pa.scalar(self.max_depth, pa.int32())))
+        if meta.num_rows == 0:
+            # every parent is a max-depth leaf: no candidate processing
+            self._next_frontier = []
+            status_of = self._pull_statuses(rec)
+            visits = self._visits_from_meta(urls, depth_hints, visit_orders,
+                                            scheduled, status_of)
+            if self.output_dir:
+                self._write_visits_meta(visits)
+            self._record_distributed_wave(visits, hosts, 0, 0, stage_secs)
+            return visits
+        chunk = 65536
+        meta_ds = ray.data.from_arrow(
+            [meta.slice(i, chunk) for i in range(0, meta.num_rows, chunk)])
+
+        cand = (rec.map_batches(explode, batch_format='pyarrow')
+                .join(meta_ds, 'inner', num_partitions=P,
+                      on=('curl',), right_on=('purl',)))
+
+        def with_combo(t: pa.Table) -> pa.Table:
+            combo = pc.bit_wise_or(
+                pc.shift_left(t['pvisit'], pa.scalar(32, pa.int64())),
+                pc.cast(t['j'], pa.int64()))
+            t = t.append_column('combo', combo)
+            return t.append_column(
+                'ldepth', pc.add(t['pdepth'], pa.scalar(1, pa.int32())))
+
+        seen = self.seen  # actor handles: picklable, shared by tasks
+
+        def drop_preseen(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            keys = np.asarray(t.column('lh'), dtype=np.int64).astype(np.uint64)
+            return t.filter(pa.array(~seen.contains_batch(keys)))
+
+        fresh = (cand.map_batches(with_combo, batch_format='pyarrow')
+                 .map_batches(drop_preseen, batch_format='pyarrow',
+                              batch_size=65536)
+                 .materialize())
+        n_candidates = fresh.count()
+        stage_secs['seen_probe'] = _time.time() - t0
+
+        # first-seen resolution + max_links trim rounds
+        t0 = _time.time()
+        max_links = self.max_links
+        trims = {}
+        active = fresh
+        winners = None
+        for _round in range(4):
+            wkeys = active.groupby('lh').aggregate(
+                Min('combo', alias_name='wcombo'))
+            winners = (active.join(wkeys, 'inner', num_partitions=P,
+                                   on=('lh',))
+                       .map_batches(lambda t: t.filter(
+                           pc.equal(t['combo'], t['wcombo'])),
+                           batch_format='pyarrow')
+                       .materialize())
+            over = (winners.map_batches(
+                lambda t: t.filter(t['valid']).select(['pvisit']),
+                batch_format='pyarrow')
+                .groupby('pvisit').aggregate(Count(alias_name='cnt'))
+                .map_batches(lambda t: t.filter(
+                    pc.greater(t['cnt'], max_links)),
+                    batch_format='pyarrow').take_all())
+            if not over:
+                break
+            # rare: some parent exceeded the cap — find its break point
+            # (the link_idx of its max_links-th valid winner) and
+            # deactivate everything after it, then re-resolve
+            hot = pa.array(sorted(r['pvisit'] for r in over), pa.int64())
+            hot_rows = winners.map_batches(
+                lambda t: t.filter(pc.and_(
+                    pc.is_in(t['pvisit'], value_set=hot),
+                    t['valid'])).select(['pvisit', 'j']),
+                batch_format='pyarrow').take_all()
+            by_parent = {}
+            for r in hot_rows:
+                by_parent.setdefault(r['pvisit'], []).append(r['j'])
+            for v, js in by_parent.items():
+                trims[v] = sorted(js)[max_links - 1]
+            tref = ray.put(dict(trims))
+
+            def trim(t: pa.Table) -> pa.Table:
+                tr = ray.get(tref)
+                pv = t.column('pvisit').to_pylist()
+                jj = t.column('j').to_pylist()
+                keep = [j <= tr.get(v, 1 << 62) for v, j in zip(pv, jj)]
+                return t.filter(pa.array(keep, pa.bool_()))
+
+            active = fresh.map_batches(trim, batch_format='pyarrow')
+        else:
+            import logging
+            logging.getLogger(__name__).warning(
+                'max_links trim did not converge in 4 rounds; '
+                'emission may overcount on pathological link graphs')
+
+        # register every winner (valid or not — the reference registers
+        # invalid links too, download.py:1041-1045) into the seen shards
+        def register(t: pa.Table) -> pa.Table:
+            if t.num_rows:
+                keys = np.asarray(t.column('lh'),
+                                  dtype=np.int64).astype(np.uint64)
+                seen.add_batch(keys)
+            return pa.table({'n': pa.array([t.num_rows], pa.int64())})
+
+        n_new = int(winners.map_batches(
+            register, batch_format='pyarrow', batch_size=65536).sum('n') or 0)
+        stage_secs['resolve'] = _time.time() - t0
+
+        # emission: valid winners in (parent visit order, link idx)
+        # order — the next frontier and the wave's edge output
+        t0 = _time.time()
+        emitted = (winners.map_batches(
+            lambda t: t.filter(t['valid'])
+            .select(['combo', 'pvisit', 'j', 'link', 'ldepth']),
+            batch_format='pyarrow').sort('combo'))
+        new_frontier = []
+        for b in emitted.iter_batches(batch_size=65536,
+                                      batch_format='pyarrow'):
+            new_frontier.extend(zip(b.column('link').to_pylist(),
+                                    b.column('ldepth').to_pylist()))
+        self._next_frontier = new_frontier
+
+        # edge output (parent visit order, link idx, link, depth) —
+        # written distributed; together with the url-keyed pages
+        # parquet and the visits metadata parquet below this replaces
+        # the driver-path list column at scale
+        if self.output_dir:
+            emitted.write_parquet(os.path.join(self.output_dir,
+                                               'wave_%05d_edges' % self.wave))
+        stage_secs['emit_output'] = _time.time() - t0
+
+        # driver return: metadata only (url/depth/order/status/ts) —
+        # O(wave) strings, no text, no links
+        t0 = _time.time()
+        status_of = self._pull_statuses(rec)
+        visits = self._visits_from_meta(urls, depth_hints, visit_orders,
+                                        scheduled, status_of)
+        if self.output_dir:
+            self._write_visits_meta(visits)
+        stage_secs['meta_pull'] = _time.time() - t0
+        self._record_distributed_wave(visits, hosts, n_candidates, n_new,
+                                      stage_secs)
+        return visits
+
+    def _pull_statuses(self, rec) -> dict:
+        """{url: status} for resolved pages (O(wave) metadata)."""
+        status_of = {}
+        for b in (rec.select_columns(['url', 'status'])
+                  .iter_batches(batch_size=65536, batch_format='pyarrow')):
+            for u, s in zip(b.column('url').to_pylist(),
+                            b.column('status').to_pylist()):
+                if s is not None:
+                    status_of[u] = s
+        return status_of
+
+    def _write_visits_meta(self, visits: pa.Table):
+        tmp = os.path.join(self.output_dir,
+                           '_wave_%05d_visits.parquet.tmp' % self.wave)
+        pq.write_table(visits, tmp)
+        os.replace(tmp, os.path.join(
+            self.output_dir, 'wave_%05d_visits.parquet' % self.wave))
+
+    def _record_distributed_wave(self, visits, hosts, n_candidates, n_new,
+                                 stage_secs):
+        host_hist = {}
+        for h in hosts:
+            host_hist[h] = host_hist.get(h, 0) + 1
+        self.state.record_wave(
+            wave=self.wave, n_rows=visits.num_rows,
+            n_ok=int(pc.sum(pc.equal(visits['status'],
+                                     pa.scalar(200, pa.int32()))).as_py() or 0),
+            n_candidates=n_candidates, n_new=n_new,
+            queue_size=len(self._next_frontier), stage_secs=stage_secs,
+            host_histogram=host_hist)
 
     # ------------------------------------------------------------------
     # checkpoint / resume (per-wave lineage, FIXTURES.md §5)
@@ -757,7 +1108,7 @@ class Crawler:
             self.wave += 1
         self.close_pool()
         if all_visits:
-            return pa.concat_tables(all_visits)
+            return pa.concat_tables(all_visits, promote_options='default')
         return _empty_visits()
 
 
