@@ -110,3 +110,120 @@ def crawl_oracle(corpus: dict, seeds, max_depth: int = 1, max_links: int = 100,
         })
         visit_order += 1
     return visits, found
+
+
+class StopCrawl(Exception):
+    """Raise from a ``cb`` to halt the crawl (reference
+    download.py:769-772; the visit that raised still records, its
+    links are discarded, and no further url is processed)."""
+
+
+def crawl_cb_oracle(corpus: dict, seeds, cb, max_urls=None, max_errors=None,
+                    delay: float = 5.0, depth_first: bool = False):
+    """Sequential oracle for the user-callback crawl surface
+    (reference threaded_get, download.py:775-841 single-threaded).
+
+    ``cb(url, page) -> iterable of urls`` — returned urls enqueue
+    verbatim (no normalization/validity chain: that is the callback's
+    business in the reference too).  Engine deviation mirrored here:
+    dedup is engine-side first-seen (the reference leaves it to the
+    callback's HashDict; our wave engine owns the seen set), and depth
+    is bookkept the same way as the link-policy crawl.
+
+    ``depth_first=True`` mirrors the reference DEFAULT ``depth=True``
+    (deque.pop() LIFO, download.py:811).  Budgets: ``max_urls`` caps
+    visits (DataCrawler len(scraped) < max_urls, download.py:1102);
+    ``max_errors`` stops once errors exceed it (async.py:264-269).
+    """
+    found = {}
+    queue = list(seeds)
+    visits = []
+    next_ok = {}
+    num_errors = 0
+    while queue:
+        if max_urls is not None and len(visits) >= max_urls:
+            break
+        url = queue.pop() if depth_first else queue.pop(0)
+        host = T.get_domain(url)
+        scheduled = max(next_ok.get(host, 0.0), 0.0)
+        next_ok[host] = scheduled + delay
+        raw = corpus.get(url)
+        page = T.html_to_unicode(raw) if raw is not None else ''
+        status = 200 if raw is not None else 404
+        h = U.url_hash64(url)
+        depth = found.setdefault(h, 0)
+        stop = False
+        links = []
+        try:
+            links = list(cb(url, page) or [])
+        except StopCrawl:
+            stop = True
+        except Exception:
+            links = []          # reference swallows cb errors (830-831)
+        outstanding = []
+        if not stop:
+            for link in links:
+                lh = U.url_hash64(link)
+                if lh not in found:
+                    found[lh] = depth + 1
+                    outstanding.append(link)
+        queue.extend(outstanding)
+        visits.append({
+            'url': url, 'depth': depth, 'visit_order': len(visits),
+            'status': status, 'scheduled_ts': scheduled,
+            'text': T.normalize(page), 'links': outstanding,
+        })
+        if status != 200:
+            num_errors += 1
+            if max_errors is not None and num_errors > max_errors:
+                break
+        if stop:
+            break
+    return visits, found
+
+
+def crawl_dfs_oracle(corpus: dict, seeds, max_depth: int = 1,
+                     max_links: int = 100, allowed_urls: str = '',
+                     banned_urls: str = '^$', robots=None,
+                     delay: float = 5.0):
+    """Sequential DFS oracle: the reference's DEFAULT order
+    (``depth=True`` → deque.pop() LIFO, download.py:811) with the full
+    CrawlerCallback link policy — the last-appended link is fetched
+    first, so traversal runs in reverse document order depth-first."""
+    allowed_re = re.compile(allowed_urls)
+    banned_re = re.compile(banned_urls)
+    found = {}
+    queue = list(seeds)
+    visits = []
+    next_ok = {}
+    while queue:
+        url = queue.pop()       # LIFO
+        host = T.get_domain(url)
+        scheduled = max(next_ok.get(host, 0.0), 0.0)
+        next_ok[host] = scheduled + delay
+        raw = corpus.get(url)
+        page = T.html_to_unicode(raw) if raw is not None else ''
+        status = 200 if raw is not None else 404
+        h = U.url_hash64(url)
+        depth = found.setdefault(h, 0)
+        outstanding = []
+        if depth != max_depth:
+            for link in U.extract_raw_links(page):
+                try:
+                    link = U.normalize_url(url, link)
+                except UnicodeDecodeError:
+                    continue
+                lh = U.url_hash64(link)
+                if lh not in found:
+                    found[lh] = depth + 1
+                    if U.link_valid(link, host, allowed_re, banned_re, robots):
+                        outstanding.append(link)
+                        if len(outstanding) == max_links:
+                            break
+        queue.extend(outstanding)
+        visits.append({
+            'url': url, 'depth': depth, 'visit_order': len(visits),
+            'status': status, 'scheduled_ts': scheduled,
+            'text': T.normalize(page), 'links': outstanding,
+        })
+    return visits, found

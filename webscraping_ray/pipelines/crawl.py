@@ -170,6 +170,68 @@ def _atomic_write_dir(tmp_dir: str, final_dir: str):
 _SPILLED = '__frontier_in_queue__'
 
 
+class StopCrawl(Exception):
+    """Raise from a ``cb`` to halt the crawl (reference
+    download.py:769-772).  The raising visit still records (links
+    discarded); nothing after it runs."""
+
+
+class CbCandidates:
+    """cb-mode extract stage: page → text/status + callback links.
+
+    The reference's central extension point ``cb(D, url, html) ->
+    links`` (download.py:775-841): returned urls enqueue verbatim —
+    no normalization, no validity chain, no max_links cap (those are
+    the callback's business; ``CrawlerCallback`` is just one cb).
+    Engine-side first-seen dedup still applies (the reference leaves
+    dedup to the callback's HashDict; the wave engine owns the seen
+    set).  ``StopCrawl`` and per-page cb exceptions are caught here
+    and surfaced as columns for the fold.
+    """
+
+    def __init__(self, cb):
+        self.cb = cb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column('url').to_pylist()
+        htmls = batch.column('html').to_pylist()
+        texts, statuses, links_col, hash_col, valid_col, stops = \
+            [], [], [], [], [], []
+        for url, raw in zip(urls, htmls):
+            page = T.html_to_unicode(raw) if raw is not None else ''
+            statuses.append(200)
+            texts.append(T.normalize(page))
+            links, stop = run_cb(self.cb, url, page)
+            links_col.append(links)
+            hash_col.append([U.url_hash64(l) for l in links])
+            valid_col.append([True] * len(links))
+            stops.append(stop)
+        return pa.table({
+            'url': pa.array(urls, pa.string()),
+            'text': pa.array(texts, pa.large_string()),
+            'status': pa.array(statuses, pa.int32()),
+            'cand_link': pa.array(links_col, pa.list_(pa.string())),
+            'cand_hash': pa.array(hash_col, pa.list_(pa.int64())),
+            'cand_valid': pa.array(valid_col, pa.list_(pa.bool_())),
+            'cb_stop': pa.array(stops, pa.bool_()),
+        })
+
+
+def run_cb(cb, url: str, page: str):
+    """(links, stop) from one callback invocation — reference error
+    handling: StopCrawl stops the crawl, any other exception is logged
+    and swallowed (download.py:824-831)."""
+    try:
+        return list(cb(url, page) or []), False
+    except StopCrawl:
+        return [], True
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).exception('in callback for %s', url)
+        return [], False
+
+
 class Crawler:
     """BFS wave-loop crawler over a bucketed Parquet corpus."""
 
@@ -186,8 +248,18 @@ class Crawler:
                  as_of_ts: int | None = None, output_dir: str | None = None,
                  inline_threshold: int = 256, table_threshold: int = 8192,
                  frontier_queue_dir: str | None = None,
-                 frontier_spill_threshold: int = 100_000):
-        """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html."""
+                 frontier_spill_threshold: int = 100_000,
+                 cb=None, max_urls: int | None = None,
+                 max_errors: int | None = None,
+                 now_ts: int | None = None, max_age_us: int | None = None):
+        """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html.
+
+        cb: per-page callback ``cb(url, page) -> iterable of urls``
+        replacing the built-in link policy (reference threaded_get's
+        ``cb``, download.py:775-841); raise :class:`StopCrawl` inside
+        it to halt.  max_urls caps total visits (download.py:1102);
+        max_errors stops once non-200 visits exceed it
+        (async.py:264-269)."""
         self.corpus = corpus
         self.max_depth = max_depth
         self.max_links = max_links
@@ -226,6 +298,18 @@ class Crawler:
         self.politeness = PolitenessPool(num_politeness_shards, delay,
                                          use_ray=use_ray,
                                          additional_key=throttle_additional_key)
+        self.cb = cb
+        self.max_urls = max_urls
+        self.max_errors = max_errors
+        # cache expiry (PersistentDict expires, reference pdict.py:50-51,
+        # is_fresh: now - updated < expires): a snapshot older than
+        # max_age counts as a cache miss — with a static corpus (no
+        # network) the fetch returns the 404/default path, mirroring
+        # D.get with use_network=False on a stale key
+        self.min_fresh_ts = (None if max_age_us is None
+                             else (now_ts or 0) - max_age_us)
+        self.error_count = 0
+        self._stopped = False
         self.visit_counter = 0
         self.wave = 0
         self._host_cache = {}
@@ -330,6 +414,12 @@ class Crawler:
         the distributed path."""
         if tbl is None or 'warc_ts' not in tbl.column_names:
             return tbl
+        if self.min_fresh_ts is not None:
+            # expiry: stale snapshots are cache misses (is_fresh:
+            # now - updated < expires ⇔ fresh iff warc_ts > now - max_age)
+            tbl = tbl.filter(pc.greater(
+                tbl['warc_ts'], pa.scalar(self.min_fresh_ts,
+                                          tbl.schema.field('warc_ts').type)))
         if self.as_of_ts is not None:
             tbl = tbl.filter(pc.less_equal(
                 tbl['warc_ts'], pa.scalar(self.as_of_ts,
@@ -355,6 +445,24 @@ class Crawler:
                                with_excerpt=self.with_excerpt,
                                with_redirect=self.num_redirects > 0)
         prep = PrepCandidates(self.allowed_urls, self.banned_urls, self.robots)
+        if self.cb is not None:
+            cb_stage = CbCandidates(self.cb)
+
+            def _apply(tbl):
+                return cb_stage(tbl)
+
+            def _chain(ds, kw):
+                return ds.map_batches(cb_stage, batch_format='pyarrow',
+                                      batch_size=self.batch_size, **kw)
+        else:
+            def _apply(tbl):
+                return prep(extract(tbl))
+
+            def _chain(ds, kw):
+                return (ds.map_batches(extract, batch_format='pyarrow',
+                                       batch_size=self.batch_size, **kw)
+                        .map_batches(prep, batch_format='pyarrow',
+                                     batch_size=self.batch_size))
 
         if isinstance(self.corpus, dict):
             # in-memory corpus (tests): run kernels inline
@@ -364,8 +472,7 @@ class Crawler:
                 'url': pa.array([r['url'] for r in rows], pa.string()),
                 'html': pa.array([r['html'] for r in rows], pa.binary()),
             })
-            out = prep(extract(tbl))
-            batches = [out]
+            batches = [_apply(tbl)]
         elif isinstance(self.corpus, pa.Table):
             mask = pc.is_in(self.corpus.column('url'),
                             value_set=pa.array(unique_urls, pa.string()))
@@ -378,15 +485,11 @@ class Crawler:
                 kw = {}
                 if self.extract_concurrency:
                     kw['concurrency'] = self.extract_concurrency
-                ds = (ray.data.from_arrow(tbl)
-                      .map_batches(extract, batch_format='pyarrow',
-                                   batch_size=self.batch_size, **kw)
-                      .map_batches(prep, batch_format='pyarrow',
-                                   batch_size=self.batch_size))
+                ds = _chain(ray.data.from_arrow(tbl), kw)
                 batches = list(ds.iter_batches(batch_size=4096,
                                                batch_format='pyarrow'))
             else:
-                batches = [prep(extract(tbl))]
+                batches = [_apply(tbl)]
         else:  # CorpusStore — tiered by wave size
             n = len(unique_urls)
             if n <= self.inline_threshold:
@@ -397,8 +500,8 @@ class Crawler:
                 if tbl is None:
                     return {}
                 tbl = self._latest_snapshot(tbl).select(['url', 'html'])
-                batches = [prep(extract(tbl))]
-            elif n <= self.table_threshold:
+                batches = [_apply(tbl)]
+            elif n <= self.table_threshold and self.cb is None:
                 # mid wave: one multithreaded pyarrow scan on the driver,
                 # extraction fanned over the persistent actor pool
                 import ray
@@ -425,10 +528,7 @@ class Crawler:
                 kw = {}
                 if self.extract_concurrency:
                     kw['concurrency'] = self.extract_concurrency
-                ds = (ds.map_batches(extract, batch_format='pyarrow',
-                                     batch_size=self.batch_size, **kw)
-                      .map_batches(prep, batch_format='pyarrow',
-                                   batch_size=self.batch_size))
+                ds = _chain(ds, kw)
                 batches = ds.iter_batches(batch_size=4096,
                                           batch_format='pyarrow')
 
@@ -497,7 +597,17 @@ class Crawler:
         while frontier:
             if max_waves is not None and self.wave >= max_waves:
                 break
-            visits = self._run_wave(self._materialize_frontier(frontier))
+            if self._stopped:
+                break
+            wave_frontier = self._materialize_frontier(frontier)
+            if self.max_urls is not None:
+                # visit budget (reference DataCrawler len(scraped) <
+                # max_urls, download.py:1102): truncate to the budget
+                remaining = self.max_urls - self.visit_counter
+                if remaining <= 0:
+                    break
+                wave_frontier = wave_frontier[:remaining]
+            visits = self._run_wave(wave_frontier)
             all_visits.append(visits)
             frontier = self._spill_or_keep(self._next_frontier)
             if self.checkpoint_dir:
@@ -549,6 +659,7 @@ class Crawler:
         # redirect-chasing crawl) takes the driver fold.
         if (self.use_ray and isinstance(self.corpus, CorpusStore)
                 and n > self.table_threshold and self.num_redirects == 0
+                and self.cb is None and self.max_errors is None
                 and len(set(urls)) == n):
             t0 = _time.time()
             self_h = np.array([U.url_hash64(u) for u in urls], dtype=np.int64)
@@ -598,6 +709,7 @@ class Crawler:
         if self.with_excerpt:
             extra['excerpt'] = []
 
+        truncated = False
         for i, (url, depth_hint) in enumerate(frontier):
             h = self_hashes[i]
             if h in local:
@@ -610,8 +722,25 @@ class Crawler:
             rec = records.get(url)
             status = rec['status'] if rec else 404
             text = rec['text'] if rec else ''
+            stop_here = False
+            if self.cb is not None and rec is None:
+                # the reference calls cb even on a failed fetch with the
+                # default '' html (download.py:819-822)
+                cand_links, stop_here = run_cb(self.cb, url, '')
+                rec = {'cand_link': cand_links,
+                       'cand_hash': [U.url_hash64(l) for l in cand_links],
+                       'cand_valid': [True] * len(cand_links)}
+                # re-probe: these hashes were not in the wave pre-probe
+                for lh in rec['cand_hash']:
+                    if lh not in preseen:
+                        preseen[lh] = bool(self.seen.contains_batch(
+                            np.array([lh], dtype=np.int64).astype(np.uint64))[0])
+            elif rec is not None:
+                stop_here = bool(rec.get('cb_stop', False))
             outstanding = []
-            if depth != self.max_depth and rec:
+            if (rec is not None and not stop_here
+                    and (self.cb is not None or depth != self.max_depth)):
+                cap = None if self.cb is not None else self.max_links
                 for link, lh, valid in zip(rec['cand_link'], rec['cand_hash'],
                                            rec['cand_valid']):
                     if lh not in local and not preseen.get(lh, False):
@@ -619,7 +748,7 @@ class Crawler:
                         if valid:
                             outstanding.append(link)
                             new_frontier.append((link, depth + 1))
-                            if len(outstanding) == self.max_links:
+                            if cap is not None and len(outstanding) == cap:
                                 break
             out['url'].append(url)
             out['final_url'].append(rec.get('final_url', url) if rec else url)
@@ -630,10 +759,28 @@ class Crawler:
             out['text'].append(text)
             out['links'].append(outstanding)
             if self.with_contacts:
-                extra['emails'].append(rec['emails'] if rec else [])
-                extra['phones'].append(rec['phones'] if rec else [])
+                extra['emails'].append(rec.get('emails', []) if rec else [])
+                extra['phones'].append(rec.get('phones', []) if rec else [])
             if self.with_excerpt:
-                extra['excerpt'].append(rec['excerpt'] if rec else '')
+                extra['excerpt'].append(rec.get('excerpt', '') if rec else '')
+            # crawl-stop conditions: a cb raised StopCrawl (this visit
+            # records, links discarded, nothing later runs) or the
+            # error budget is exhausted (async.py:264-269)
+            if status != 200:
+                self.error_count += 1
+                if (self.max_errors is not None
+                        and self.error_count > self.max_errors):
+                    truncated = True
+            if stop_here:
+                truncated = True
+            if truncated:
+                self._stopped = True
+                break
+
+        if truncated:
+            new_frontier = []
+            # roll the visit counter back to the visits actually made
+            self.visit_counter = visit_orders[0] + len(out['url'])
 
         stage_secs['fold'] = _time.time() - t0
 
@@ -676,6 +823,92 @@ class Crawler:
             pq.write_table(visits_tbl, tmp)
             os.replace(tmp, final)
         return visits_tbl
+
+    # ------------------------------------------------------------------
+    # DFS compatibility mode (the reference DEFAULT: depth=True →
+    # deque.pop() LIFO, download.py:811)
+
+    def run_dfs(self, seeds):
+        """Depth-first crawl — the reference's default traversal.
+
+        DFS is inherently sequential (each visit depends on the last),
+        so this runs a driver loop over single-url fetches through the
+        engine's kernels, politeness pool and seen shards.  Use the
+        BFS wave loop (:meth:`run`) for scale; this mode exists for
+        reference-behavior parity (byte-matched against the vendored
+        DFS oracle in tests).
+        """
+        stack = [(u, 0) for u in seeds]
+        seed_hashes = {U.url_hash64(u) for u in seeds}
+        seed_depths = {}        # seed hash -> depth registered by a link
+        out = {k: [] for k in ('url', 'final_url', 'depth', 'visit_order',
+                               'status', 'scheduled_ts', 'text', 'links')}
+        while stack:
+            if self.max_urls is not None and \
+                    len(out['url']) >= self.max_urls:
+                break
+            url, depth_hint = stack.pop()
+            h = U.url_hash64(url)
+            host = self._host(url)
+            scheduled = float(self.politeness.schedule([host], 0.0)[0])
+            if self.seen.contains_batch(
+                    np.array([h], dtype=np.int64).astype(np.uint64))[0]:
+                depth = seed_depths.get(h, depth_hint)
+            else:
+                self.seen.add_batch(np.array([h], dtype=np.int64)
+                                    .astype(np.uint64))
+                depth = depth_hint
+            records = self._fetch_extract([url])
+            rec = records.get(url)
+            status = rec['status'] if rec else 404
+            text = rec['text'] if rec else ''
+            outstanding = []
+            if rec and depth != self.max_depth:
+                cands = list(zip(rec['cand_link'], rec['cand_hash'],
+                                 rec['cand_valid']))
+                if cands:
+                    keys = np.array([c[1] for c in cands],
+                                    dtype=np.int64).astype(np.uint64)
+                    pre = self.seen.contains_batch(keys)
+                    new_keys = []
+                    new_set = set()
+                    for (link, lh, valid), seen_already in zip(cands, pre):
+                        if not seen_already and lh not in new_set:
+                            new_keys.append(lh)
+                            new_set.add(lh)
+                            if lh in seed_hashes:
+                                seed_depths[lh] = depth + 1
+                            if valid:
+                                outstanding.append(link)
+                                if len(outstanding) == self.max_links:
+                                    break
+                    if new_keys:
+                        self.seen.add_batch(np.array(new_keys, dtype=np.int64)
+                                            .astype(np.uint64))
+            stack.extend((link, depth + 1) for link in outstanding)
+            out['url'].append(url)
+            out['final_url'].append(rec.get('final_url', url) if rec else url)
+            out['depth'].append(depth)
+            out['visit_order'].append(len(out['url']) - 1)
+            out['status'].append(status)
+            out['scheduled_ts'].append(scheduled)
+            out['text'].append(text)
+            out['links'].append(outstanding)
+            if status != 200:
+                self.error_count += 1
+                if (self.max_errors is not None
+                        and self.error_count > self.max_errors):
+                    break
+        return pa.table({
+            'url': pa.array(out['url'], pa.string()),
+            'final_url': pa.array(out['final_url'], pa.string()),
+            'depth': pa.array(out['depth'], pa.int32()),
+            'visit_order': pa.array(out['visit_order'], pa.int64()),
+            'status': pa.array(out['status'], pa.int32()),
+            'scheduled_ts': pa.array(out['scheduled_ts'], pa.float64()),
+            'text': pa.array(out['text'], pa.large_string()),
+            'links': pa.array(out['links'], pa.list_(pa.string())),
+        })
 
     # ------------------------------------------------------------------
     # distributed wave resolve (the 10^10-scale path)
@@ -740,6 +973,13 @@ class Crawler:
                                             scheduled, {})
             self._record_distributed_wave(visits, hosts, 0, 0, stage_secs)
             return visits
+        if self.min_fresh_ts is not None:
+            fresh_cut = self.min_fresh_ts
+            rec = rec.map_batches(
+                lambda t: t.filter(pc.greater(
+                    t['warc_ts'], pa.scalar(fresh_cut,
+                                            t.schema.field('warc_ts').type))),
+                batch_format='pyarrow')
         if self.as_of_ts is not None:
             cutoff = self.as_of_ts
             rec = rec.map_batches(
@@ -1100,7 +1340,15 @@ class Crawler:
         while frontier:
             if max_waves is not None and self.wave >= max_waves:
                 break
-            visits = self._run_wave(self._materialize_frontier(frontier))
+            if self._stopped:
+                break
+            wave_frontier = self._materialize_frontier(frontier)
+            if self.max_urls is not None:
+                remaining = self.max_urls - self.visit_counter
+                if remaining <= 0:
+                    break
+                wave_frontier = wave_frontier[:remaining]
+            visits = self._run_wave(wave_frontier)
             all_visits.append(visits)
             frontier = self._spill_or_keep(self._next_frontier)
             if self.checkpoint_dir:
