@@ -177,3 +177,82 @@ def test_crawl_output_dir(ray_session, tmp_path):
     assert written.num_rows == v.num_rows
     assert written.column('visit_order').to_pylist() == \
         v.column('visit_order').to_pylist()
+
+
+def test_read_list_and_seed_iter(tmp_path):
+    from webscraping_ray.pipelines.frontier import (read_list,
+                                                    seed_iter_from_file)
+    p = str(tmp_path / 'seeds.txt')
+    with open(p, 'w') as f:
+        f.write('http://a.com/\nhttp://b.com/\n\nhttp://c.com/\n')
+    assert read_list(p) == ['http://a.com/', 'http://b.com/', '',
+                            'http://c.com/']
+    assert read_list(str(tmp_path / 'missing.txt')) == []
+    assert list(seed_iter_from_file(p)) == ['http://a.com/',
+                                            'http://b.com/', 'http://c.com/']
+
+
+def test_unicode_writer_reference_semantics(tmp_path):
+    """Reference common.UnicodeWriter surface (common.py:535-649):
+    cell coercion, unique_by preload across reopen, BOM, auto-repair of
+    a truncated file."""
+    import csv
+
+    from webscraping_ray.pipelines.frontier import UnicodeWriter
+
+    p = str(tmp_path / 'out.csv')
+    w = UnicodeWriter(p, unique=True, unique_by=[0], utf8_bom=True)
+    w.writerow(['a', 1])
+    w.writerow(['a', 2])          # dup by column 0 → dropped
+    w.writerow(['b', None])       # None → ''
+    w.writerow([b'c', 3.5])       # bytes → decoded, float → str
+    w.close()
+    raw = open(p, 'rb').read()
+    assert raw.startswith(b'\xef\xbb\xbf')
+    rows = list(csv.reader(open(p, encoding='utf-8-sig')))
+    assert rows == [['a', '1'], ['b', ''], ['c', '3.5']]
+
+    # reopen in append mode: unique cache preloads from the file
+    w2 = UnicodeWriter(p, mode='a', unique=True, unique_by=[0])
+    w2.writerow(['a', 99])        # still dup across runs
+    w2.writerow(['d', 4])
+    w2.close()
+    rows = list(csv.reader(open(p, encoding='utf-8-sig')))
+    assert [r[0] for r in rows] == ['a', 'b', 'c', 'd']
+
+    # auto-repair: truncated trailing row (open quote) is dropped
+    with open(p, 'a', newline='') as f:
+        f.write('"broken,unterminated\n')
+    w3 = UnicodeWriter(p, mode='a', auto_repair=True, unique=True)
+    w3.writerow(['e', 5])
+    w3.close()
+    rows = list(csv.reader(open(p, encoding='utf-8-sig')))
+    assert [r[0] for r in rows][-1] == 'e'
+
+
+def test_seed_iter_crawl(ray_session):
+    """url_iter parity: streamed seeds refill the frontier one at a
+    time when it drains (reference add_iter_urls, download.py:795-801)."""
+    from webscraping_ray.pipelines.crawl import Crawler
+    from webscraping_ray.sources import corpus
+
+    tbl = corpus.pages_table(120, n_hosts=3, seed=21)
+    urls = sorted(set(tbl.column('url').to_pylist()))
+    s1, s2 = urls[0], urls[1]
+    pulled = []
+
+    def gen():
+        for u in (s1, s2):
+            pulled.append(u)
+            yield u
+
+    v = Crawler(tbl, max_depth=1, max_links=5).run(seed_iter=gen())
+    assert pulled == [s1, s2]
+    # equivalent to seeding s1, crawling it out, then s2
+    c2 = Crawler(tbl, max_depth=1, max_links=5)
+    a = c2.run([s1])
+    b = c2.run([s2])
+    import pyarrow as pa
+    want = pa.concat_tables([a, b])
+    assert v.column('url').to_pylist() == want.column('url').to_pylist()
+    assert v.column('depth').to_pylist() == want.column('depth').to_pylist()

@@ -583,18 +583,33 @@ class Crawler:
         return frontier
 
     # ------------------------------------------------------------------
-    def run(self, seeds, max_waves: int | None = None,
-            stop_after_wave: int | None = None):
+    def run(self, seeds=(), max_waves: int | None = None,
+            stop_after_wave: int | None = None, seed_iter=None):
         """Crawl from ``seeds`` (list of urls, queue order).
+
+        ``seed_iter``: optional lazy seed generator (the reference's
+        ``url_iter``, download.py:775-801): when the frontier drains,
+        ONE url is pulled from it — mirroring ``add_iter_urls``'s
+        one-at-a-time refill — so each streamed seed is crawled to
+        completion before the next is read.
 
         Returns a pyarrow Table of visits in crawl order:
         (url, depth, visit_order, status, scheduled_ts, text, links).
         """
         frontier = [(u, 0) for u in seeds]  # (url, depth_hint)
+        it = iter(seed_iter) if seed_iter is not None else None
         if isinstance(self.corpus, CorpusStore) and self.use_ray:
             self._extract_pool()  # prewarm: actors spawn during early waves
         all_visits = []
-        while frontier:
+        while True:
+            if not frontier and it is not None:
+                nxt = next(it, None)
+                if nxt is None:
+                    it = None
+                else:
+                    frontier = [(nxt, 0)]
+            if not frontier:
+                break
             if max_waves is not None and self.wave >= max_waves:
                 break
             if self._stopped:

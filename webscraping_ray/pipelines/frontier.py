@@ -251,6 +251,126 @@ class ParquetQueue:
         self._commit_claims()
 
 
+def read_list(path: str):
+    """File → list of lines; missing file → [] (reference
+    common.py:524-532 — the seed-list loader)."""
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return f.read().splitlines()
+
+
+def seed_iter_from_file(path: str):
+    """Lazily stream seed urls from a text file, one per line
+    (``url_iter`` source, reference download.py:775-801): the file is
+    never fully materialized."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield line
+
+
+class UnicodeWriter:
+    """Deduping CSV sink — the reference ``common.UnicodeWriter``
+    (common.py:535-649) ported to py3:
+
+    - cell coercion: None → '', non-str → str(...)
+    - ``unique`` / ``unique_by`` (column indexes) row dedup, preloaded
+      from an existing file so appends stay unique across runs
+    - ``utf8_bom`` writes the BOM before the header
+    - ``auto_repair`` rewrites the valid-row prefix of a corrupt file
+      (e.g. truncated write) before appending
+
+    Driver-side convenience for small outputs; the distributed path is
+    :func:`write_csv_unique`.
+    """
+
+    def __init__(self, file, encoding: str = 'utf-8', mode: str = 'w',
+                 unique: bool = False, unique_by=None, utf8_bom: bool = False,
+                 auto_repair: bool = False, **fmtargs):
+        import csv
+
+        self.encoding = encoding
+        self.unique = unique
+        self.unique_by = unique_by
+        if hasattr(file, 'write'):
+            self.fp = file
+        else:
+            if auto_repair:
+                self._remove_invalid_rows(file, **fmtargs)
+            if utf8_bom and not os.path.exists(file):
+                with open(file, 'wb') as f:
+                    f.write(b'\xef\xbb\xbf')
+                self.fp = open(file, mode.replace('w', 'a'),
+                               encoding=encoding, newline='')
+            else:
+                self.fp = open(file, mode, encoding=encoding, newline='')
+        self.rows = {}
+        if self.unique and getattr(self.fp, 'name', None) and \
+                os.path.exists(self.fp.name):
+            # utf-8-sig: the BOM must not leak into the first row's key
+            with open(self.fp.name, encoding='utf-8-sig'
+                      if encoding == 'utf-8' else encoding) as f:
+                for row in csv.reader(f):
+                    self.rows[self._unique_key(row)] = True
+        self.writer = csv.writer(self.fp, **fmtargs)
+
+    def _unique_key(self, row):
+        if self.unique_by:
+            return '_'.join(str(row[i]) for i in self.unique_by)
+        return str(row)
+
+    @staticmethod
+    def _remove_invalid_rows(file, **fmtargs):
+        """Keep the parseable row prefix of a corrupt CSV
+        (common.py:601-617)."""
+        import csv
+
+        if not os.path.exists(file):
+            return
+        tmp = file + '.tmp'
+        with open(file, newline='') as src, \
+                open(tmp, 'w', newline='') as dst:
+            w = csv.writer(dst, **fmtargs)
+            try:
+                for row in csv.reader(src):
+                    w.writerow(row)
+            except Exception:
+                pass
+        os.replace(tmp, file)
+
+    def _cell(self, s):
+        if s is None:
+            return ''
+        if isinstance(s, bytes):
+            return s.decode(self.encoding, 'ignore')
+        if isinstance(s, str):
+            return s
+        return str(s)
+
+    def writerow(self, row):
+        row = [self._cell(c) for c in row]
+        if self.unique:
+            key = self._unique_key(row)
+            if key in self.rows:
+                return
+            self.rows[key] = True
+        self.writer.writerow(row)
+
+    def writerows(self, rows):
+        for row in rows:
+            self.writerow(row)
+
+    def flush(self):
+        self.fp.flush()
+        if hasattr(self.fp, 'fileno'):
+            os.fsync(self.fp.fileno())
+
+    def close(self):
+        self.fp.close()
+
+
 def write_csv_unique(ds, out_dir: str, unique_by=None, order_col=None):
     """Deduped CSV sink (UnicodeWriter unique/unique_by semantics,
     reference common.py:564-589,621-630).

@@ -174,23 +174,17 @@ def join_orders_customers(sf_dir: str):
     cust = _read(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
     lookup_ref = ray.put(dict(zip(cust['c_custkey'], cust['c_nationkey'])))
 
-    class JoinAgg:
-        def __init__(self):
-            import ray as _ray
-            self.lookup = _ray.get(lookup_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            nk = df['o_custkey'].map(self.lookup)
-            g = pd.DataFrame({'nationkey': nk, 'price': df['o_totalprice']})
-            out = g.groupby('nationkey', as_index=False).agg(
-                n_orders=('price', 'size'), sum_price=('price', 'sum'))
-            return out
-
-    from ..stages import POOL_NUM_CPUS, pool_size
+    def join_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # plain task: the broadcast lookup dict is fetched per task
+        # (cached per worker process) — no actor pool spin-up
+        lookup = ray.get(lookup_ref)
+        nk = df['o_custkey'].map(lookup)
+        g = pd.DataFrame({'nationkey': nk, 'price': df['o_totalprice']})
+        return g.groupby('nationkey', as_index=False).agg(
+            n_orders=('price', 'size'), sum_price=('price', 'sum'))
 
     ds = _read(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
-    partials = ds.map_batches(JoinAgg, batch_format='pandas',
-                              concurrency=pool_size(), num_cpus=POOL_NUM_CPUS)
+    partials = ds.map_batches(join_agg, batch_format='pandas')
     out = partials.groupby('nationkey').aggregate(
         Sum('n_orders', alias_name='n_orders'),
         Sum('sum_price', alias_name='sum_price'))
@@ -437,18 +431,14 @@ def media_meta(sf_dir: str):
     per doc → byte length via the actor-pool stage."""
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
 
-    class PayloadMeta:
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t.column('text').to_pylist()
-            payloads = [(s or '').encode('utf-8') for s in texts]
-            return pa.table({'doc_id': t.column('doc_id'),
-                             'n_bytes': pa.array([len(p) for p in payloads],
-                                                 pa.int64())})
+    def payload_meta(t: pa.Table) -> pa.Table:
+        texts = t.column('text').to_pylist()
+        payloads = [(s or '').encode('utf-8') for s in texts]
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'n_bytes': pa.array([len(p) for p in payloads],
+                                             pa.int64())})
 
-    from ..stages import POOL_NUM_CPUS, pool_size
-
-    return ds.map_batches(PayloadMeta, batch_format='pyarrow',
-                          concurrency=pool_size(), num_cpus=POOL_NUM_CPUS)
+    return ds.map_batches(payload_meta, batch_format='pyarrow')
 
 
 def user_event_counts(sf_dir: str):

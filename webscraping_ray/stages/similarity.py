@@ -33,33 +33,30 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
         query_ids = list(range(len(Q)))
     qref = ray.put(Q)
 
-    class PartialTopK:
-        def __init__(self):
-            self.Q = ray.get(qref)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # plain task (not an actor pool): ray.get of the broadcast
+        # query matrix is zero-copy shared memory, so per-task setup is
+        # free and the task pool autoscales with no actor spin-up cost
+        Q = ray.get(qref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        M = _normalize(np.array(batch.column(emb_col).to_pylist(),
+                                dtype=np.float64))
+        S = Q @ M.T                    # (nq, nb)
+        kk = min(k, S.shape[1])
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(S.shape[0]):
+            # partial top-k with deterministic tie-break
+            order = np.lexsort((ids, -S[qi]))[:kk]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_cos.extend(S[qi][order].tolist())
+        return pa.table({'qi': pa.array(out_q, pa.int32()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         'cosine': pa.array(out_cos, pa.float64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col), dtype=np.int64)
-            M = _normalize(np.array(batch.column(emb_col).to_pylist(),
-                                    dtype=np.float64))
-            S = self.Q @ M.T                    # (nq, nb)
-            kk = min(k, S.shape[1])
-            out_q, out_id, out_cos = [], [], []
-            for qi in range(S.shape[0]):
-                # partial top-k with deterministic tie-break
-                order = np.lexsort((ids, -S[qi]))[:kk]
-                out_q.extend([qi] * len(order))
-                out_id.extend(ids[order].tolist())
-                out_cos.extend(S[qi][order].tolist())
-            return pa.table({'qi': pa.array(out_q, pa.int32()),
-                             id_col: pa.array(out_id, pa.int64()),
-                             'cosine': pa.array(out_cos, pa.float64())})
-
-    from . import POOL_NUM_CPUS, pool_size
-
-    partials = ds.map_batches(PartialTopK, batch_format='pyarrow',
-                              batch_size=4096,
-                              concurrency=pool_size(concurrency),
-                              num_cpus=POOL_NUM_CPUS).take_all()
+    kw = {'concurrency': concurrency} if concurrency else {}
+    partials = ds.map_batches(partial_topk, batch_format='pyarrow',
+                              batch_size=4096, **kw).take_all()
     # final merge (tiny: nq * k * n_batches rows)
     best = {}
     for r in partials:
@@ -114,20 +111,15 @@ def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
     C = _kmeans(X, n_clusters, seed=seed)
     cref = ray.put(C)
 
-    class AssignBucket:
-        def __init__(self):
-            self.C = ray.get(cref)
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        # plain task: the centroid matrix broadcast reads zero-copy
+        C_ = ray.get(cref)
+        M = _normalize(np.array(batch.column(emb_col).to_pylist(),
+                                dtype=np.float64))
+        assign = np.argmax(M @ C_.T, axis=1).astype(np.int32)
+        return batch.append_column('ivf_bucket', pa.array(assign, pa.int32()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            M = _normalize(np.array(batch.column(emb_col).to_pylist(),
-                                    dtype=np.float64))
-            assign = np.argmax(M @ self.C.T, axis=1).astype(np.int32)
-            return batch.append_column('ivf_bucket', pa.array(assign, pa.int32()))
-
-    from . import POOL_NUM_CPUS, pool_size
-
-    return C, ds.map_batches(AssignBucket, batch_format='pyarrow',
-                             concurrency=pool_size(), num_cpus=POOL_NUM_CPUS)
+    return C, ds.map_batches(assign_bucket, batch_format='pyarrow')
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
