@@ -178,7 +178,8 @@ def test_distributed_wave_resolve_identical(ray_session, tmp_path):
     kw = dict(max_depth=3, max_links=100, num_seen_shards=4)
     v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
     out = str(tmp_path / 'out')
-    v_dist = Crawler(cs, table_threshold=20, output_dir=out, **kw).run(seeds)
+    v_dist = Crawler(cs, resolve_distributed_threshold=20,
+                     output_dir=out, **kw).run(seeds)
     cols = ['url', 'depth', 'visit_order', 'status', 'scheduled_ts']
     assert v_dist.select(cols).to_pylist() == v_driver.select(cols).to_pylist()
     # distributed waves write text to parquet instead of returning it

@@ -89,8 +89,10 @@ def test_crawl_distributed_fetch_path(ray_session, corpus_root):
     oracle_visits, _ = crawl_oracle(as_dict, seeds, max_depth=2, max_links=20)
 
     for kw in ({'inline_threshold': 0, 'table_threshold': 0},
-               {'inline_threshold': 0, 'table_threshold': 1 << 30}):
-        distributed_tier = kw['table_threshold'] == 0
+               {'inline_threshold': 0, 'table_threshold': 1 << 30},
+               {'inline_threshold': 0, 'table_threshold': 0,
+                'resolve_distributed_threshold': 0}):
+        distributed_tier = kw.get('resolve_distributed_threshold') == 0
         c = Crawler(cs, max_depth=2, max_links=20, **kw)
         got = c.run(seeds).to_pylist()
         assert len(got) == len(oracle_visits), kw

@@ -247,6 +247,7 @@ class Crawler:
                  num_redirects: int = 0, state_file: str | None = None,
                  as_of_ts: int | None = None, output_dir: str | None = None,
                  inline_threshold: int = 256, table_threshold: int = 8192,
+                 resolve_distributed_threshold: int = 50_000,
                  frontier_queue_dir: str | None = None,
                  frontier_spill_threshold: int = 100_000,
                  cb=None, max_urls: int | None = None,
@@ -286,6 +287,12 @@ class Crawler:
         # fixed Ray-job latency that dominates small BFS waves
         self.inline_threshold = inline_threshold
         self.table_threshold = table_threshold
+        # distributed-RESOLVE threshold (≠ the fetch tiers): above it a
+        # wave's text/candidates never touch the driver.  Sized to the
+        # driver-memory budget — the fold holds O(wave) text+links, so
+        # ~50k rows ≈ a few hundred MB; below that the sequential fold
+        # is both exact and faster (no per-wave shuffle-job latency)
+        self.resolve_distributed_threshold = resolve_distributed_threshold
         # spill frontier (reference pdict.Queue, pdict.py:402-497):
         # waves larger than the threshold live in the durable on-disk
         # queue instead of a driver Python list — depth rides encoded
@@ -673,7 +680,8 @@ class Crawler:
         # first-seen resolution is a pure groupby-min.  Wave 0 (or a
         # redirect-chasing crawl) takes the driver fold.
         if (self.use_ray and isinstance(self.corpus, CorpusStore)
-                and n > self.table_threshold and self.num_redirects == 0
+                and n > self.resolve_distributed_threshold
+                and self.num_redirects == 0
                 and self.cb is None and self.max_errors is None
                 and len(set(urls)) == n):
             t0 = _time.time()

@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata.
 
-The decode/resize/frame-sample kernels require codec libraries that are
-not in this container — they are STUBBED (clearly marked) behind a
-deterministic fake, but the Ray-side plumbing is real and tested:
-schema, actor-pool signature, batch sizing for large binary payloads,
-and output layout all match what a real decoder stage needs.
+Image decode is REAL for PNG and uncompressed BMP via the pure-stdlib
+codecs in :mod:`.imagecodec` (zlib + numpy — no PIL needed).  Formats
+that genuinely require external codec libraries (JPEG/WebP, audio,
+video frames) remain behind a clearly-marked deterministic stub; the
+Ray-side plumbing — schema, actor-pool signature, batch sizing for
+large binary payloads, output layout — is identical for both paths.
 
 Batch-size guidance: with payloads of B bytes, keep
 ``batch_size * B * concurrency`` under the per-worker heap budget;
@@ -53,7 +54,7 @@ def synth_media_table(n: int, kind: str = 'image', payload_bytes: int = 4096,
 
 
 def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder: a real implementation would use PIL/libjpeg here.
+    """STUB decoder for formats needing external codecs (JPEG/WebP).
 
     Deterministic fake: tile the payload bytes into an (h, w, 3) array.
     Raises NotImplementedError when ``strict`` decoding is requested
@@ -68,9 +69,11 @@ def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: payload → decoded array stats + thumbnail hash.
 
-    ``strict=True`` raises NotImplementedError (no codec libs in this
-    container) — the pipeline shape is the deliverable; swap
-    ``_decode_stub`` for a PIL/turbojpeg call in production.
+    PNG/BMP payloads decode for real (:mod:`.imagecodec`, pure
+    stdlib).  Other formats: ``strict=True`` raises
+    NotImplementedError (JPEG needs libjpeg, absent here);
+    ``strict=False`` falls back to the deterministic stub so the
+    pipeline shape stays testable.
     """
 
     def __init__(self, strict: bool = False, thumb: int = 8):
@@ -78,26 +81,39 @@ class DecodeImage:
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                'real image decode requires PIL/libjpeg — not in this container')
+        from .imagecodec import UnsupportedImage, decode_image
+
         ids = batch.column('media_id').to_pylist()
         payloads = batch.column('payload').to_pylist()
         ws = batch.column('meta_width').to_pylist()
         hs = batch.column('meta_height').to_pylist()
-        means, thumb_hashes = [], []
+        means, thumb_hashes, real = [], [], []
         for p, w, h in zip(payloads, ws, hs):
-            arr = _decode_stub(p, w, h)
+            try:
+                arr = decode_image(p)
+                decoded = True
+            except UnsupportedImage:
+                if self.strict:
+                    raise NotImplementedError(
+                        'non-PNG/BMP decode requires PIL/libjpeg — '
+                        'not in this container')
+                arr = _decode_stub(p, w, h)
+                decoded = False
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
             means.append(float(arr.mean()))
             # "resize" to thumb x thumb by strided sampling, hash it
-            t = arr[::max(1, h // self.thumb), ::max(1, w // self.thumb)]
+            ah, aw = arr.shape[:2]
+            t = arr[::max(1, ah // self.thumb), ::max(1, aw // self.thumb)]
             thumb_hashes.append(hashlib.blake2b(t.tobytes(),
                                                 digest_size=8).hexdigest())
+            real.append(decoded)
         return pa.table({
             'media_id': pa.array(ids, pa.int64()),
             'mean_pixel': pa.array(means, pa.float64()),
             'thumb_hash': pa.array(thumb_hashes, pa.string()),
             'n_bytes': pa.array([len(p) for p in payloads], pa.int64()),
+            'real_decode': pa.array(real, pa.bool_()),
         })
 
 
