@@ -70,9 +70,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,  # rows-only
+        # extra dedup family members
+        'ngram_jaccard_dups': R.ngram_jaccard_dups,  # exact baseline, rows-only
+        'simhash_dups': R.simhash_dups,              # rows-only
         # the flagship crawl — DuckDB recursive-CTE oracled (plus the
         # vendored sequential-crawler oracle in pytest)
         'crawl_bfs': R.crawl_documents,
+        'crawl_contacts': R.crawl_contacts,
     }
 
 
@@ -185,6 +189,43 @@ def oracle_sql() -> dict[str, str]:
                         - 1 AS BIGINT) AS visit_order,
                    CAST(status AS INT) AS status,
                    CAST(n_links AS BIGINT) AS n_links
+            FROM allv
+        """,
+        'crawl_contacts': """
+            -- flagship crawl composed with contact extraction: same
+            -- recursive CTE; email known by construction
+            -- (docs_pages.py embeds 'user{id} AT example DOT com' on
+            -- doc_id %% 3 == 0; /q/ 404 visits have none)
+            WITH RECURSIVE bfs AS (
+              SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k,
+                     0 AS depth, doc_id % 8 AS ph,
+                     CAST(0 AS BIGINT) AS pk, 0 AS idx
+              FROM documents WHERE doc_id < 8
+              UNION ALL
+              SELECT d.doc_id, d.doc_id % 8, d.doc_id // 8, b.depth + 1,
+                     b.h, b.k, m.m - 1
+              FROM bfs b
+              JOIN (VALUES (1), (2), (3)) AS m(m) ON true
+              JOIN documents d ON d.doc_id = b.h + 8 * (3 * b.k + m.m)
+              WHERE b.depth < 6
+            ), allv AS (
+              SELECT 'http://src' || h || '.com/d/' || doc_id AS url,
+                     depth,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'user' || doc_id || '@example.com'
+                          ELSE '' END AS email,
+                     ph, pk, idx
+              FROM bfs
+              UNION ALL
+              SELECT 'http://src' || h || '.com/q/' || doc_id
+                       || '?a=1&b=2',
+                     depth + 1, '', h, k, 3
+              FROM bfs WHERE depth < 6
+            )
+            SELECT url, CAST(depth AS INT) AS depth,
+                   CAST(row_number() OVER (ORDER BY depth, ph, pk, idx)
+                        - 1 AS BIGINT) AS visit_order,
+                   email
             FROM allv
         """,
         'dedup_first': """

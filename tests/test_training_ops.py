@@ -210,3 +210,25 @@ def test_decode_stub_strict_direct():
     from webscraping_ray.stages.multimodal import DecodeImage, synth_media_table
     with pytest.raises(NotImplementedError):
         DecodeImage(strict=True)(synth_media_table(1))
+
+
+def test_ngram_jaccard_exact_equals_lsh(ray_session):
+    """The exact all-pairs n-gram Jaccard baseline and MinHash-LSH must
+    agree on the testdata (LSH recall is 1.0 here, so the pair sets and
+    Jaccard values coincide)."""
+    from webscraping_ray.pipelines import relational as R
+
+    sf = '/root/testdata/sf0.001'
+    exact = R.ngram_jaccard_dups(sf, threshold=0.8)
+    lsh = R.minhash_dups(sf)
+    ep = {(a, b): j for a, b, j in zip(exact.column('id_a').to_pylist(),
+                                       exact.column('id_b').to_pylist(),
+                                       exact.column('jaccard').to_pylist())}
+    lp = {(a, b): j for a, b, j in zip(lsh.column('id_a').to_pylist(),
+                                       lsh.column('id_b').to_pylist(),
+                                       lsh.column('jaccard').to_pylist())}
+    assert ep, 'testdata should contain near-dups'
+    assert set(lp) <= set(ep)          # LSH can only miss, never invent
+    assert set(lp) == set(ep)          # ...and recall is 1.0 here
+    for k in ep:
+        assert abs(ep[k] - lp[k]) < 1e-12

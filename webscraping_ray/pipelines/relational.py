@@ -617,6 +617,74 @@ def clean_corpus_neardup(sf_dir: str, min_tokens: int = 20,
         anti, batch_format='pyarrow')
 
 
+def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3):
+    """Exact all-pairs word-k-gram Jaccard near-dup pairs.
+
+    The non-LSH baseline the brief lists beside MinHash: shingle sets
+    are computed distributed and broadcast as a compact reference
+    (id → hashed-shingle array), then every batch compares its rows
+    against the full set with vectorized set intersections — the
+    knn_brute pattern (broadcast small side, per-batch compute).
+    Quadratic by construction: the exact oracle for LSH at small
+    corpus sizes, superseded by ``minhash_dups`` at scale.
+    """
+    import ray
+
+    from ..stages.dedup import content_hash64, shingles
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def to_sets(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_pylist()
+        texts = t.column('text').to_pylist()
+        sets = [np.unique(np.array(
+            [content_hash64(s) for s in shingles(x, k)] or [0],
+            dtype=np.int64)) for x in texts]
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'sh': pa.array([s.tolist() for s in sets],
+                                        pa.list_(pa.int64()))})
+
+    all_sets = ds.map_batches(to_sets, batch_format='pyarrow').take_all()
+    ref_ids = np.array([r['doc_id'] for r in all_sets], dtype=np.int64)
+    ref_sets = [np.array(r['sh'], dtype=np.int64) for r in all_sets]
+    ref = ray.put((ref_ids, ref_sets))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        rids, rsets = ray.get(ref)
+        out_a, out_b, out_j = [], [], []
+        for i, sh in zip(t.column('doc_id').to_pylist(),
+                         t.column('sh').to_pylist()):
+            a = np.array(sh, dtype=np.int64)
+            for rid, b in zip(rids, rsets):
+                if rid <= i:
+                    continue
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                union = a.size + b.size - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(i)
+                    out_b.append(int(rid))
+                    out_j.append(j)
+        return pa.table({'id_a': pa.array(out_a, pa.int64()),
+                         'id_b': pa.array(out_b, pa.int64()),
+                         'jaccard': pa.array(out_j, pa.float64())})
+
+    rows = (ds.map_batches(to_sets, batch_format='pyarrow')
+            .map_batches(pairs, batch_format='pyarrow')).take_all()
+    rows.sort(key=lambda r: (r['id_a'], r['id_b']))
+    return pa.table({'id_a': pa.array([r['id_a'] for r in rows], pa.int64()),
+                     'id_b': pa.array([r['id_b'] for r in rows], pa.int64()),
+                     'jaccard': pa.array([r['jaccard'] for r in rows],
+                                         pa.float64())})
+
+
+def simhash_dups(sf_dir: str, max_hamming: int = 3):
+    from ..stages.dedup import simhash_dup_pairs
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return simhash_dup_pairs(ds, max_hamming=max_hamming)
+
+
 # ---------------------------------------------------------------------------
 # the flagship crawl over derived pages
 
@@ -640,3 +708,25 @@ def crawl_documents(sf_dir: str, max_depth: int = 6):
                      'visit_order': visits.column('visit_order'),
                      'status': visits.column('status'),
                      'n_links': n_links})
+
+
+def crawl_contacts(sf_dir: str, max_depth: int = 6):
+    """Flagship crawl composed with contact extraction: the per-visit
+    email (de-obfuscated 'user{id} AT example DOT com' →
+    user{id}@example.com by construction) rides the extract stage
+    through the BFS waves — SQL-oracled via the same recursive CTE as
+    ``crawl_bfs``."""
+    from ..pipelines.crawl import Crawler
+    from ..sources.docs_pages import N_HOSTS, doc_url, pages_table_from_documents
+
+    pages, n_docs = pages_table_from_documents(sf_dir)
+    seeds = [doc_url(i) for i in range(min(N_HOSTS, n_docs))]
+    c = Crawler(pages, max_depth=max_depth, max_links=100,
+                with_contacts=True)
+    visits = c.run(seeds)
+    emails = [(e[0] if e else '')
+              for e in visits.column('emails').to_pylist()]
+    return pa.table({'url': visits.column('url'),
+                     'depth': visits.column('depth'),
+                     'visit_order': visits.column('visit_order'),
+                     'email': pa.array(emails, pa.string())})
