@@ -100,7 +100,7 @@ def run_bench():
     stats = (cs.read_all(columns=['url', 'html'])
              .map_batches(ExtractPages(with_links=True, with_contacts=True,
                                        with_excerpt=True),
-                          batch_format='pyarrow', batch_size=256)
+                          batch_format='pyarrow', batch_size=1024)
              .map_batches(summarize, batch_format='pyarrow')
              .sum(['pages', 'text_chars']))
     extract_sec = time.time() - t0
