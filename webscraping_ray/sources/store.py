@@ -27,7 +27,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
+
 
 from ..kernels.urls import url_hash64
 
@@ -50,7 +50,8 @@ class AddBucket:
         return batch.append_column('bucket', pa.array(buckets, pa.int32()))
 
 
-def write_corpus(pages_ds, root: str, num_buckets: int = 16):
+def write_corpus(pages_ds, root: str, num_buckets: int = 16,
+                 row_group_size: int | None = None):
     """Write a pages Dataset as a hash-bucketed corpus store.
 
     ``pages_ds`` is a ``ray.data.Dataset`` with at least a ``url``
@@ -65,7 +66,15 @@ def write_corpus(pages_ds, root: str, num_buckets: int = 16):
     # row groups get tight url min/max stats so frontier isin lookups
     # prune at the row-group level, not just the directory level
     ds = ds.sort(['bucket', 'url'])
-    ds.write_parquet(root, partition_cols=['bucket'])
+    # optional small row groups: a frontier wave's urls are sparse
+    # within a bucket's sorted url range, so row-group min/max stats
+    # let lookup_table read only the touched groups — pays off when
+    # rows-per-bucket >> wave-urls-per-bucket x group size (big
+    # buckets, small waves); measured NEGATIVE on small buckets
+    # (whole-bucket reads split into many groups cost more), hence
+    # default None = pyarrow's large default
+    kw = {'row_group_size': row_group_size} if row_group_size else {}
+    ds.write_parquet(root, partition_cols=['bucket'], **kw)
     with open(os.path.join(root, META_NAME), 'w') as f:
         json.dump({'num_buckets': num_buckets}, f)
     return root
@@ -119,11 +128,45 @@ class CorpusStore:
         flt = pc.field('url').isin(pa.array(sorted(set(urls)), pa.string()))
         return ray.data.read_parquet(files, columns=columns, filter=flt)
 
+    def _rg_spans(self, path):
+        """Cached per-row-group (min_url, max_url) stats of one file.
+
+        Built once per file per store handle from Parquet footer
+        metadata (no data pages read); None if any group lacks url
+        statistics (falls back to a full-file scan).
+        """
+        if not hasattr(self, '_rg_cache'):
+            self._rg_cache = {}
+        if path not in self._rg_cache:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            try:
+                col_idx = next(
+                    i for i in range(md.num_columns)
+                    if md.schema.column(i).name == 'url')
+            except StopIteration:
+                self._rg_cache[path] = (pf, None)
+                return self._rg_cache[path]
+            spans = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    spans = None
+                    break
+                spans.append((st.min, st.max))
+            self._rg_cache[path] = (pf, spans)
+        return self._rg_cache[path]
+
     def lookup_table(self, urls, columns=None) -> pa.Table:
         """Driver-side Arrow table lookup (small waves / tests).
 
-        Uses pyarrow.dataset directly — no Ray tasks — which is faster
-        for small frontier waves than spinning Dataset read tasks.
+        Reads ONLY the row groups whose url min/max range intersects
+        the wanted urls (files are url-sorted per bucket with small row
+        groups, so a 10-url wave reads ~10 groups, not the bucket) —
+        pure pyarrow, no Ray tasks, which beats spinning Dataset read
+        tasks for small frontier waves.
         """
         by_bucket = {}
         for u in urls:
@@ -131,17 +174,35 @@ class CorpusStore:
         if not by_bucket:
             return None
         tables = []
-        want = pa.array(sorted(set(urls)), pa.string())
+        import bisect
+        import glob as _glob
+
         for b, us in sorted(by_bucket.items()):
             d = os.path.join(self.root, 'bucket=%d' % b)
             if not os.path.isdir(d):
                 continue
-            dset = pads.dataset(d, format='parquet')
-            have = set(dset.schema.names)
-            cols = ([c for c in columns if c in have] if columns
-                    else list(dset.schema.names)) or None
-            tables.append(dset.to_table(columns=cols,
-                                        filter=pc.field('url').isin(want)))
+            want_sorted = sorted(set(us))
+            want_arr = pa.array(want_sorted, pa.string())
+            for f in sorted(_glob.glob(os.path.join(d, '*.parquet'))):
+                pf, spans = self._rg_spans(f)
+                have = set(pf.schema_arrow.names)
+                cols = ([c for c in columns if c in have] if columns
+                        else None)
+                if spans is None:
+                    tbl = pf.read(columns=cols)
+                else:
+                    groups = []
+                    for rg, (lo, hi) in enumerate(spans):
+                        # any wanted url within [lo, hi]?
+                        i = bisect.bisect_left(want_sorted, lo)
+                        if i < len(want_sorted) and want_sorted[i] <= hi:
+                            groups.append(rg)
+                    if not groups:
+                        continue
+                    tbl = pf.read_row_groups(groups, columns=cols)
+                tbl = tbl.filter(pc.is_in(tbl['url'], value_set=want_arr))
+                if tbl.num_rows:
+                    tables.append(tbl)
         if not tables:
             return None
         return pa.concat_tables(tables)
