@@ -191,12 +191,22 @@ def run_scaling():
                        env=dict(os.environ, RAY_GRAFT_CPUS='32'),
                        capture_output=True, text=True, check=True, cwd=REPO)
 
-    def run(ncpu):
+    def run_once(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=REPO).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu, reps=2):
+        """Best-of-N per parallelism level: single-node wall clock on a
+        shared box is ±10-15 % noisy, and opposing outliers on the two
+        legs corrupt the ratio; the fastest rep measures each width's
+        actual capability.  Output equality is asserted across ALL
+        reps and levels via the crawl fingerprint."""
+        runs = [run_once(ncpu) for _ in range(reps)]
+        assert len({r['crawl_fingerprint'] for r in runs}) == 1
+        return min(runs, key=lambda r: r['value'])
 
     lo, hi = 8, 32
     r_lo = run(lo)

@@ -27,6 +27,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 
 
 from ..kernels.urls import url_hash64
@@ -174,9 +175,11 @@ class CorpusStore:
         if not by_bucket:
             return None
         tables = []
+        full_scan = []          # files where pruning skips nothing
         import bisect
         import glob as _glob
 
+        want_all = pa.array(sorted(set(urls)), pa.string())
         for b, us in sorted(by_bucket.items()):
             d = os.path.join(self.root, 'bucket=%d' % b)
             if not os.path.isdir(d):
@@ -185,24 +188,38 @@ class CorpusStore:
             want_arr = pa.array(want_sorted, pa.string())
             for f in sorted(_glob.glob(os.path.join(d, '*.parquet'))):
                 pf, spans = self._rg_spans(f)
+                if spans is None:
+                    full_scan.append(f)
+                    continue
+                groups = []
+                for rg, (lo, hi) in enumerate(spans):
+                    # any wanted url within [lo, hi]?
+                    i = bisect.bisect_left(want_sorted, lo)
+                    if i < len(want_sorted) and want_sorted[i] <= hi:
+                        groups.append(rg)
+                if not groups:
+                    continue
+                if len(groups) == len(spans):
+                    # nothing skipped: the scan-pushed isin filter is
+                    # faster than decode-then-filter
+                    full_scan.append(f)
+                    continue
                 have = set(pf.schema_arrow.names)
                 cols = ([c for c in columns if c in have] if columns
                         else None)
-                if spans is None:
-                    tbl = pf.read(columns=cols)
-                else:
-                    groups = []
-                    for rg, (lo, hi) in enumerate(spans):
-                        # any wanted url within [lo, hi]?
-                        i = bisect.bisect_left(want_sorted, lo)
-                        if i < len(want_sorted) and want_sorted[i] <= hi:
-                            groups.append(rg)
-                    if not groups:
-                        continue
-                    tbl = pf.read_row_groups(groups, columns=cols)
+                tbl = pf.read_row_groups(groups, columns=cols)
                 tbl = tbl.filter(pc.is_in(tbl['url'], value_set=want_arr))
                 if tbl.num_rows:
                     tables.append(tbl)
+        if full_scan:
+            dset = pads.dataset(full_scan, format='parquet')
+            have = set(dset.schema.names)
+            cols = ([c for c in columns if c in have] if columns
+                    else list(dset.schema.names)) or None
+            tbl = dset.to_table(columns=cols,
+                                filter=pc.field('url').isin(want_all))
+            if tbl.num_rows:
+                tables.append(tbl)
         if not tables:
             return None
         return pa.concat_tables(tables)
