@@ -206,7 +206,7 @@ class CbCandidates:
             hash_col.append([U.url_hash64(l) for l in links])
             valid_col.append([True] * len(links))
             stops.append(stop)
-        return pa.table({
+        cols = {
             'url': pa.array(urls, pa.string()),
             'text': pa.array(texts, pa.large_string()),
             'status': pa.array(statuses, pa.int32()),
@@ -214,7 +214,12 @@ class CbCandidates:
             'cand_hash': pa.array(hash_col, pa.list_(pa.int64())),
             'cand_valid': pa.array(valid_col, pa.list_(pa.bool_())),
             'cb_stop': pa.array(stops, pa.bool_()),
-        })
+        }
+        if 'warc_ts' in batch.column_names:
+            # ride the snapshot ts through so the big-wave merge loop
+            # can resolve latest-per-url / freshness on cb crawls too
+            cols['warc_ts'] = batch.column('warc_ts')
+        return pa.table(cols)
 
 
 def run_cb(cb, url: str, page: str):
@@ -319,7 +324,6 @@ class Crawler:
         self._stopped = False
         self.visit_counter = 0
         self.wave = 0
-        self._host_cache = {}
         self._pool = None
         self.state = CrawlState(state_file)
 
@@ -405,12 +409,9 @@ class Crawler:
                 records[u] = rec
 
     def _host(self, url: str) -> str:
-        h = self._host_cache.get(url)
-        if h is None:
-            h = T.get_domain(url)
-            if len(self._host_cache) < 1_000_000:
-                self._host_cache[url] = h
-        return h
+        # no cache: each url is visited at most once per crawl, so a
+        # url-keyed cache would only grow without ever hitting
+        return T.get_domain(url)
 
     def _latest_snapshot(self, tbl: pa.Table) -> pa.Table:
         """Resolve duplicate-url snapshots: keep the latest warc_ts
@@ -541,10 +542,19 @@ class Crawler:
 
         records = {}
         for b in batches:
+            # the big-wave (lookup_ds) tier carries warc_ts through so
+            # this merge resolves latest-per-url; the inline/mid tiers
+            # pre-filter via _latest_snapshot and drop the column.  The
+            # freshness/as-of filters here must mirror _latest_snapshot
+            # exactly (null ts is dropped by its pyarrow comparisons).
+            has_ts = 'warc_ts' in b.column_names
             for r in b.to_pylist():
                 ts = r.get('warc_ts')
-                if self.as_of_ts is not None and ts is not None and \
-                        _ts_us(ts) > self.as_of_ts:
+                if has_ts and self.min_fresh_ts is not None and \
+                        (ts is None or _ts_us(ts) <= self.min_fresh_ts):
+                    continue  # stale snapshot == cache miss (expiry)
+                if has_ts and self.as_of_ts is not None and \
+                        (ts is None or _ts_us(ts) > self.as_of_ts):
                     continue
                 prev = records.get(r['url'])
                 if prev is None or ts is None or \
@@ -1010,6 +1020,8 @@ class Crawler:
                     t['warc_ts'], pa.scalar(cutoff,
                                             t.schema.field('warc_ts').type))),
                 batch_format='pyarrow')
+        if getattr(self.corpus, 'multi_snapshot', True):
+            rec = self._latest_snapshot_distributed(rec, urls)
         kw = {}
         if self.extract_concurrency:
             kw['concurrency'] = self.extract_concurrency
@@ -1073,16 +1085,32 @@ class Crawler:
         }).filter(pc.not_equal(
             pa.array(depth_hints, pa.int32()),
             pa.scalar(self.max_depth, pa.int32())))
-        if meta.num_rows == 0:
-            # every parent is a max-depth leaf: no candidate processing
+        def finish_no_candidates(n_candidates=0):
+            # nothing to resolve this wave: empty next frontier, visits
+            # are pure metadata.  Also guards the joins below — Ray's
+            # hash join loses the schema of an empty input side.
             self._next_frontier = []
             status_of = self._pull_statuses(rec)
             visits = self._visits_from_meta(urls, depth_hints, visit_orders,
                                             scheduled, status_of)
             if self.output_dir:
                 self._write_visits_meta(visits)
-            self._record_distributed_wave(visits, hosts, 0, 0, stage_secs)
+            self._record_distributed_wave(visits, hosts, n_candidates, 0,
+                                          stage_secs)
             return visits
+
+        if meta.num_rows == 0:
+            # every parent is a max-depth leaf: no candidate processing
+            return finish_no_candidates()
+        # all-leaf-page wave (every fetched page has zero links): the
+        # explode output would be an empty join side — short-circuit
+        n_cand_total = rec.map_batches(
+            lambda t: pa.table({'n': pa.array(
+                [int(pc.sum(pc.list_value_length(t['cand_hash'])).as_py()
+                     or 0)], pa.int64())}),
+            batch_format='pyarrow').sum('n') or 0
+        if n_cand_total == 0:
+            return finish_no_candidates()
         chunk = 65536
         meta_ds = ray.data.from_arrow(
             [meta.slice(i, chunk) for i in range(0, meta.num_rows, chunk)])
@@ -1091,9 +1119,21 @@ class Crawler:
                 .join(meta_ds, 'inner', num_partitions=P,
                       on=('curl',), right_on=('purl',)))
 
+        # combo packs (parent order, link idx) into one int64 for the
+        # groupby-min first-seen resolution.  pvisit is rebased to the
+        # wave-local index (visit orders are contiguous per wave) so the
+        # packing never overflows: the global visit counter can exceed
+        # 2^31 at 10^10-URL scale, but a single wave's row count cannot
+        # (it is a driver-held list), and j is int32 by schema.  All
+        # combos within a wave shift by the same constant, so min-order
+        # and the emission sort are unchanged.
+        combo_base = min(visit_orders)
+
         def with_combo(t: pa.Table) -> pa.Table:
             combo = pc.bit_wise_or(
-                pc.shift_left(t['pvisit'], pa.scalar(32, pa.int64())),
+                pc.shift_left(
+                    pc.subtract(t['pvisit'], pa.scalar(combo_base, pa.int64())),
+                    pa.scalar(32, pa.int64())),
                 pc.cast(t['j'], pa.int64()))
             t = t.append_column('combo', combo)
             return t.append_column(
@@ -1113,6 +1153,10 @@ class Crawler:
                  .materialize())
         n_candidates = fresh.count()
         stage_secs['seen_probe'] = _time.time() - t0
+        if n_candidates == 0:
+            # every candidate was preseen: nothing to register or emit
+            # (and the resolve joins below would see empty sides)
+            return finish_no_candidates(0)
 
         # first-seen resolution + max_links trim rounds
         t0 = _time.time()
@@ -1120,7 +1164,7 @@ class Crawler:
         trims = {}
         active = fresh
         winners = None
-        for _round in range(4):
+        for _round in range(8):
             wkeys = active.groupby('lh').aggregate(
                 Min('combo', alias_name='wcombo'))
             winners = (active.join(wkeys, 'inner', num_partitions=P,
@@ -1129,18 +1173,25 @@ class Crawler:
                            pc.equal(t['combo'], t['wcombo'])),
                            batch_format='pyarrow')
                        .materialize())
+            # parents AT or over the cap both need a trim: the driver
+            # fold breaks at the max_links-th valid candidate, so even
+            # an exactly-at-cap parent must not register candidates
+            # past its break point (they stay discoverable via later
+            # parents — the reference fold would emit them there)
             over = (winners.map_batches(
                 lambda t: t.filter(t['valid']).select(['pvisit']),
                 batch_format='pyarrow')
                 .groupby('pvisit').aggregate(Count(alias_name='cnt'))
                 .map_batches(lambda t: t.filter(
-                    pc.greater(t['cnt'], max_links)),
+                    pc.greater_equal(t['cnt'], max_links)),
                     batch_format='pyarrow').take_all())
             if not over:
                 break
-            # rare: some parent exceeded the cap — find its break point
-            # (the link_idx of its max_links-th valid winner) and
-            # deactivate everything after it, then re-resolve
+            # find each hot parent's break point (the link_idx of its
+            # max_links-th valid winner) and deactivate everything
+            # after it, then re-resolve.  Trims only ever tighten
+            # (min-merge), so the loop terminates; when a pass changes
+            # nothing the current winners are already exact.
             hot = pa.array(sorted(r['pvisit'] for r in over), pa.int64())
             hot_rows = winners.map_batches(
                 lambda t: t.filter(pc.and_(
@@ -1150,8 +1201,14 @@ class Crawler:
             by_parent = {}
             for r in hot_rows:
                 by_parent.setdefault(r['pvisit'], []).append(r['j'])
+            changed = False
             for v, js in by_parent.items():
-                trims[v] = sorted(js)[max_links - 1]
+                jcap = sorted(js)[max_links - 1]
+                if trims.get(v, 1 << 62) > jcap:
+                    trims[v] = jcap
+                    changed = True
+            if not changed:
+                break
             tref = ray.put(dict(trims))
 
             def trim(t: pa.Table) -> pa.Table:
@@ -1165,7 +1222,7 @@ class Crawler:
         else:
             import logging
             logging.getLogger(__name__).warning(
-                'max_links trim did not converge in 4 rounds; '
+                'max_links trim did not converge in 8 rounds; '
                 'emission may overcount on pathological link graphs')
 
         # register every winner (valid or not — the reference registers
@@ -1216,6 +1273,54 @@ class Crawler:
         self._record_distributed_wave(visits, hosts, n_candidates, n_new,
                                       stage_secs)
         return visits
+
+    def _latest_snapshot_distributed(self, rec, urls):
+        """Latest-per-url resolution for the distributed wave tier
+        (mirrors :meth:`_latest_snapshot` — reference PersistentDict
+        holds one latest value per key, pdict.py:190-199).
+
+        A multi-snapshot corpus returns several rows per url from the
+        lookup; keeping them all would extract and emit every surviving
+        snapshot.  The max warc_ts per url is computed from a
+        column-pruned (url, warc_ts) lookup folded on the driver —
+        O(wave) memory, the same budget as the ``urls`` list this tier
+        already holds — then broadcast once and applied as a per-batch
+        filter, so the html-carrying stream is never shuffled.  Skipped
+        entirely when the store's build-time metadata says the corpus
+        is single-snapshot.  Equal-ts duplicates of one url would both
+        survive (documented corpus assumption: snapshots of a url have
+        distinct warc_ts)."""
+        import ray
+
+        tiny = self.corpus.lookup_ds(urls, columns=['url', 'warc_ts'])
+        if tiny is None or 'warc_ts' not in tiny.schema().names:
+            return rec
+        mx = {}
+        for b in tiny.iter_batches(batch_size=65536, batch_format='pyarrow'):
+            for u, t in zip(b.column('url').to_pylist(),
+                            b.column('warc_ts').to_pylist()):
+                tus = _ts_us(t)
+                # same freshness/as-of semantics as the rec chain
+                if self.min_fresh_ts is not None and \
+                        (t is None or tus <= self.min_fresh_ts):
+                    continue
+                if self.as_of_ts is not None and \
+                        (t is None or tus > self.as_of_ts):
+                    continue
+                if tus > mx.get(u, -2):
+                    mx[u] = tus
+        mxref = ray.put(mx)
+
+        def latest_only(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or 'warc_ts' not in t.column_names:
+                return t
+            best = ray.get(mxref)
+            us = t.column('url').to_pylist()
+            ts = t.column('warc_ts').to_pylist()
+            keep = [best.get(u, -2) == _ts_us(tt) for u, tt in zip(us, ts)]
+            return t.filter(pa.array(keep, pa.bool_()))
+
+        return rec.map_batches(latest_only, batch_format='pyarrow')
 
     def _pull_statuses(self, rec) -> dict:
         """{url: status} for resolved pages (O(wave) metadata)."""

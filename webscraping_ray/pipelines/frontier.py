@@ -86,13 +86,29 @@ class ParquetQueue:
         # the only full scan: hash index of every live key on disk,
         # built once per open (hash+seq columns only — never keys)
         self._hashes = set()
+        max_seq = -1
         for seg in self._segments():
             t = pq.read_table(os.path.join(self.root, seg),
                               columns=['key_hash', 'seq'])
             for h, s in zip(t.column('key_hash').to_pylist(),
                             t.column('seq').to_pylist()):
+                if s > max_seq:
+                    max_seq = s
                 if s > self._deleted.get(h, -1):
                     self._hashes.add(h)
+        # the manifest may be an OLDER restored snapshot (crawl resume
+        # copies a checkpoint-time claims.json back) whose counters
+        # predate segments written since — e.g. a post-checkpoint push,
+        # or a compaction that merged everything into one high-numbered
+        # segment.  Trusting it would os.replace-overwrite a live
+        # segment (silent row loss) and reuse seq numbers.  Disk wins:
+        # counters always start past everything that exists.
+        if self._segments():
+            disk_next_seg = 1 + max(
+                int(s[len('seg_'):-len('.parquet')])
+                for s in self._segments())
+            self._next_seg = max(self._next_seg, disk_next_seg)
+        self._next_seq = max(self._next_seq, max_seq + 1)
 
     # ------------------------------------------------------------------
     def _segments(self):

@@ -77,8 +77,39 @@ def write_corpus(pages_ds, root: str, num_buckets: int = 16,
     kw = {'row_group_size': row_group_size} if row_group_size else {}
     ds.write_parquet(root, partition_cols=['bucket'], **kw)
     with open(os.path.join(root, META_NAME), 'w') as f:
-        json.dump({'num_buckets': num_buckets}, f)
+        json.dump({'num_buckets': num_buckets,
+                   'multi_snapshot': _detect_multi_snapshot(root, num_buckets)},
+                  f)
     return root
+
+
+def _detect_multi_snapshot(root: str, num_buckets: int) -> bool:
+    """True iff any url appears more than once (a multi-snapshot WARC
+    corpus).  Recorded in the store metadata at build time so the
+    crawler's distributed wave tier only pays for latest-snapshot
+    resolution when snapshots actually exist.
+
+    Same-url snapshots always share a bucket (bucketing is by url
+    hash), so the check is an embarrassingly parallel per-bucket
+    unique-count over the url column only — one column-pruned linear
+    pass at build time, one Ray task per bucket.
+    """
+    import glob
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def bucket_has_dup(files) -> bool:
+        t = pads.dataset(files, format='parquet').to_table(columns=['url'])
+        return len(pc.unique(t.column('url'))) < t.num_rows
+
+    futs = []
+    for b in range(num_buckets):
+        files = sorted(glob.glob(os.path.join(root, 'bucket=%d' % b,
+                                              '*.parquet')))
+        if files:
+            futs.append(bucket_has_dup.remote(files))
+    return any(ray.get(futs)) if futs else False
 
 
 class CorpusStore:
@@ -87,7 +118,12 @@ class CorpusStore:
     def __init__(self, root: str):
         self.root = root
         with open(os.path.join(root, META_NAME)) as f:
-            self.num_buckets = json.load(f)['num_buckets']
+            meta = json.load(f)
+        self.num_buckets = meta['num_buckets']
+        # stores written before multi_snapshot detection existed default
+        # to True — the safe direction (resolution runs, costing one
+        # extra pruned (url, warc_ts) lookup per distributed wave)
+        self.multi_snapshot = bool(meta.get('multi_snapshot', True))
 
     def _available_columns(self, sample_file, columns):
         """Intersect requested columns with the store schema (callers may
