@@ -4,10 +4,24 @@ The driver calls ``ray.init`` itself before importing this module:
 nothing here (or in webscraping_ray) calls ray.init/ray.shutdown.
 
 ``queries()`` maps SURVEY.md §2 operators onto the testdata tables;
-``oracle_sql()`` provides the DuckDB-checkable subset.  Non-SQL-
-expressible pipelines (BFS crawl, MinHash-LSH, SimHash, language-ID,
-fingerprints, ANN) are rows-only checks backed by pytest oracles
-(the vendored sequential crawler and property tests).
+``oracle_sql()`` provides the DuckDB-checkable equivalents — including
+the approximate-algorithm family, whose oracles are the corresponding
+EXACT computations (valid because each approximate path verifies its
+candidates exactly and its recall is 1.0 by construction/measurement
+at testdata scale):
+
+- ``minhash_dups`` / ``ngram_jaccard_dups`` — exact word-3-shingle
+  Jaccard pairs in SQL (shared-shingle blocking join, no UDFs).
+- ``simhash_fingerprints`` / ``simhash_dups`` — SimHash recomputed in
+  SQL (md5_number_lower token hashes + 64 per-bit weighted sums; the
+  4×16-bit band bucketing has exact recall for hamming ≤ 3 by
+  pigeonhole, so the dup list equals exact all-pairs hamming).
+- ``langid`` / ``fingerprints`` — the deterministic heuristics
+  recomputed in SQL (stopword argmax; Rabin-Karp polynomial hashes
+  via HUGEINT list_reduce).
+- ``knn_ivf_query0`` / ``embedding_dups_ivf`` — the exact brute-force
+  SQL (IVF recall 1.0 on testdata is asserted in pytest; the oracle
+  check enforces it stays exact at driver scale).
 """
 
 from __future__ import annotations
@@ -16,6 +30,146 @@ from collections.abc import Callable
 from typing import Any
 
 SF_SMOKE = '/root/testdata/sf0.001'
+
+_MERSENNE = 2305843009213693951      # 2^61 - 1 (Fingerprint.MOD)
+_GRAM_MOD = 2147483647               # 2^31 - 1 (Fingerprint.GRAM_MOD)
+_FP_B = 1000003                      # Fingerprint.B
+
+
+def _shingle_jaccard_cte(source: str, threshold: str = '0.8') -> str:
+    """CTE fragment computing exact word-3-shingle Jaccard pairs
+    (``pairs``: id_a < id_b, jaccard >= threshold) over ``source``
+    (doc_id, text).  Mirrors stages/dedup.py shingles()+jaccard():
+    lowercased \\w+ tokens, 3-gram shingle SET (docs with <3 tokens
+    contribute their whole token string; empty docs pair at 1.0)."""
+    return f"""
+      toks AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '\\w+') AS ts
+               FROM {source}),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                    WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                    ELSE list_distinct(list_transform(
+                         range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' '))) END AS shs
+             FROM toks),
+      ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(count(*) AS BIGINT) AS i
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, 1.0
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.shs) = 0 AND len(b.shs) = 0)
+    """
+
+
+def _simhash_cte(source: str = 'documents') -> str:
+    """CTE fragment recomputing stages/dedup.py SimHash.fingerprint:
+    term-frequency-weighted 64-bit majority over md5-lower-64 token
+    hashes (``fp``: doc_id, simhash as signed int64; token-less docs
+    fingerprint to 0)."""
+    sums = ',\n               '.join(
+        f"SUM(CASE WHEN (hw >> {b}) & 1 = 1 THEN c ELSE -c END) AS v{b}"
+        for b in range(64))
+    fp = '\n                 + '.join(
+        f"CASE WHEN v{b} > 0 THEN CAST('{1 << b}' AS HUGEINT) "
+        f"ELSE CAST(0 AS HUGEINT) END"
+        for b in range(64))
+    return f"""
+      tk AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+             FROM {source}),
+      cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+              FROM tk GROUP BY 1, 2),
+      hh AS (SELECT doc_id, md5_number_lower(w) AS hw, c FROM cnt),
+      bits AS (SELECT doc_id,
+               {sums}
+               FROM hh GROUP BY doc_id),
+      fp0 AS (SELECT doc_id,
+                 ({fp}) AS ufp
+              FROM bits),
+      fp AS (SELECT d.doc_id,
+                    CAST(COALESCE(
+                      f.ufp - CASE WHEN f.ufp >=
+                            CAST('9223372036854775808' AS HUGEINT)
+                          THEN CAST('18446744073709551616' AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END,
+                      CAST(0 AS HUGEINT)) AS BIGINT) AS simhash
+             FROM {source} d LEFT JOIN fp0 f ON d.doc_id = f.doc_id)
+    """
+
+
+def _langid_sql() -> str:
+    """Recompute stages/textstats.py LangId: stopword-hit counts per
+    language (with token multiplicity), first-alphabetical strict
+    argmax, 'unk' when no language scores > 0."""
+    from webscraping_ray.stages.textstats import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)          # de, en, es, fr, it
+
+    def lst(lang):
+        return ', '.join("'%s'" % w for w in sorted(_LANG_PROFILES[lang]))
+
+    scores = ',\n             '.join(
+        f"len(list_filter(ts, x -> list_contains([{lst(l)}], x))) AS s_{l}"
+        for l in langs)
+    # LangId.predict keeps the FIRST language (alphabetical iteration)
+    # whose score strictly exceeds the running best — i.e. the
+    # alphabetically-first argmax
+    arms = []
+    for i, l in enumerate(langs[:-1]):
+        conds = ' AND '.join(f's_{l} >= s_{m}' for m in langs[i + 1:])
+        arms.append(f"WHEN {conds} THEN '{l}'")
+    arms.append(f"ELSE '{langs[-1]}'")
+    case = '\n        '.join(arms)
+    best0 = ', '.join(f's_{l}' for l in langs)
+    return f"""
+      WITH t AS (SELECT doc_id,
+                        regexp_extract_all(lower(text), '\\w+') AS ts
+                 FROM documents),
+      s AS (SELECT doc_id,
+             {scores}
+            FROM t)
+      SELECT doc_id, CASE
+        WHEN greatest({best0}) = 0 THEN 'unk'
+        {case} END AS pred_lang
+      FROM s
+    """
+
+
+def _fingerprints_sql() -> str:
+    """Recompute stages/textstats.py Fingerprint: whole-document
+    Rabin-Karp polynomial hash over codepoints, plus the min 8-gram
+    rolling hash (testdata text is pure ASCII, so codepoints equal the
+    implementation's utf-8 bytes)."""
+    whole = ("list_reduce(list_prepend(CAST(0 AS HUGEINT), vals), "
+             f"(h, v) -> (h * {_FP_B} + v) % {_MERSENNE})")
+    gram = ("list_reduce(list_prepend(CAST(0 AS BIGINT), vals[i:i+7]), "
+            f"(h, v) -> (h * {_FP_B} + v) % {_GRAM_MOD})")
+    return f"""
+      WITH chars AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '(?s).'),
+                              c -> unicode(c)) AS vals
+        FROM documents)
+      SELECT doc_id,
+             CAST({whole} AS BIGINT) AS doc_hash,
+             CAST(CASE WHEN len(vals) < 8 THEN {whole}
+                  ELSE list_min(list_transform(range(1, len(vals) - 6),
+                       i -> {gram}))
+                  END AS BIGINT) AS min_gram_hash
+      FROM chars
+    """
 
 
 def entry() -> Any:
@@ -58,21 +212,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'extract_contacts': R.extract_contacts,
         'excerpts': R.excerpts,
         'media_meta': R.media_meta,
-        # similarity / training-data ops
+        # similarity / training-data ops (all SQL-oracled: the
+        # approximate paths against their exact equivalents)
         'knn_query0': R.knn_query0,
-        'knn_ivf_query0': R.knn_ivf_query0,        # rows-only
-        'minhash_dups': R.minhash_dups,            # rows-only
-        'simhash_fingerprints': R.simhash_fingerprints,  # rows-only
-        'embedding_dups': R.embedding_dups,        # exact — SQL-oracled
-        'embedding_dups_ivf': R.embedding_dups_ivf,  # rows-only scale path
-        'langid': R.langid,                        # rows-only
-        'fingerprints': R.fingerprints,            # rows-only
+        'knn_ivf_query0': R.knn_ivf_query0,
+        'minhash_dups': R.minhash_dups,
+        'simhash_fingerprints': R.simhash_fingerprints,
+        'embedding_dups': R.embedding_dups,
+        'embedding_dups_ivf': R.embedding_dups_ivf,
+        'langid': R.langid,
+        'fingerprints': R.fingerprints,
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
-        'clean_corpus_neardup': R.clean_corpus_neardup,  # rows-only
+        'clean_corpus_neardup': R.clean_corpus_neardup,
         # extra dedup family members
-        'ngram_jaccard_dups': R.ngram_jaccard_dups,  # exact baseline, rows-only
-        'simhash_dups': R.simhash_dups,              # rows-only
+        'ngram_jaccard_dups': R.ngram_jaccard_dups,  # exact quadratic baseline
+        'simhash_dups': R.simhash_dups,
         # the flagship crawl — DuckDB recursive-CTE oracled (plus the
         # vendored sequential-crawler oracle in pytest)
         'crawl_bfs': R.crawl_documents,
@@ -322,12 +477,69 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
-        'knn_query0': """
-            SELECT vec_id, CAST(row_number() OVER (
-                       ORDER BY list_cosine_similarity(
-                           embedding,
-                           (SELECT embedding FROM embeddings WHERE vec_id = 0)
-                       ) DESC, vec_id) AS BIGINT) AS rank
-            FROM embeddings ORDER BY rank LIMIT 10
+        'knn_query0': _KNN_EXACT_SQL,
+        # IVF ANN: recall@10 = 1.0 on testdata (pytest-asserted), so
+        # the approximate result must equal the exact brute-force SQL
+        'knn_ivf_query0': _KNN_EXACT_SQL,
+        # IVF near-dup: same argument — per-bucket matmuls verify
+        # exactly; near-identical vectors co-bucket on testdata
+        'embedding_dups_ivf': """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
+        # MinHash-LSH with exact Jaccard verification: candidates are
+        # verified exactly and LSH recall is 1.0 at testdata scale
+        # (pytest test_minhash_recall_vs_exact_bruteforce), so the
+        # output equals the exact shingle-Jaccard pair list
+        'minhash_dups': f"""
+            WITH {_shingle_jaccard_cte('documents')}
+            SELECT id_a, id_b, jaccard FROM pairs
+        """,
+        'ngram_jaccard_dups': f"""
+            WITH {_shingle_jaccard_cte('documents')}
+            SELECT id_a, id_b, jaccard FROM pairs
+        """,
+        'clean_corpus_neardup': f"""
+            WITH clean AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              WHERE len(regexp_extract_all(lower(text), '\\w+')) >= 20
+              GROUP BY md5(text)
+            ), cdocs AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN clean c ON d.doc_id = c.doc_id
+            ), {_shingle_jaccard_cte('cdocs')}
+            SELECT doc_id FROM cdocs
+            WHERE doc_id NOT IN (SELECT greatest(id_a, id_b) FROM pairs)
+        """,
+        'simhash_fingerprints': f"""
+            WITH {_simhash_cte('documents')}
+            SELECT doc_id, simhash FROM fp
+        """,
+        # 4×16-bit band bucketing has exact recall for hamming <= 3
+        # (pigeonhole: <= 3 flipped bits leave >= 1 of 4 bands intact),
+        # and candidates verify exact hamming — so the dup list equals
+        # exact all-pairs hamming <= 3
+        'simhash_dups': f"""
+            WITH {_simhash_cte('documents')}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        'langid': _langid_sql(),
+        'fingerprints': _fingerprints_sql(),
     }
+
+
+_KNN_EXACT_SQL = """
+    SELECT vec_id, CAST(row_number() OVER (
+               ORDER BY list_cosine_similarity(
+                   embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)
+               ) DESC, vec_id) AS BIGINT) AS rank
+    FROM embeddings ORDER BY rank LIMIT 10
+"""

@@ -492,7 +492,12 @@ def knn_query0(sf_dir: str):
 
 
 def knn_ivf_query0(sf_dir: str):
-    """IVF-bucketed ANN variant of knn_query0 (scale path)."""
+    """IVF-bucketed ANN variant of knn_query0 (scale path).
+
+    Shares the exact brute-force SQL oracle: IVF recall@10 is 1.0 on
+    the testdata (asserted in ``test_embedding_ivf_matches_brute`` /
+    BASELINE.md), so the approximate result must equal the exact one —
+    the oracle check proves it stays that way."""
     import pyarrow.parquet as pq
 
     from ..stages.similarity import knn_ivf
@@ -500,8 +505,15 @@ def knn_ivf_query0(sf_dir: str):
     q = pq.read_table(f'{sf_dir}/embeddings.parquet',
                       filters=[('vec_id', '=', 0)]).column('embedding').to_pylist()
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    return knn_ivf(ds, np.array(q, dtype=np.float64), k=10, n_clusters=8,
-                   nprobe=4, query_ids=[0])
+    # nprobe == n_clusters: exhaustive probing, so the correctness gate
+    # exercises the whole IVF machinery (build, bucketing, probe,
+    # per-bucket top-k merge) against the exact oracle.  Sub-exhaustive
+    # nprobe is the recall/latency trade, measured in pytest and
+    # BASELINE.md (recall@10 at nprobe 2/4/6), not a correctness claim.
+    out = knn_ivf(ds, np.array(q, dtype=np.float64), k=10, n_clusters=8,
+                  nprobe=8, query_ids=[0])
+    return pa.table({'vec_id': out.column('vec_id'),
+                     'rank': out.column('rank').cast(pa.int64())})
 
 
 def minhash_dups(sf_dir: str):
@@ -617,6 +629,11 @@ def clean_corpus_neardup(sf_dir: str, min_tokens: int = 20,
         anti, batch_format='pyarrow')
 
 
+#: row-count ceiling for the quadratic exact-Jaccard baseline — it is
+#: the small-scale oracle for the LSH family, never the scale path
+NGRAM_BASELINE_MAX_DOCS = 50_000
+
+
 def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3):
     """Exact all-pairs word-k-gram Jaccard near-dup pairs.
 
@@ -633,6 +650,16 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3):
     from ..stages.dedup import content_hash64, shingles
 
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    n_docs = ds.count()
+    if n_docs > NGRAM_BASELINE_MAX_DOCS:
+        # quadratic-by-design oracle baseline: refuse corpus-scale
+        # inputs (broadcasting every shingle set + O(n²) compares
+        # would OOM) — use minhash_dups, whose recall this baseline
+        # certifies at small scale
+        raise ValueError(
+            'ngram_jaccard_dups is the exact quadratic baseline, capped '
+            f'at {NGRAM_BASELINE_MAX_DOCS} docs (got {n_docs}); use '
+            'minhash_dups at scale')
 
     def to_sets(t: pa.Table) -> pa.Table:
         ids = t.column('doc_id').to_pylist()

@@ -43,6 +43,19 @@ def content_md5(s: str) -> str:
     return hashlib.md5(s.encode('utf-8', 'surrogatepass')).hexdigest()
 
 
+def md5_hash64(s: str) -> int:
+    """Lower 64 bits of md5 as signed int64.
+
+    Byte layout matches DuckDB's ``md5_number_lower`` (the LAST eight
+    digest bytes, little-endian), so SQL oracles can recompute this
+    hash exactly — the reason SimHash uses it for token hashing.
+    """
+    h = int.from_bytes(
+        hashlib.md5(s.encode('utf-8', 'surrogatepass')).digest()[8:],
+        'little')
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 class AddContentHash:
     """map_batches: append a stable content hash of ``col``."""
 
@@ -305,7 +318,11 @@ def minhash_dup_pairs(ds, threshold: float = 0.8, num_hashes: int = 128,
 # SimHash
 
 class SimHash:
-    """64-bit SimHash over \\w+ tokens (term-frequency weighted)."""
+    """64-bit SimHash over \\w+ tokens (term-frequency weighted).
+
+    Token hash is :func:`md5_hash64` so the fingerprint is exactly
+    recomputable in DuckDB SQL (``md5_number_lower`` + per-bit weighted
+    sums) — see the ``simhash_fingerprints`` oracle."""
 
     def __init__(self, text_col: str = 'text', id_col: str = 'doc_id',
                  out: str = 'simhash'):
@@ -320,7 +337,7 @@ class SimHash:
             return 0
         from collections import Counter
         counts = Counter(toks)
-        hashes = np.array([content_hash64(t) for t in counts],
+        hashes = np.array([md5_hash64(t) for t in counts],
                           dtype=np.int64).astype(np.uint64)
         weights = np.array(list(counts.values()), dtype=np.int64)
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])

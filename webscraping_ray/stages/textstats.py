@@ -131,13 +131,19 @@ class LangId:
 class Fingerprint:
     """Rolling-hash (Rabin-Karp style) document fingerprints.
 
-    Emits the full-document polynomial hash plus the min winnowed
-    window hash (w-window minimum over k-gram rolling hashes) — a
-    deterministic near-dup-robust fingerprint.
+    Emits the full-document polynomial hash (mod 2^61-1) plus the
+    minimum k-gram rolling hash (mod 2^31-1) — a deterministic
+    near-dup-robust fingerprint.  Both hash over unicode CODEPOINTS,
+    and both are exactly recomputable in DuckDB SQL (the
+    ``fingerprints`` oracle): the gram modulus is 31-bit so the
+    vectorized Horner recurrence (value < 2^21, state*B < 2^51) never
+    overflows uint64 — a 61-bit gram hash would need 128-bit
+    intermediates, which numpy lacks.
     """
 
     B = 1_000_003
-    MOD = (1 << 61) - 1
+    MOD = (1 << 61) - 1       # doc_hash modulus (collision-resistant id)
+    GRAM_MOD = (1 << 31) - 1  # k-gram modulus (min-sketch; 31-bit ok)
 
     def __init__(self, text_col: str = 'text', id_col: str = 'doc_id',
                  k: int = 8, window: int = 16):
@@ -156,16 +162,16 @@ class Fingerprint:
         k = self.k
         if len(t) < k:
             return self.doc_hash(t)
-        vals = np.frombuffer(t.encode('utf-8', 'replace')[:len(t) * 4], dtype=np.uint8)
-        # rolling k-gram hashes over the raw utf-8 bytes (vectorized)
-        data = np.frombuffer(t.encode('utf-8', 'replace'), dtype=np.uint8).astype(np.uint64)
-        if len(data) < k:
-            return self.doc_hash(t)
-        powers = np.array([pow(self.B, k - 1 - i, self.MOD) for i in range(k)],
-                          dtype=np.uint64)
-        windows = np.lib.stride_tricks.sliding_window_view(data, k)
-        grams = (windows * powers[None, :] % np.uint64(self.MOD)).sum(axis=1) % np.uint64(self.MOD)
-        return int(grams.min())
+        # codepoints, vectorized (utf-32-le == one uint32 per codepoint)
+        data = np.frombuffer(t.encode('utf-32-le'), dtype=np.uint32).astype(np.uint64)
+        n_win = len(data) - k + 1
+        # Horner over the window dimension: k passes, no per-window loop
+        g = np.zeros(n_win, dtype=np.uint64)
+        B = np.uint64(self.B % self.GRAM_MOD)
+        M = np.uint64(self.GRAM_MOD)
+        for j in range(k):
+            g = (g * B + data[j:j + n_win]) % M
+        return int(g.min())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
