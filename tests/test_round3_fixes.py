@@ -198,6 +198,81 @@ def test_distributed_combo_no_overflow_past_2_31(ray_session, tmp_path):
     assert v_driver.column('visit_order').to_pylist()[0] == big
 
 
+def test_mega_wave_chunked_identical(ray_session, tmp_path):
+    """Spilled waves processed in tiny sub-chunks (driver memory
+    O(chunk)) must replay byte-identical BFS order, depths, schedule
+    and visit counters: the queue is a global seq-FIFO, so a chunk's
+    discovered links pull after the wave's remaining keys."""
+    from webscraping_ray.pipelines.crawl import crawl_bfs
+
+    tbl = corpus.pages_table(300, n_hosts=6, seed=7)
+    as_dict = dict(zip(tbl.column('url').to_pylist(),
+                       tbl.column('html').to_pylist()))
+    seeds = _seeds(as_dict)
+    plain = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+    chunked = crawl_bfs(tbl, seeds, max_depth=3, max_links=10,
+                        frontier_queue_dir=str(tmp_path / 'fq'),
+                        frontier_spill_threshold=0, mega_wave_chunk=7)
+    assert chunked.to_pylist() == plain.to_pylist()
+
+
+def test_mega_wave_budget_no_stranded_keys(ray_session, tmp_path):
+    """max_urls cutting into a spilled wave: the visited prefix equals
+    the unchunked budgeted crawl, and the unvisited tail stays
+    unclaimed in the queue (pullable later) instead of being claimed
+    and dropped."""
+    from webscraping_ray.pipelines.crawl import Crawler, crawl_bfs
+
+    tbl = corpus.pages_table(300, n_hosts=6, seed=7)
+    as_dict = dict(zip(tbl.column('url').to_pylist(),
+                       tbl.column('html').to_pylist()))
+    seeds = _seeds(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+    budget = full.num_rows // 2
+    plain = crawl_bfs(tbl, seeds, max_depth=3, max_links=10,
+                      max_urls=budget)
+    qdir = str(tmp_path / 'fq')
+    spilled = crawl_bfs(tbl, seeds, max_depth=3, max_links=10,
+                        max_urls=budget, frontier_queue_dir=qdir,
+                        frontier_spill_threshold=0, mega_wave_chunk=5)
+    assert spilled.to_pylist() == plain.to_pylist()
+    assert spilled.num_rows == budget
+    # the tail of the wave the budget cut into is still unclaimed
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    q = ParquetQueue(qdir)
+    leftover = q.pull(limit=10**6)
+    assert leftover, 'budget-cut keys must stay pullable, not stranded'
+    visited = set(spilled.column('url').to_pylist())
+    for key in leftover:
+        assert key.split('|', 1)[1] not in visited
+
+
+def test_minhash_join_tier_equals_broadcast_tier(ray_session, monkeypatch):
+    """Forcing the >limit Dataset-join tier (the 100-TB path) must give
+    byte-identical pairs to the broadcast tier."""
+    import ray.data
+
+    from webscraping_ray.stages import dedup
+
+    base = ('the quick brown fox jumps over the lazy dog while the '
+            'crawler fetches pages and extracts text tokens for the '
+            'training corpus pipeline at web scale')
+    texts = [base, base, base.replace('lazy', 'sleepy'),
+             'completely different tiny text',
+             base.replace('quick', 'rapid'),
+             'another unrelated document about databases']
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(range(len(texts)), pa.int64()),
+        'text': pa.array(texts, pa.string()),
+    }))
+    small = dedup.minhash_dup_pairs(ds, threshold=0.5)
+    monkeypatch.setattr(dedup, 'BROADCAST_KEY_LIMIT', 0)
+    monkeypatch.setattr(dedup, 'BROADCAST_DOC_LIMIT', 0)
+    big = dedup.minhash_dup_pairs(ds, threshold=0.5)
+    assert big.to_pylist() == small.to_pylist()
+    assert small.num_rows > 0, 'fixture must contain near-dup pages'
+
+
 def test_queue_reopen_derives_counters_from_disk(tmp_path):
     """Restoring an older claims.json (crawl resume does this to rewind
     the claim watermark) must not rewind next_seg/next_seq: segments

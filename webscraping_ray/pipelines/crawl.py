@@ -257,7 +257,8 @@ class Crawler:
                  frontier_spill_threshold: int = 100_000,
                  cb=None, max_urls: int | None = None,
                  max_errors: int | None = None,
-                 now_ts: int | None = None, max_age_us: int | None = None):
+                 now_ts: int | None = None, max_age_us: int | None = None,
+                 mega_wave_chunk: int | None = 1_000_000):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html.
 
         cb: per-page callback ``cb(url, page) -> iterable of urls``
@@ -304,6 +305,14 @@ class Crawler:
         # in the key so pull (seq order) replays discovery order
         self.frontier_queue_dir = frontier_queue_dir
         self.frontier_spill_threshold = frontier_spill_threshold
+        # mega-wave chunking: a spilled wave is pulled and processed in
+        # sub-chunks of at most this many urls, so driver memory is
+        # O(chunk) — never O(wave) — at 10^8-row frontier scale.  BFS
+        # order is preserved because the queue is a global seq-ordered
+        # FIFO: a chunk's discovered links are pushed with higher seq
+        # than the wave's remaining keys, so they pull after them.
+        # None = unlimited (whole wave per pull).
+        self.mega_wave_chunk = mega_wave_chunk
         self._frontier_queue = None
         self.seen = ShardedSeenSet(num_seen_shards, seen_kind,
                                    seen_capacity_per_shard, use_ray=use_ray)
@@ -582,22 +591,44 @@ class Crawler:
         links), so depth must NOT drive the ordering; it rides encoded
         in the key.  A url enters the frontier at most once per crawl
         (seen-set registration), so the depth prefix never splits one
-        url into two queue keys in practice."""
-        if (self.frontier_queue_dir is not None
-                and len(new_frontier) > self.frontier_spill_threshold):
+        url into two queue keys in practice.
+
+        When the queue still holds unclaimed keys (a chunked mega-wave
+        in progress), the new frontier ALWAYS spills regardless of
+        size: its keys must pull after the wave's remaining keys (seq
+        order) to preserve BFS order."""
+        if self.frontier_queue_dir is None:
+            return new_frontier
+        queue_busy = (self._frontier_queue is not None
+                      and len(self._frontier_queue) > 0)
+        if queue_busy or len(new_frontier) > self.frontier_spill_threshold:
             self._queue().push([('%d|%s' % (d, u), 0) for u, d in new_frontier])
             return _SPILLED
         return new_frontier
 
     def _materialize_frontier(self, frontier):
+        """In-memory frontiers pass through; a spilled frontier pulls
+        at most ``mega_wave_chunk`` keys (and never more than the
+        remaining ``max_urls`` budget, so no pulled key is ever
+        silently dropped — unclaimed keys stay pullable/re-pushable)."""
         if frontier == _SPILLED:
             q = self._queue()
+            limit = len(q)
+            if self.mega_wave_chunk is not None:
+                limit = min(limit, self.mega_wave_chunk)
+            if self.max_urls is not None:
+                limit = min(limit, self.max_urls - self.visit_counter)
             out = []
-            for key in q.pull(limit=len(q)):
+            for key in q.pull(limit=limit):
                 d, u = key.split('|', 1)
                 out.append((u, int(d)))
             return out
         return frontier
+
+    def _frontier_drained(self, frontier) -> bool:
+        if frontier == _SPILLED:
+            return len(self._queue()) == 0
+        return not frontier
 
     # ------------------------------------------------------------------
     def run(self, seeds=(), max_waves: int | None = None,
@@ -614,31 +645,43 @@ class Crawler:
         (url, depth, visit_order, status, scheduled_ts, text, links).
         """
         frontier = [(u, 0) for u in seeds]  # (url, depth_hint)
-        it = iter(seed_iter) if seed_iter is not None else None
         if isinstance(self.corpus, CorpusStore) and self.use_ray:
             self._extract_pool()  # prewarm: actors spawn during early waves
+        return self._crawl_loop(frontier, max_waves, stop_after_wave,
+                                seed_iter)
+
+    def _crawl_loop(self, frontier, max_waves=None, stop_after_wave=None,
+                    seed_iter=None):
+        it = iter(seed_iter) if seed_iter is not None else None
         all_visits = []
         while True:
-            if not frontier and it is not None:
+            if self._frontier_drained(frontier) and it is not None:
                 nxt = next(it, None)
                 if nxt is None:
                     it = None
                 else:
                     frontier = [(nxt, 0)]
-            if not frontier:
+            if self._frontier_drained(frontier):
                 break
             if max_waves is not None and self.wave >= max_waves:
                 break
             if self._stopped:
                 break
+            if self.max_urls is not None and \
+                    self.visit_counter >= self.max_urls:
+                # visit budget exhausted (reference DataCrawler
+                # len(scraped) < max_urls, download.py:1102); a spilled
+                # frontier's keys stay unclaimed in the queue
+                break
             wave_frontier = self._materialize_frontier(frontier)
-            if self.max_urls is not None:
-                # visit budget (reference DataCrawler len(scraped) <
-                # max_urls, download.py:1102): truncate to the budget
-                remaining = self.max_urls - self.visit_counter
-                if remaining <= 0:
-                    break
-                wave_frontier = wave_frontier[:remaining]
+            if self.max_urls is not None and frontier != _SPILLED:
+                # in-memory path: truncate to the budget (the spilled
+                # path budget-limits the pull itself)
+                wave_frontier = wave_frontier[:self.max_urls
+                                              - self.visit_counter]
+            if not wave_frontier:
+                frontier = []
+                continue
             visits = self._run_wave(wave_frontier)
             all_visits.append(visits)
             frontier = self._spill_or_keep(self._next_frontier)
@@ -1464,28 +1507,7 @@ class Crawler:
         frontier = self.resume()
         if frontier is None:
             raise ValueError('no checkpoint at %s' % self.checkpoint_dir)
-        all_visits = []
-        while frontier:
-            if max_waves is not None and self.wave >= max_waves:
-                break
-            if self._stopped:
-                break
-            wave_frontier = self._materialize_frontier(frontier)
-            if self.max_urls is not None:
-                remaining = self.max_urls - self.visit_counter
-                if remaining <= 0:
-                    break
-                wave_frontier = wave_frontier[:remaining]
-            visits = self._run_wave(wave_frontier)
-            all_visits.append(visits)
-            frontier = self._spill_or_keep(self._next_frontier)
-            if self.checkpoint_dir:
-                self._checkpoint(frontier)
-            self.wave += 1
-        self.close_pool()
-        if all_visits:
-            return pa.concat_tables(all_visits, promote_options='default')
-        return _empty_visits()
+        return self._crawl_loop(frontier, max_waves)
 
 
 def _empty_visits():

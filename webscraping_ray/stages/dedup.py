@@ -22,6 +22,7 @@ Ray-Data-shaped:
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -171,46 +172,98 @@ def _empty_pairs(value_col: str, value_type=pa.float64()) -> pa.Table:
                      value_col: pa.array([], value_type)})
 
 
-def _distinct_pairs(pairs_ds, id_col_a: str = 'id_a', id_col_b: str = 'id_b'):
-    """Distinct (id_a, id_b) rows — one shuffle over the (small) pair
-    set; the same pair found in several LSH bands collapses here."""
-    from ray.data.aggregate import Count
+def _join_safe(ds, n: int = 2):
+    """Workaround for a Ray 2.49 hash-shuffle defect: aggregate (and
+    some shuffle) outputs contain SCHEMALESS empty blocks for empty
+    partitions; map_batches / materialize pass them through untouched
+    (empty blocks skip map tasks), and a later ``Dataset.join`` dies in
+    finalize with "No match for FieldRef" when a join partition
+    receives only those shards.  ``repartition`` is the one operator
+    that rebuilds blocks, dropping the schemaless empties.  Call on any
+    aggregate-derived Dataset that feeds a join; the datasets involved
+    are answer-sized, so the extra exchange is noise."""
+    return ds.repartition(n)
 
-    return (pairs_ds.groupby([id_col_a, id_col_b])
-            .aggregate(Count(alias_name='_n'))
-            .select_columns([id_col_a, id_col_b]))
+
+#: dup-bucket-key / pair-id sets at or below this size are broadcast
+#: once via ray.put (zero-copy in every task) instead of a shuffle
+#: join — the brief's "broadcast small sides" pattern, which at 32
+#: cpus saves ~1-2 s of fixed hash-shuffle latency per join.  Above
+#: it (a 100-TB corpus with a high dup rate has O(dups) keys), the
+#: unbounded-memory-safe Dataset-join tier runs instead.
+BROADCAST_KEY_LIMIT = 4_000_000
+#: pair-doc text maps at or below this many docs are broadcast for
+#: in-task Jaccard verification; above it, verification runs as
+#: distributed hash joins of the pair list against the documents
+BROADCAST_DOC_LIMIT = 100_000
 
 
-def candidate_pairs_from_buckets(bucketed_ds, bucket_col: str, id_col: str,
-                                 carry_cols=(), max_pairs_per_bucket: int = 10_000):
+def _collect_column(ds, col: str):
+    """Driver-side list of one (answer-sized) column of a Dataset."""
+    out = []
+    for b in ds.select_columns([col]).iter_batches(batch_size=65536,
+                                                   batch_format='pyarrow'):
+        out.extend(b.column(col).to_pylist())
+    return out
+
+
+def candidate_pairs_from_buckets(bucketed_path: str, bucket_col: str,
+                                 id_col: str, carry_cols=(),
+                                 max_pairs_per_bucket: int = 10_000,
+                                 num_partitions: int = 8):
     """Distributed LSH candidate generation: dup buckets → (id_a, id_b).
 
-    One ``Count`` aggregate finds buckets with >1 member (vectorized —
-    NOT map_groups over millions of singleton buckets); only the dup
-    buckets' members are re-selected and pair-expanded per group with a
-    pair cap (a degenerate mega-bucket emits its first ``max_pairs``
-    pairs instead of O(n²) — capped buckets are real LSH pathologies,
-    e.g. empty-text docs, and the cap is logged in the result).
-    Returns a Dataset of distinct (id_a, id_b [, carry cols of a/b]).
+    ``bucketed_path`` is a parquet directory of (id, bucket[, carry])
+    rows written by the caller — persisted storage, not an object-store
+    ``materialize()``, so the two passes below never pin O(corpus)
+    rows in memory and each pass prunes to the columns it needs:
+
+    1. count pass: reads ``bucket_col`` ONLY; one ``Count`` aggregate
+       finds buckets with >1 member (vectorized — NOT map_groups over
+       millions of singleton buckets).
+    2. member pass: reads all columns and keeps dup-bucket rows —
+       below ``BROADCAST_KEY_LIMIT`` dup keys, a broadcast ``isin``
+       filter (one ray.put, no shuffle); above it, a Dataset hash
+       join against the key Dataset (no driver structure at all).
+
+    Dup buckets' members are pair-expanded per group with a pair cap
+    (a degenerate mega-bucket emits its first ``max_pairs`` pairs
+    instead of O(n²) — capped buckets are real LSH pathologies, e.g.
+    empty-text docs).  Returns a MATERIALIZED Dataset of
+    (id_a, id_b [, carry cols of a/b]) — O(candidate pairs), small by
+    construction; the same pair found by several bands appears once
+    per band (callers collapse duplicates in their answer-sized
+    output).  Returns None when no bucket has two members.
     """
     import pandas as pd
     import ray
+    import ray.data
     from ray.data.aggregate import Count
 
-    counts = bucketed_ds.groupby(bucket_col).aggregate(
-        Count(alias_name='cnt'))
-    dup_keys = counts.map_batches(
-        lambda t: t.filter(pc.greater(t['cnt'], 1)).select([bucket_col]),
-        batch_format='pyarrow').take_all()   # dup-bucket KEYS only: tiny
-    if not dup_keys:
+    dup_keys = (ray.data.read_parquet(bucketed_path, columns=[bucket_col])
+                .groupby(bucket_col).aggregate(Count(alias_name='cnt'))
+                .map_batches(
+                    lambda t: t.filter(pc.greater(t['cnt'], 1))
+                    .select([bucket_col]),
+                    batch_format='pyarrow')
+                .materialize())            # O(dup buckets): keys only
+    n_dup = dup_keys.count()
+    if n_dup == 0:
         return None
-    dup_set = pa.array(sorted({r[bucket_col] for r in dup_keys}))
-    dup_ref = ray.put(dup_set)
+    if n_dup <= BROADCAST_KEY_LIMIT:
+        key_ref = ray.put(pa.array(
+            sorted(_collect_column(dup_keys, bucket_col)), pa.int64()))
 
-    def member_filter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t[bucket_col], value_set=ray.get(dup_ref)))
+        def member_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[bucket_col],
+                                     value_set=ray.get(key_ref)))
 
-    members = bucketed_ds.map_batches(member_filter, batch_format='pyarrow')
+        members = (ray.data.read_parquet(bucketed_path)
+                   .map_batches(member_filter, batch_format='pyarrow'))
+    else:
+        members = (ray.data.read_parquet(bucketed_path)
+                   .join(_join_safe(dup_keys), 'inner',
+                         num_partitions=num_partitions, on=(bucket_col,)))
 
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
@@ -240,78 +293,147 @@ def candidate_pairs_from_buckets(bucketed_ds, bucket_col: str, id_col: str,
         return pa.table({name: t[name].cast(pa.int64())
                          for name in t.column_names})
 
-    return (members.groupby(bucket_col)
-            .map_groups(expand, batch_format='pandas')
-            .map_batches(coerce, batch_format='pyarrow'))
+    cand = _join_safe(members.groupby(bucket_col)
+                      .map_groups(expand, batch_format='pandas')
+                      .map_batches(coerce, batch_format='pyarrow'),
+                      max(2, num_partitions // 2)).materialize()
+    # the downstream joins also crash on an all-EMPTY input side;
+    # candidate-less is possible only in pathological same-id
+    # band-hash-collision buckets
+    return cand if cand.count() else None
+
+
+def _verified_pairs_table(rows, value_col: str, value_type=pa.float64()):
+    """Driver-side finish: dedup pairs found by several bands (same
+    verified value), sort — O(answer) work on the answer itself."""
+    uniq = {}
+    for r in rows:
+        uniq[(r['id_a'], r['id_b'])] = r[value_col]
+    keys = sorted(uniq)
+    return pa.table({'id_a': pa.array([a for a, _ in keys], pa.int64()),
+                     'id_b': pa.array([b for _, b in keys], pa.int64()),
+                     value_col: pa.array([uniq[k] for k in keys],
+                                         value_type)})
 
 
 def minhash_dup_pairs(ds, threshold: float = 0.8, num_hashes: int = 128,
                       bands: int = 32, k_shingle: int = 3,
                       text_col: str = 'text', id_col: str = 'doc_id',
-                      num_partitions: int = 8):
+                      num_partitions: int = 8, scratch_dir: str | None = None):
     """MinHash-LSH near-duplicate pairs with verified Jaccard.
 
     Returns a pyarrow Table (id_a, id_b, jaccard) with id_a < id_b,
-    sorted.  Fully distributed end to end:
+    sorted.  Fully distributed end to end, with no O(corpus) driver or
+    object-store pinning:
 
-    - bands computed ONCE (``materialize()`` pins the signature rows so
-      the count pass and the member pass never re-run MinHash; at
-      corpus scale write them to partitioned parquet instead),
-    - candidate pairs expanded per dup bucket via ``map_groups`` over
+    - band rows are computed ONCE and written to parquet under
+      ``scratch_dir`` (a temp dir by default; at corpus scale pass a
+      shared filesystem path) — the dup-count pass then reads only the
+      band_hash column and the member pass inner-joins the dup keys
+      as a Dataset join (see :func:`candidate_pairs_from_buckets`),
+    - candidate pairs expand per dup bucket via ``map_groups`` over
       dup buckets only (with a per-bucket pair cap),
-    - Jaccard verification as a distributed double hash-join of the
+    - Jaccard verification is a distributed double hash-join of the
       pair list against the candidate documents (semi-joined from
       ``ds`` by pair ids) — no document text ever reaches the driver;
-      only the final verified pair list does (it IS the answer).
+      only the final verified pair list does (it IS the answer), where
+      same-pair-from-several-bands duplicates collapse.
     """
-    bands_ds = ds.map_batches(
-        MinHashBands(num_hashes, bands, k_shingle, text_col, id_col),
-        batch_format='pyarrow').materialize()
+    import shutil
+    import tempfile
 
-    cand = candidate_pairs_from_buckets(bands_ds, 'band_hash', id_col)
-    if cand is None:
-        return _empty_pairs('jaccard')
-    cand = _distinct_pairs(cand).materialize()
-    if cand.count() == 0:
-        return _empty_pairs('jaccard')
+    own_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix='wsray_minhash_')
+    try:
+        bands_path = os.path.join(scratch, 'bands')
+        ds.map_batches(
+            MinHashBands(num_hashes, bands, k_shingle, text_col, id_col),
+            batch_format='pyarrow').write_parquet(bands_path)
 
-    # distributed verify: docs ⋉ pair-ids, then pairs ⋈ texts twice
-    need_ids = (cand.select_columns(['id_a'])
-                .union(cand.map_batches(
-                    lambda t: pa.table({'id_a': t['id_b']}),
-                    batch_format='pyarrow'))
-                .groupby('id_a').count().select_columns(['id_a']))
-    docs = ds.select_columns([id_col, text_col])
-    cand_docs = docs.join(need_ids, 'inner', num_partitions=num_partitions,
-                          on=(id_col,), right_on=('id_a',)).materialize()
+        cand = candidate_pairs_from_buckets(
+            bands_path, 'band_hash', id_col, num_partitions=num_partitions)
+        if cand is None:
+            return _empty_pairs('jaccard')
 
-    def rename(side):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({'j%s_id' % side: t[id_col],
-                             'text_%s' % side: t[text_col]})
-        return f
+        import ray
 
-    j = cand.join(cand_docs.map_batches(rename('a'), batch_format='pyarrow'),
-                  'inner', num_partitions=num_partitions,
-                  on=('id_a',), right_on=('ja_id',))
-    j = j.join(cand_docs.map_batches(rename('b'), batch_format='pyarrow'),
-               'inner', num_partitions=num_partitions,
-               on=('id_b',), right_on=('jb_id',))
+        pair_ids = sorted({i for col in ('id_a', 'id_b')
+                           for i in _collect_column(cand, col)})
+        docs = ds.select_columns([id_col, text_col])
+        if len(pair_ids) <= BROADCAST_DOC_LIMIT:
+            # broadcast tier: one filtered scan collects the candidate
+            # docs' texts into a shared map (ray.put once); each cand
+            # batch verifies in-task — no joins, no shuffles
+            ids_arr = pa.array(pair_ids, pa.int64())
+            texts = {}
+            for b in docs.map_batches(
+                    lambda t: t.filter(pc.is_in(t[id_col],
+                                                value_set=ids_arr)),
+                    batch_format='pyarrow').iter_batches(
+                        batch_size=4096, batch_format='pyarrow'):
+                texts.update(zip(b.column(id_col).to_pylist(),
+                                 b.column(text_col).to_pylist()))
+            tref = ray.put(texts)
 
-    def verify(t: pa.Table) -> pa.Table:
-        ja = [jaccard(a, b, k_shingle)
-              for a, b in zip(t['text_a'].to_pylist(),
-                              t['text_b'].to_pylist())]
-        out = pa.table({'id_a': t['id_a'], 'id_b': t['id_b'],
-                        'jaccard': pa.array(ja, pa.float64())})
-        return out.filter(pc.greater_equal(out['jaccard'], threshold))
+            def verify_bcast(t: pa.Table) -> pa.Table:
+                tx = ray.get(tref)
+                ja = [jaccard(tx.get(a, ''), tx.get(b, ''), k_shingle)
+                      for a, b in zip(t['id_a'].to_pylist(),
+                                      t['id_b'].to_pylist())]
+                out = pa.table({'id_a': t['id_a'], 'id_b': t['id_b'],
+                                'jaccard': pa.array(ja, pa.float64())})
+                return out.filter(pc.greater_equal(out['jaccard'],
+                                                   threshold))
 
-    verified = j.map_batches(verify, batch_format='pyarrow').take_all()
-    verified.sort(key=lambda r: (r['id_a'], r['id_b']))
-    return pa.table({'id_a': pa.array([r['id_a'] for r in verified], pa.int64()),
-                     'id_b': pa.array([r['id_b'] for r in verified], pa.int64()),
-                     'jaccard': pa.array([r['jaccard'] for r in verified],
-                                         pa.float64())})
+            verified = cand.map_batches(verify_bcast,
+                                        batch_format='pyarrow').take_all()
+            return _verified_pairs_table(verified, 'jaccard')
+
+        # join tier (pair-doc set too big to broadcast): docs ⋉
+        # pair-ids, then pairs ⋈ texts twice.  Both pair sides stack
+        # inside ONE map (NOT Dataset.union: a union feeding a groupby
+        # feeding a join loses shards for some join partitions in Ray
+        # 2.49 — "No match for FieldRef" at finalize)
+        def both_ids(t: pa.Table) -> pa.Table:
+            return pa.table({'id_a': pa.chunked_array(
+                t.column('id_a').cast(pa.int64()).chunks
+                + t.column('id_b').cast(pa.int64()).chunks)})
+
+        need_ids = _join_safe(
+            cand.map_batches(both_ids, batch_format='pyarrow')
+            .groupby('id_a').count().select_columns(['id_a']))
+        cand_docs = docs.join(need_ids, 'inner',
+                              num_partitions=num_partitions,
+                              on=(id_col,), right_on=('id_a',)).materialize()
+
+        def rename(side):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({'j%s_id' % side: t[id_col],
+                                 'text_%s' % side: t[text_col]})
+            return f
+
+        j = cand.join(cand_docs.map_batches(rename('a'),
+                                            batch_format='pyarrow'),
+                      'inner', num_partitions=num_partitions,
+                      on=('id_a',), right_on=('ja_id',))
+        j = j.join(cand_docs.map_batches(rename('b'),
+                                         batch_format='pyarrow'),
+                   'inner', num_partitions=num_partitions,
+                   on=('id_b',), right_on=('jb_id',))
+
+        def verify(t: pa.Table) -> pa.Table:
+            ja = [jaccard(a, b, k_shingle)
+                  for a, b in zip(t['text_a'].to_pylist(),
+                                  t['text_b'].to_pylist())]
+            out = pa.table({'id_a': t['id_a'], 'id_b': t['id_b'],
+                            'jaccard': pa.array(ja, pa.float64())})
+            return out.filter(pc.greater_equal(out['jaccard'], threshold))
+
+        verified = j.map_batches(verify, batch_format='pyarrow').take_all()
+        return _verified_pairs_table(verified, 'jaccard')
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -361,16 +483,20 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = 'text',
-                      id_col: str = 'doc_id'):
+                      id_col: str = 'doc_id', num_partitions: int = 8,
+                      scratch_dir: str | None = None):
     """SimHash near-dup pairs: bucket by the four 16-bit sub-bands
     (any pair within hamming ≤ 3 of a 64-bit code shares at least one
     exact 16-bit band — pigeonhole over 4 bands), verify hamming.
 
-    Fully distributed: fingerprints carried through the bucket rows, so
-    verification is vectorized inside the pair-expansion groups and per
-    pair dedup — no document and no member list touches the driver.
+    Fully distributed: the band rows persist to parquet (never an
+    O(corpus) object-store pin), fingerprints are carried through the
+    bucket rows so verification is vectorized over the candidate pair
+    rows, and only the verified pair list (the answer) reaches the
+    driver, where cross-band duplicates collapse.
     """
-    from ray.data.aggregate import Min
+    import shutil
+    import tempfile
 
     sims = ds.map_batches(SimHash(text_col, id_col), batch_format='pyarrow')
 
@@ -388,30 +514,32 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = 'text',
                          'bkey': pa.array(out_key, pa.int64()),
                          'simhash': pa.array(out_fp, pa.int64())})
 
-    keyed = sims.map_batches(explode_bands,
-                             batch_format='pyarrow').materialize()
-    cand = candidate_pairs_from_buckets(keyed, 'bkey', id_col,
-                                        carry_cols=('simhash',))
-    if cand is None:
-        return _empty_pairs('hamming', pa.int32())
+    own_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix='wsray_simhash_')
+    try:
+        keyed_path = os.path.join(scratch, 'bands')
+        sims.map_batches(explode_bands,
+                         batch_format='pyarrow').write_parquet(keyed_path)
+        cand = candidate_pairs_from_buckets(
+            keyed_path, 'bkey', id_col, carry_cols=('simhash',),
+            num_partitions=num_partitions)
+        if cand is None:
+            return _empty_pairs('hamming', pa.int32())
 
-    def verify(t: pa.Table) -> pa.Table:
-        ham = [hamming64(a, b)
-               for a, b in zip(t['simhash_a'].to_pylist(),
-                               t['simhash_b'].to_pylist())]
-        out = pa.table({'id_a': t['id_a'], 'id_b': t['id_b'],
-                        'hamming': pa.array(ham, pa.int32())})
-        return out.filter(pc.less_equal(out['hamming'], max_hamming))
+        def verify(t: pa.Table) -> pa.Table:
+            ham = [hamming64(a, b)
+                   for a, b in zip(t['simhash_a'].to_pylist(),
+                                   t['simhash_b'].to_pylist())]
+            out = pa.table({'id_a': t['id_a'], 'id_b': t['id_b'],
+                            'hamming': pa.array(ham, pa.int32())})
+            return out.filter(pc.less_equal(out['hamming'], max_hamming))
 
-    verified = cand.map_batches(verify, batch_format='pyarrow')
-    # same pair from several bands: collapse distributed (min = same)
-    pairs = (verified.groupby(['id_a', 'id_b'])
-             .aggregate(Min('hamming', alias_name='hamming'))).take_all()
-    pairs.sort(key=lambda r: (r['id_a'], r['id_b']))
-    return pa.table({'id_a': pa.array([r['id_a'] for r in pairs], pa.int64()),
-                     'id_b': pa.array([r['id_b'] for r in pairs], pa.int64()),
-                     'hamming': pa.array([r['hamming'] for r in pairs],
-                                         pa.int32())})
+        verified = cand.map_batches(verify,
+                                    batch_format='pyarrow').take_all()
+        return _verified_pairs_table(verified, 'hamming', pa.int32())
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
