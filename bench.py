@@ -225,8 +225,129 @@ def run_scaling():
     }))
 
 
+def run_crawl_stress(chunked: bool = False):
+    """Exhaustive BFS crawl of the whole bench corpus (64 seeds, no
+    depth limit) — the crawl-specific scaling/latency workload.
+
+    ``chunked=True`` additionally forces the spill frontier + mega-wave
+    chunking path (chunk 4096) to evidence O(chunk) driver memory.
+    Prints one JSON line with seconds, pages/s, visit fingerprint,
+    driver max RSS and the per-stage wall-time decomposition (fixed
+    per-wave latency vs scalable work) from the per-wave metrics.
+    """
+    import resource
+    import shutil
+    import tempfile
+
+    os.environ['PYTHONPATH'] = REPO + os.pathsep + os.environ.get('PYTHONPATH', '')
+    import pyarrow as _pa
+    _pa.set_cpu_count(NUM_CPUS)
+    _pa.set_io_thread_count(max(2, NUM_CPUS // 2))
+    import ray
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from webscraping_ray.pipelines.crawl import Crawler
+    from webscraping_ray.sources import corpus, store
+
+    root, _ = ensure_corpus()
+    cs = store.CorpusStore(root)
+    cs.read_all(columns=['url']).count()    # warm page cache (untimed)
+    cumw = corpus.host_cumweights(N_HOSTS)
+    seeds, seen_hosts = [], set()
+    for i in range(N_PAGES):
+        h = corpus.page_host_id(i, CORPUS_SEED, cumw)
+        if h not in seen_hosts:
+            seen_hosts.add(h)
+            seeds.append(corpus.page_url(h, i))
+    kw = dict(max_depth=10**9, max_links=100, num_seen_shards=8,
+              batch_size=256)
+    scratch = None
+    if chunked:
+        scratch = tempfile.mkdtemp(prefix='graft_stress_fq_')
+        kw.update(frontier_queue_dir=scratch, frontier_spill_threshold=0,
+                  mega_wave_chunk=4096)
+    t0 = time.time()
+    c = Crawler(cs, **kw)
+    visits = c.run(seeds)
+    secs = time.time() - t0
+    fp = hashlib.blake2b(
+        ('|'.join(visits.column('url').to_pylist()) + '#' +
+         '|'.join(map(str, visits.column('depth').to_pylist()))).encode(),
+        digest_size=8).hexdigest()
+    stage_totals = {}
+    for w in c.state.waves:
+        for k, v in w['stage_secs'].items():
+            stage_totals[k] = round(stage_totals.get(k, 0.0) + v, 3)
+    out = {
+        'mode': 'chunked' if chunked else 'plain',
+        'num_cpus': NUM_CPUS,
+        'visits': visits.num_rows,
+        'waves': len(c.state.waves),
+        'seconds': round(secs, 3),
+        'pages_per_sec': round(visits.num_rows / secs, 1),
+        'crawl_fingerprint': fp,
+        'driver_max_rss_gb': round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2),
+        'stage_secs_total': stage_totals,
+    }
+    if scratch:
+        shutil.rmtree(scratch, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_crawl_scaling():
+    """Exhaustive-crawl stress at 8 and 32 cpus in fresh processes
+    (best-of-2 per level, output fingerprints asserted identical);
+    reports crawl throughput at both plus scaling efficiency and the
+    stage decomposition that shows where fixed wave latency sits."""
+    if not os.path.exists(os.path.join(corpus_root(), '_corpus_meta.json')):
+        subprocess.run([sys.executable, '-c',
+                        'import bench; bench.ensure_corpus()'],
+                       env=dict(os.environ, RAY_GRAFT_CPUS='32'),
+                       capture_output=True, text=True, check=True, cwd=REPO)
+
+    def run_once(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'bench.py'), '--crawl-stress'],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=REPO).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def best(ncpu, reps=2):
+        runs = [run_once(ncpu) for _ in range(reps)]
+        assert len({r['crawl_fingerprint'] for r in runs}) == 1
+        return min(runs, key=lambda r: r['seconds'])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = best(lo), best(hi)
+    eff = (r_lo['seconds'] / r_hi['seconds']) / (hi / lo)
+    print(json.dumps({
+        'crawl_sec_%d' % lo: r_lo['seconds'],
+        'crawl_sec_%d' % hi: r_hi['seconds'],
+        'crawl_pps_%d' % lo: r_lo['pages_per_sec'],
+        'crawl_pps_%d' % hi: r_hi['pages_per_sec'],
+        'visits': r_hi['visits'],
+        'waves': r_hi['waves'],
+        'crawl_scaling_efficiency': round(eff, 3),
+        'outputs_identical':
+            r_lo['crawl_fingerprint'] == r_hi['crawl_fingerprint'],
+        'stage_secs_%d' % lo: r_lo['stage_secs_total'],
+        'stage_secs_%d' % hi: r_hi['stage_secs_total'],
+    }))
+
+
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         run_scaling()
+    elif '--crawl-scaling' in sys.argv:
+        run_crawl_scaling()
+    elif '--crawl-stress' in sys.argv:
+        print(json.dumps(run_crawl_stress(chunked='--chunked' in sys.argv)))
     else:
         print(json.dumps(run_bench()))

@@ -82,3 +82,70 @@ def test_decode_image_stage_real_path(ray_session):
     with pytest.raises(Exception):
         ray.data.from_arrow(tbl).map_batches(
             DecodeImage(strict=True), batch_format='pyarrow').take_all()
+
+
+def test_jpeg_roundtrip_rgb_and_gray():
+    """Baseline JPEG codec (pure numpy Huffman+DCT): encode→decode is
+    near-lossless on smooth content at q90, exact shapes, both
+    colorspaces, odd sizes."""
+    from webscraping_ray.stages.jpegcodec import (decode_jpeg_baseline,
+                                                  encode_jpeg_baseline)
+
+    h, w = 40, 56
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([x * 255 // w, y * 255 // h,
+                    (x + y) * 255 // (w + h)], axis=-1).astype(np.uint8)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=90))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+    gray = ((x + 2 * y) % 256).astype(np.uint8)
+    dg = decode_jpeg_baseline(encode_jpeg_baseline(gray, quality=90))
+    assert dg.shape == gray.shape
+    assert np.abs(dg.astype(int) - gray.astype(int)).mean() < 2.0
+    odd = img[:37, :51]
+    do = decode_jpeg_baseline(encode_jpeg_baseline(odd, quality=75))
+    assert do.shape == odd.shape
+
+
+def test_jpeg_rejects_progressive():
+    from webscraping_ray.stages.jpegcodec import (UnsupportedJpeg,
+                                                  decode_jpeg_baseline,
+                                                  encode_jpeg_baseline)
+
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_baseline(img))
+    i = data.find(b'\xff\xc0')
+    data[i + 1] = 0xC2                     # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(UnsupportedJpeg):
+        decode_jpeg_baseline(bytes(data))
+
+
+def test_decode_image_stage_real_jpeg(ray_session):
+    """DecodeImage over REAL baseline-JPEG payloads: real_decode=True
+    and the decoded mean tracks the source image."""
+    import pyarrow as pa
+    import ray.data
+    from webscraping_ray.stages.jpegcodec import encode_jpeg_baseline
+    from webscraping_ray.stages.multimodal import DecodeImage
+
+    h, w = 32, 24
+    y, x = np.mgrid[0:h, 0:w]
+    imgs = [np.stack([(x * (i + 3)) % 256, (y * (i + 5)) % 256,
+                      (x + y + i) % 256], axis=-1).astype(np.uint8)
+            for i in range(4)]
+    payloads = [encode_jpeg_baseline(m, quality=90) for m in imgs]
+    tbl = pa.table({
+        'media_id': pa.array(range(4), pa.int64()),
+        'kind': pa.array(['image'] * 4, pa.string()),
+        'payload': pa.array(payloads, pa.large_binary()),
+        'meta_width': pa.array([w] * 4, pa.int32()),
+        'meta_height': pa.array([h] * 4, pa.int32()),
+        'meta_duration_ms': pa.array([0] * 4, pa.int32()),
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        DecodeImage(strict=True), batch_format='pyarrow',
+        batch_size=2).take_all()
+    by_id = {r['media_id']: r for r in out}
+    for i, m in enumerate(imgs):
+        assert by_id[i]['real_decode'] is True
+        assert abs(by_id[i]['mean_pixel'] - float(m.mean())) < 3.0

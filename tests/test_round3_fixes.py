@@ -273,6 +273,39 @@ def test_minhash_join_tier_equals_broadcast_tier(ray_session, monkeypatch):
     assert small.num_rows > 0, 'fixture must contain near-dup pages'
 
 
+def test_continuous_politeness_clock_matches_oracle(ray_session, tmp_path):
+    """politeness_clock='continuous' (reference download.py:454-473
+    single wall clock) must byte-match the continuous-clock vendored
+    oracle, survive checkpoint/resume, and differ from frozen."""
+    tbl = corpus.pages_table(300, n_hosts=6, seed=7)
+    as_dict = dict(zip(tbl.column('url').to_pylist(),
+                       tbl.column('html').to_pylist()))
+    seeds = _seeds(as_dict)
+    kw = dict(max_depth=3, max_links=10)
+    oracle_visits, _ = crawl_oracle(as_dict, seeds, clock='continuous', **kw)
+    visits = Crawler(tbl, politeness_clock='continuous', **kw).run(seeds)
+    got = visits.to_pylist()
+    assert len(got) == len(oracle_visits)
+    for g, o in zip(got, oracle_visits):
+        assert g['url'] == o['url']
+        assert g['scheduled_ts'] == o['scheduled_ts'], \
+            (g['url'], g['scheduled_ts'], o['scheduled_ts'])
+    # sanity: the two clock models actually diverge on this corpus
+    frozen = Crawler(tbl, **kw).run(seeds)
+    assert frozen.column('scheduled_ts').to_pylist() != \
+        visits.column('scheduled_ts').to_pylist()
+    # wave_start survives checkpoint/resume
+    ckpt = str(tmp_path / 'ckpt')
+    c1 = Crawler(tbl, politeness_clock='continuous', checkpoint_dir=ckpt,
+                 **kw)
+    part1 = c1.run(seeds, stop_after_wave=1)
+    c2 = Crawler(tbl, politeness_clock='continuous', checkpoint_dir=ckpt,
+                 **kw)
+    part2 = c2.run_resumed()
+    resumed = pa.concat_tables([part1, part2])
+    assert resumed.to_pylist() == visits.to_pylist()
+
+
 def test_queue_reopen_derives_counters_from_disk(tmp_path):
     """Restoring an older claims.json (crawl resume does this to rewind
     the claim watermark) must not rewind next_seg/next_seq: segments

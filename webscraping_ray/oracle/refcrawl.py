@@ -32,12 +32,20 @@ from ..kernels import urls as U
 
 def crawl_oracle(corpus: dict, seeds, max_depth: int = 1, max_links: int = 100,
                  allowed_urls: str = '', banned_urls: str = '^$',
-                 robots=None, delay: float = 5.0, num_redirects: int = 0):
+                 robots=None, delay: float = 5.0, num_redirects: int = 0,
+                 clock: str = 'frozen'):
     """Crawl the in-memory corpus {url: html_bytes} from ``seeds``.
 
     Returns (visits, found) where visits is a list of dicts
     (url, depth, visit_order, status, scheduled_ts, links) in crawl
     order and found is the url-hash -> depth registry.
+
+    ``clock``: ``'frozen'`` (every wave starts at t=0; each host's
+    timeline is an independent pacing contract) or ``'continuous'``
+    (reference download.py:454-473 single wall clock: a BFS wave's
+    fetches run concurrently, so wave k+1 starts at wave k's max
+    scheduled slot and no fetch is ever scheduled before a fetch of an
+    earlier wave).
     """
     allowed_re = re.compile(allowed_urls)
     banned_re = re.compile(banned_urls)
@@ -47,13 +55,23 @@ def crawl_oracle(corpus: dict, seeds, max_depth: int = 1, max_links: int = 100,
     visit_order = 0
     # virtual politeness clock (variance=0), per host
     next_ok = {}
-    clock = 0.0
+    wave_start = 0.0
+    wave_max = 0.0
+    remaining_in_wave = len(queue)   # wave boundary bookkeeping
 
     while queue:
+        if remaining_in_wave == 0:
+            # all of the previous wave popped: its emissions are the
+            # next wave
+            remaining_in_wave = len(queue)
+            if clock == 'continuous':
+                wave_start = wave_max
         url = queue.popleft()
+        remaining_in_wave -= 1
         host = T.get_domain(url)
-        scheduled = max(next_ok.get(host, clock), clock)
+        scheduled = max(next_ok.get(host, wave_start), wave_start)
         next_ok[host] = scheduled + delay
+        wave_max = max(wave_max, scheduled)
 
         raw = corpus.get(url)
         page = T.html_to_unicode(raw) if raw is not None else ''

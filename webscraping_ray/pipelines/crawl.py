@@ -258,7 +258,8 @@ class Crawler:
                  cb=None, max_urls: int | None = None,
                  max_errors: int | None = None,
                  now_ts: int | None = None, max_age_us: int | None = None,
-                 mega_wave_chunk: int | None = 1_000_000):
+                 mega_wave_chunk: int | None = 1_000_000,
+                 politeness_clock: str = 'frozen'):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html.
 
         cb: per-page callback ``cb(url, page) -> iterable of urls``
@@ -319,6 +320,17 @@ class Crawler:
         self.politeness = PolitenessPool(num_politeness_shards, delay,
                                          use_ray=use_ray,
                                          additional_key=throttle_additional_key)
+        # politeness clock model (state/politeness.py): 'frozen' (the
+        # vendored-oracle default: every wave starts at t=0, per-host
+        # pacing contract) or 'continuous' (reference
+        # download.py:454-473 single wall clock: each wave starts at
+        # the previous wave's max scheduled slot).  Under mega-wave
+        # chunking the continuous clock's wave granularity is the
+        # processed chunk.
+        if politeness_clock not in ('frozen', 'continuous'):
+            raise ValueError('politeness_clock must be frozen|continuous')
+        self.politeness_clock = politeness_clock
+        self._wave_start = 0.0
         self.cb = cb
         self.max_urls = max_urls
         self.max_errors = max_errors
@@ -721,7 +733,9 @@ class Crawler:
         # 1. politeness schedule (virtual clock, queue order)
         t0 = _time.time()
         hosts = [self._host(u) for u in urls]
-        scheduled = self.politeness.schedule(hosts, 0.0)
+        scheduled = self.politeness.schedule(hosts, self._wave_start)
+        if self.politeness_clock == 'continuous' and len(scheduled):
+            self._wave_start = max(self._wave_start, float(scheduled.max()))
         stage_secs['politeness'] = _time.time() - t0
 
         # distributed-resolve tier: big waves never materialize page
@@ -926,7 +940,12 @@ class Crawler:
             url, depth_hint = stack.pop()
             h = U.url_hash64(url)
             host = self._host(url)
-            scheduled = float(self.politeness.schedule([host], 0.0)[0])
+            # DFS is sequential, so under the continuous clock every
+            # visit is its own "wave" (reference single wall clock)
+            scheduled = float(self.politeness.schedule(
+                [host], self._wave_start)[0])
+            if self.politeness_clock == 'continuous':
+                self._wave_start = max(self._wave_start, scheduled)
             if self.seen.contains_batch(
                     np.array([h], dtype=np.int64).astype(np.uint64))[0]:
                 depth = seed_depths.get(h, depth_hint)
@@ -1437,7 +1456,8 @@ class Crawler:
                        'seen_kind': self.seen.kind,
                        'num_politeness_shards': self.politeness.num_shards,
                        'frontier_spilled': spilled,
-                       'frontier_queue_dir': self.frontier_queue_dir},
+                       'frontier_queue_dir': self.frontier_queue_dir,
+                       'wave_start': self._wave_start},
                       f)
         _atomic_write_dir(tmp, final)
         # LATEST pointer, atomic (reference State.save pattern,
@@ -1488,6 +1508,7 @@ class Crawler:
                 (wantp, self.politeness.num_shards))
         self.visit_counter = man['visit_counter']
         self.wave = man['wave'] + 1
+        self._wave_start = float(man.get('wave_start', 0.0))
         if man.get('frontier_spilled'):
             # rewind the queue's claim watermark to checkpoint time and
             # reopen (rebuilds the in-memory hash index)

@@ -208,10 +208,19 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff + decode PNG or BMP; raises UnsupportedImage otherwise."""
+    """Sniff + decode PNG, BMP or baseline JPEG; raises
+    UnsupportedImage otherwise (progressive JPEG, WebP, ...)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b'BM':
         return decode_bmp(data)
+    if data[:2] == b'\xff\xd8':
+        from .jpegcodec import UnsupportedJpeg, decode_jpeg_baseline
+
+        try:
+            return decode_jpeg_baseline(data)
+        except UnsupportedJpeg as e:
+            raise UnsupportedImage('jpeg: %s' % e)
     raise UnsupportedImage('unrecognized image format '
-                           '(only PNG/BMP decode without codec libs)')
+                           '(PNG/BMP/baseline-JPEG decode without '
+                           'codec libs)')

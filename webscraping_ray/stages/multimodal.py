@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata.
 
-Image decode is REAL for PNG and uncompressed BMP via the pure-stdlib
-codecs in :mod:`.imagecodec` (zlib + numpy — no PIL needed).  Formats
-that genuinely require external codec libraries (JPEG/WebP, audio,
-video frames) remain behind a clearly-marked deterministic stub; the
+Image decode is REAL for PNG, uncompressed BMP (pure-stdlib codecs in
+:mod:`.imagecodec` — zlib + numpy) and baseline JPEG (pure-numpy
+Huffman + IDCT in :mod:`.jpegcodec`).  Formats that genuinely require
+external codec libraries (progressive JPEG, WebP, audio, video
+frames) remain behind a clearly-marked deterministic stub; the
 Ray-side plumbing — schema, actor-pool signature, batch sizing for
 large binary payloads, output layout — is identical for both paths.
 
@@ -54,7 +55,8 @@ def synth_media_table(n: int, kind: str = 'image', payload_bytes: int = 4096,
 
 
 def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder for formats needing external codecs (JPEG/WebP).
+    """STUB decoder for formats needing external codecs (progressive
+    JPEG / WebP).
 
     Deterministic fake: tile the payload bytes into an (h, w, 3) array.
     Raises NotImplementedError when ``strict`` decoding is requested
@@ -69,9 +71,10 @@ def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: payload → decoded array stats + thumbnail hash.
 
-    PNG/BMP payloads decode for real (:mod:`.imagecodec`, pure
-    stdlib).  Other formats: ``strict=True`` raises
-    NotImplementedError (JPEG needs libjpeg, absent here);
+    PNG/BMP/baseline-JPEG payloads decode for real
+    (:mod:`.imagecodec` / :mod:`.jpegcodec`, pure stdlib + numpy).
+    Other formats: ``strict=True`` raises NotImplementedError
+    (progressive JPEG / WebP need external codecs, absent here);
     ``strict=False`` falls back to the deterministic stub so the
     pipeline shape stays testable.
     """
@@ -95,8 +98,8 @@ class DecodeImage:
             except UnsupportedImage:
                 if self.strict:
                     raise NotImplementedError(
-                        'non-PNG/BMP decode requires PIL/libjpeg — '
-                        'not in this container')
+                        'non-PNG/BMP/baseline-JPEG decode requires '
+                        'PIL/libjpeg — not in this container')
                 arr = _decode_stub(p, w, h)
                 decoded = False
             if arr.ndim == 2:

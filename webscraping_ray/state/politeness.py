@@ -10,14 +10,16 @@ k-th fetch in queue order is scheduled at
 ``max(host_next_ok, wave_start)`` and advances ``host_next_ok`` by
 ``delay``.  The schedule is a recorded column (``scheduled_ts``).
 
-Clock model: the crawler passes ``wave_start=0.0`` every wave (the
-frozen-clock model the vendored oracle pins), so each host's timeline
-runs independently from t=0 and consecutive fetches of one host are
-exactly ``delay`` apart regardless of wave boundaries.  The recorded
-schedule is a per-host pacing contract — NOT a global wall-clock
-simulation across hosts (hosts do not rebase to the wave's end).
-Callers wanting a global timeline can thread the previous wave's max
-slot in as ``wave_start``.
+Clock model: under ``Crawler(politeness_clock='frozen')`` (the
+default the vendored oracle pins) the crawler passes
+``wave_start=0.0`` every wave, so each host's timeline runs
+independently from t=0 and consecutive fetches of one host are
+exactly ``delay`` apart regardless of wave boundaries — a per-host
+pacing contract, not a global wall-clock simulation.  Under
+``politeness_clock='continuous'`` the crawler threads the previous
+wave's max scheduled slot in as ``wave_start``, reproducing the
+reference's single continuous clock (download.py:454-473): no fetch
+is ever scheduled before a fetch of an earlier wave.
 
 Sharding: hosts hash-partition across ``PolitenessShard`` actors; each
 shard sees its hosts' rows in wave order (order within a host is
