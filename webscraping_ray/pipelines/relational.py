@@ -25,10 +25,20 @@ import pyarrow.compute as pc
 ASOF_CUTOFF = '2024-01-15 00:00:00'
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (the pandas blob parquet writers
+    attach): Ray's shuffle/join schema-dedup tries to hash it and logs
+    'Failed to hash the schemas ... unhashable type' on every join.
+    Zero-copy (metadata-only) and fused into the read stage."""
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(f'{sf_dir}/{name}.parquet', columns=columns)
+    return (ray.data.read_parquet(f'{sf_dir}/{name}.parquet',
+                                  columns=columns)
+            .map_batches(_strip_meta, batch_format='pyarrow'))
 
 
 # ---------------------------------------------------------------------------
