@@ -306,6 +306,72 @@ def test_continuous_politeness_clock_matches_oracle(ray_session, tmp_path):
     assert resumed.to_pylist() == visits.to_pylist()
 
 
+def test_distributed_wave_asof_snapshot(ray_session, tmp_path):
+    """as_of_ts + multi-snapshot corpus through the distributed tier:
+    the as-of filter and latest-per-url resolution compose identically
+    to the driver fold."""
+    tbl = corpus.pages_table(400, n_hosts=4, seed=9, snapshot_frac=0.3)
+    cs = _store_from_table(tbl, str(tmp_path / 'corpus'))
+    as_dict = dict(zip(tbl.column('url').to_pylist(),
+                       tbl.column('html').to_pylist()))
+    seeds = _seeds(as_dict, k=2)
+    cutoff = corpus.BASE_TS_US + 300 * 1_000_000   # before re-snapshots
+    kw = dict(max_depth=3, max_links=100, as_of_ts=cutoff)
+    v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
+    v_dist = Crawler(cs, resolve_distributed_threshold=2, **kw).run(seeds)
+    assert v_dist.select(META_COLS).to_pylist() == \
+        v_driver.select(META_COLS).to_pylist()
+
+
+def test_chunked_checkpoint_resume(ray_session, tmp_path):
+    """Kill/resume mid-crawl with mega-wave chunking active: the queue
+    claims watermark rewinds per chunk and the resumed crawl is
+    byte-identical."""
+    from webscraping_ray.pipelines.crawl import crawl_bfs
+
+    tbl = corpus.pages_table(300, n_hosts=6, seed=7)
+    as_dict = dict(zip(tbl.column('url').to_pylist(),
+                       tbl.column('html').to_pylist()))
+    seeds = _seeds(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+    kw = dict(max_depth=3, max_links=10,
+              checkpoint_dir=str(tmp_path / 'ckpt'),
+              frontier_queue_dir=str(tmp_path / 'fq'),
+              frontier_spill_threshold=0, mega_wave_chunk=9)
+    c1 = Crawler(tbl, **kw)
+    part1 = c1.run(seeds, stop_after_wave=2)   # 3 chunk-waves, "killed"
+    c2 = Crawler(tbl, **kw)
+    part2 = c2.run_resumed()
+    resumed = pa.concat_tables([part1, part2])
+    assert resumed.to_pylist() == full.to_pylist()
+
+
+def test_chunked_distributed_resolve(ray_session, tmp_path):
+    """Chunks of a spilled wave taking the DISTRIBUTED resolve tier
+    (chunk > resolve threshold, all chunk rows preseen): identical
+    visit metadata to the plain driver fold."""
+    ds = corpus.pages_dataset(1000, n_hosts=6, seed=11, weight=1,
+                              override_num_blocks=4)
+    root = str(tmp_path / 'corpus')
+    store.write_corpus(ds, root, num_buckets=4)
+    cs = store.CorpusStore(root)
+    cumw = corpus.host_cumweights(6)
+    seeds, seen_h = [], set()
+    for i in range(1000):
+        h = corpus.page_host_id(i, 11, cumw)
+        if h not in seen_h:
+            seen_h.add(h)
+            seeds.append(corpus.page_url(h, i))
+    kw = dict(max_depth=3, max_links=100)
+    v_plain = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
+    v_chunk = Crawler(cs, resolve_distributed_threshold=10,
+                      frontier_queue_dir=str(tmp_path / 'fq'),
+                      frontier_spill_threshold=0, mega_wave_chunk=40,
+                      **kw).run(seeds)
+    assert v_chunk.select(META_COLS).to_pylist() == \
+        v_plain.select(META_COLS).to_pylist()
+
+
 def test_queue_reopen_derives_counters_from_disk(tmp_path):
     """Restoring an older claims.json (crawl resume does this to rewind
     the claim watermark) must not rewind next_seg/next_seq: segments
