@@ -192,6 +192,12 @@ def _join_safe(ds, n: int = 2):
 #: it (a 100-TB corpus with a high dup rate has O(dups) keys), the
 #: unbounded-memory-safe Dataset-join tier runs instead.
 BROADCAST_KEY_LIMIT = 4_000_000
+#: band-row counts at or below this run the dup-count pass as ONE
+#: driver numpy unique over the column-pruned parquet (~160 MB peak
+#: at the limit, milliseconds of work) instead of a Count-aggregate
+#: shuffle whose fixed latency is ~2-3 s at 32 cpus.  Above it, the
+#: distributed aggregate runs (3×10^11 band rows at 10^10 docs).
+COUNT_FOLD_LIMIT = 20_000_000
 #: pair-doc text maps at or below this many docs are broadcast for
 #: in-task Jaccard verification; above it, verification runs as
 #: distributed hash joins of the pair list against the documents
@@ -218,7 +224,9 @@ def candidate_pairs_from_buckets(bucketed_path: str, bucket_col: str,
     ``materialize()``, so the two passes below never pin O(corpus)
     rows in memory and each pass prunes to the columns it needs:
 
-    1. count pass: reads ``bucket_col`` ONLY; one ``Count`` aggregate
+    1. count pass: reads ``bucket_col`` ONLY; below
+       ``COUNT_FOLD_LIMIT`` rows it is one driver ``np.unique`` over
+       the pruned column (no Ray job); above, one ``Count`` aggregate
        finds buckets with >1 member (vectorized — NOT map_groups over
        millions of singleton buckets).
     2. member pass: reads all columns and keeps dup-bucket rows —
@@ -236,23 +244,48 @@ def candidate_pairs_from_buckets(bucketed_path: str, bucket_col: str,
     output).  Returns None when no bucket has two members.
     """
     import pandas as pd
+    import pyarrow.dataset as pads
     import ray
     import ray.data
     from ray.data.aggregate import Count
 
-    dup_keys = (ray.data.read_parquet(bucketed_path, columns=[bucket_col])
-                .groupby(bucket_col).aggregate(Count(alias_name='cnt'))
-                .map_batches(
-                    lambda t: t.filter(pc.greater(t['cnt'], 1))
-                    .select([bucket_col]),
-                    batch_format='pyarrow')
-                .materialize())            # O(dup buckets): keys only
-    n_dup = dup_keys.count()
-    if n_dup == 0:
-        return None
-    if n_dup <= BROADCAST_KEY_LIMIT:
-        key_ref = ray.put(pa.array(
-            sorted(_collect_column(dup_keys, bucket_col)), pa.int64()))
+    pads_ds = pads.dataset(bucketed_path, format='parquet')
+    n_rows = pads_ds.count_rows()           # parquet-footer metadata only
+    key_arr = None
+    dup_keys = None
+    if n_rows <= COUNT_FOLD_LIMIT:
+        # small tier: one pruned driver scan + numpy unique — no jobs
+        col = pads_ds.to_table(columns=[bucket_col])[bucket_col]
+        vals, counts = np.unique(
+            col.combine_chunks().to_numpy(zero_copy_only=False),
+            return_counts=True)
+        dup = vals[counts > 1]
+        if dup.size == 0:
+            return None
+        n_dup = int(dup.size)
+        if n_dup <= BROADCAST_KEY_LIMIT:
+            key_arr = pa.array(dup, pa.int64())      # np.unique = sorted
+        else:
+            dup_keys = ray.data.from_arrow(
+                pa.table({bucket_col: pa.array(dup, pa.int64())}))
+    else:
+        dup_keys = (ray.data.read_parquet(bucketed_path,
+                                          columns=[bucket_col])
+                    .groupby(bucket_col).aggregate(Count(alias_name='cnt'))
+                    .map_batches(
+                        lambda t: t.filter(pc.greater(t['cnt'], 1))
+                        .select([bucket_col]),
+                        batch_format='pyarrow')
+                    .materialize())        # O(dup buckets): keys only
+        n_dup = dup_keys.count()
+        if n_dup == 0:
+            return None
+        if n_dup <= BROADCAST_KEY_LIMIT:
+            key_arr = pa.array(
+                sorted(_collect_column(dup_keys, bucket_col)), pa.int64())
+            dup_keys = None
+    if key_arr is not None:
+        key_ref = ray.put(key_arr)
 
         def member_filter(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t[bucket_col],
@@ -293,11 +326,12 @@ def candidate_pairs_from_buckets(bucketed_path: str, bucket_col: str,
         return pa.table({name: t[name].cast(pa.int64())
                          for name in t.column_names})
 
-    cand = _join_safe(members.groupby(bucket_col)
-                      .map_groups(expand, batch_format='pandas')
-                      .map_batches(coerce, batch_format='pyarrow'),
-                      max(2, num_partitions // 2)).materialize()
-    # the downstream joins also crash on an all-EMPTY input side;
+    cand = (members.groupby(bucket_col)
+            .map_groups(expand, batch_format='pandas')
+            .map_batches(coerce, batch_format='pyarrow')
+            .materialize())               # O(candidate pairs)
+    # callers feeding cand into a JOIN must _join_safe() it first
+    # (map_groups output can carry schemaless empty blocks);
     # candidate-less is possible only in pathological same-id
     # band-hash-collision buckets
     return cand if cand.count() else None
@@ -394,6 +428,8 @@ def minhash_dup_pairs(ds, threshold: float = 0.8, num_hashes: int = 128,
         # inside ONE map (NOT Dataset.union: a union feeding a groupby
         # feeding a join loses shards for some join partitions in Ray
         # 2.49 — "No match for FieldRef" at finalize)
+        cand = _join_safe(cand, max(2, num_partitions // 2)).materialize()
+
         def both_ids(t: pa.Table) -> pa.Table:
             return pa.table({'id_a': pa.chunked_array(
                 t.column('id_a').cast(pa.int64()).chunks
