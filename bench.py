@@ -264,12 +264,13 @@ def run_crawl_stress(chunked: bool = False):
             seen_hosts.add(h)
             seeds.append(corpus.page_url(h, i))
     kw = dict(max_depth=10**9, max_links=100, num_seen_shards=8,
-              batch_size=256)
+              batch_size=int(os.environ.get('GRAFT_STRESS_BATCH', '256')))
     scratch = None
     if chunked:
         scratch = tempfile.mkdtemp(prefix='graft_stress_fq_')
+        chunk = int(os.environ.get('GRAFT_STRESS_CHUNK', '4096'))
         kw.update(frontier_queue_dir=scratch, frontier_spill_threshold=0,
-                  mega_wave_chunk=4096)
+                  mega_wave_chunk=chunk)
     t0 = time.time()
     c = Crawler(cs, **kw)
     visits = c.run(seeds)
@@ -287,6 +288,7 @@ def run_crawl_stress(chunked: bool = False):
         'num_cpus': NUM_CPUS,
         'visits': visits.num_rows,
         'waves': len(c.state.waves),
+        'max_wave_rows': max((w['rows'] for w in c.state.waves), default=0),
         'seconds': round(secs, 3),
         'pages_per_sec': round(visits.num_rows / secs, 1),
         'crawl_fingerprint': fp,

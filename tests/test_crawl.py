@@ -178,10 +178,17 @@ def test_distributed_wave_resolve_identical(ray_session, tmp_path):
     kw = dict(max_depth=3, max_links=100, num_seen_shards=4)
     v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
     out = str(tmp_path / 'out')
-    v_dist = Crawler(cs, resolve_distributed_threshold=20,
-                     output_dir=out, **kw).run(seeds)
+    c_dist = Crawler(cs, resolve_distributed_threshold=20,
+                     output_dir=out, **kw)
+    c_dist.resolve_metadata_limit = 0      # force the FULL distributed tier
+    v_dist = c_dist.run(seeds)
     cols = ['url', 'depth', 'visit_order', 'status', 'scheduled_ts']
     assert v_dist.select(cols).to_pylist() == v_driver.select(cols).to_pylist()
+    # the middle (metadata-fold) tier must be identical too
+    c_meta = Crawler(cs, resolve_distributed_threshold=20, **kw)
+    assert c_meta.resolve_metadata_limit > 0
+    v_meta = c_meta.run(seeds)
+    assert v_meta.select(cols).to_pylist() == v_driver.select(cols).to_pylist()
     # distributed waves write text to parquet instead of returning it
     files = glob.glob(out + '/wave_*_pages/*.parquet')
     assert files, 'distributed waves must write page output'

@@ -94,8 +94,10 @@ def test_distributed_wave_latest_snapshot(ray_session, tmp_path):
     kw = dict(max_depth=3, max_links=100)
     v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
     out = str(tmp_path / 'out')
-    v_dist = Crawler(cs, resolve_distributed_threshold=2,
-                     output_dir=out, **kw).run(seeds)
+    c_dist = Crawler(cs, resolve_distributed_threshold=2,
+                     output_dir=out, **kw)
+    c_dist.resolve_metadata_limit = 0     # force the full distributed tier
+    v_dist = c_dist.run(seeds)
     assert v_dist.select(META_COLS).to_pylist() == \
         v_driver.select(META_COLS).to_pylist()
     files = glob.glob(out + '/wave_*_pages/*.parquet')
@@ -160,7 +162,13 @@ def test_distributed_max_links_exact_cap(ray_session, tmp_path):
     kw = dict(max_depth=4, max_links=2)
     oracle_visits, _ = crawl_oracle(pages, seeds, **kw)
     v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
-    v_dist = Crawler(cs, resolve_distributed_threshold=1, **kw).run(seeds)
+    c_dist = Crawler(cs, resolve_distributed_threshold=1, **kw)
+    c_dist.resolve_metadata_limit = 0     # the trim lives in the full tier
+    v_dist = c_dist.run(seeds)
+    # and the metadata-fold tier must agree as well
+    v_meta = Crawler(cs, resolve_distributed_threshold=1, **kw).run(seeds)
+    assert v_meta.select(META_COLS).to_pylist() == \
+        v_dist.select(META_COLS).to_pylist()
     # the oracle must actually visit X (sanity: the scenario bites)
     assert any(v['url'].endswith('/x') for v in oracle_visits)
     assert [v['url'] for v in oracle_visits] == \
@@ -191,6 +199,7 @@ def test_distributed_combo_no_overflow_past_2_31(ray_session, tmp_path):
     c1.visit_counter = big
     v_driver = c1.run(seeds)
     c2 = Crawler(cs, resolve_distributed_threshold=4, **kw)
+    c2.resolve_metadata_limit = 0         # combo packing is full-tier code
     c2.visit_counter = big
     v_dist = c2.run(seeds)
     assert v_dist.select(META_COLS).to_pylist() == \
@@ -318,8 +327,13 @@ def test_distributed_wave_asof_snapshot(ray_session, tmp_path):
     cutoff = corpus.BASE_TS_US + 300 * 1_000_000   # before re-snapshots
     kw = dict(max_depth=3, max_links=100, as_of_ts=cutoff)
     v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
-    v_dist = Crawler(cs, resolve_distributed_threshold=2, **kw).run(seeds)
+    c_dist = Crawler(cs, resolve_distributed_threshold=2, **kw)
+    c_dist.resolve_metadata_limit = 0
+    v_dist = c_dist.run(seeds)
     assert v_dist.select(META_COLS).to_pylist() == \
+        v_driver.select(META_COLS).to_pylist()
+    v_meta = Crawler(cs, resolve_distributed_threshold=2, **kw).run(seeds)
+    assert v_meta.select(META_COLS).to_pylist() == \
         v_driver.select(META_COLS).to_pylist()
 
 
@@ -364,10 +378,12 @@ def test_chunked_distributed_resolve(ray_session, tmp_path):
             seeds.append(corpus.page_url(h, i))
     kw = dict(max_depth=3, max_links=100)
     v_plain = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
-    v_chunk = Crawler(cs, resolve_distributed_threshold=10,
+    c_chunk = Crawler(cs, resolve_distributed_threshold=10,
                       frontier_queue_dir=str(tmp_path / 'fq'),
                       frontier_spill_threshold=0, mega_wave_chunk=40,
-                      **kw).run(seeds)
+                      **kw)
+    c_chunk.resolve_metadata_limit = 0
+    v_chunk = c_chunk.run(seeds)
     assert v_chunk.select(META_COLS).to_pylist() == \
         v_plain.select(META_COLS).to_pylist()
 

@@ -300,6 +300,18 @@ class Crawler:
         # ~50k rows ≈ a few hundred MB; below that the sequential fold
         # is both exact and faster (no per-wave shuffle-job latency)
         self.resolve_distributed_threshold = resolve_distributed_threshold
+        # middle resolve tier (within the distributed wave path): when
+        # the wave's TOTAL candidate count fits this budget, the
+        # resolution runs as the exact sequential fold over candidate
+        # METADATA pulled to the driver (url/link/hash/valid — never
+        # page text, which stays in the distributed pages output).
+        # ~50 B/candidate ⇒ the default 5M ≈ 300 MB transient driver
+        # memory, and it replaces 4-5 hash-shuffle jobs whose fixed
+        # latency dominates resolution up to ~10^6-row waves (measured:
+        # 85 s → ~5 s on a 274k-row wave, BASELINE.md round 3).  Waves
+        # beyond the budget take the fully distributed groupby-min
+        # resolve.  Set to 0 to force the distributed resolve always.
+        self.resolve_metadata_limit = 5_000_000
         # spill frontier (reference pdict.Queue, pdict.py:402-497):
         # waves larger than the threshold live in the durable on-disk
         # queue instead of a driver Python list — depth rides encoded
@@ -1173,6 +1185,10 @@ class Crawler:
             batch_format='pyarrow').sum('n') or 0
         if n_cand_total == 0:
             return finish_no_candidates()
+        if n_cand_total <= self.resolve_metadata_limit:
+            return self._resolve_wave_metadata(
+                rec, urls, depth_hints, visit_orders, scheduled, hosts,
+                n_cand_total, stage_secs)
         chunk = 65536
         meta_ds = ray.data.from_arrow(
             [meta.slice(i, chunk) for i in range(0, meta.num_rows, chunk)])
@@ -1334,6 +1350,177 @@ class Crawler:
         stage_secs['meta_pull'] = _time.time() - t0
         self._record_distributed_wave(visits, hosts, n_candidates, n_new,
                                       stage_secs)
+        return visits
+
+    def _resolve_wave_metadata(self, rec, urls, depth_hints, visit_orders,
+                               scheduled, hosts, n_cand_total, stage_secs):
+        """Middle resolve tier: the exact sequential fold over candidate
+        METADATA (url, status, cand link/hash/valid — no page text; the
+        text was already written to the wave's pages parquet from the
+        distributed blocks).  Driver memory is O(candidates); the tier
+        runs when ``n_cand_total <= resolve_metadata_limit``.  Replaces
+        the explode/join/groupby-min machinery — identical output by
+        construction (it IS the reference fold), asserted in tests.
+        """
+        import time as _time
+
+        # --- columnar pull: no per-row Python objects.  Candidate
+        # hashes/valids flatten to numpy, links stay arrow string
+        # arrays (only emitted winners materialize to Python).
+        t0 = _time.time()
+        order_of = {u: i for i, u in enumerate(urls)}
+        depth_arr = np.asarray(depth_hints, dtype=np.int32)
+        parent_chunks, j_chunks, lh_chunks, valid_chunks, link_chunks = \
+            [], [], [], [], []
+        status_of = {}
+        for b in rec.select_columns(
+                ['url', 'status', 'cand_link', 'cand_hash', 'cand_valid']
+        ).iter_batches(batch_size=65536, batch_format='pyarrow'):
+            b_urls = b.column('url').to_pylist()
+            for u, s in zip(b_urls, b.column('status').to_pylist()):
+                if s is not None:
+                    status_of[u] = s
+            rows = np.array([order_of[u] for u in b_urls], dtype=np.int64)
+            lens = pc.list_value_length(b.column('cand_hash')) \
+                .combine_chunks().to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            # drop max-depth leaf parents before exploding (reference
+            # download.py:1029-1031: leaves never register candidates)
+            lens = np.where(depth_arr[rows] == self.max_depth, 0, lens)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            parent_chunks.append(np.repeat(rows, lens))
+            # j = per-parent candidate index: global arange minus each
+            # row's start offset, repeated
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            j_chunks.append(np.arange(total, dtype=np.int64)
+                            - np.repeat(starts, lens))
+            flat_h = pc.list_flatten(b.column('cand_hash'))
+            flat_v = pc.list_flatten(b.column('cand_valid'))
+            flat_l = pc.list_flatten(b.column('cand_link'))
+            keep = None
+            if len(flat_h) != total:
+                # rows were masked (leaf parents): rebuild a take mask
+                raw_lens = pc.list_value_length(b.column('cand_hash')) \
+                    .combine_chunks().to_numpy(zero_copy_only=False)
+                raw_lens = np.nan_to_num(raw_lens, nan=0).astype(np.int64)
+                raw_starts = np.concatenate(([0], np.cumsum(raw_lens)[:-1]))
+                keep = np.concatenate([
+                    np.arange(raw_starts[i], raw_starts[i] + lens[i])
+                    for i in range(len(lens)) if lens[i]]) \
+                    if total else np.empty(0, dtype=np.int64)
+                flat_h = flat_h.take(pa.array(keep))
+                flat_v = flat_v.take(pa.array(keep))
+                flat_l = flat_l.take(pa.array(keep))
+            lh_chunks.append(flat_h.combine_chunks()
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+            valid_chunks.append(flat_v.combine_chunks()
+                                .to_numpy(zero_copy_only=False)
+                                .astype(bool))
+            link_chunks.append(flat_l.combine_chunks())
+        if parent_chunks:
+            parent = np.concatenate(parent_chunks)
+            jj = np.concatenate(j_chunks)
+            lh = np.concatenate(lh_chunks)
+            valid = np.concatenate(valid_chunks)
+            links_arr = pa.concat_arrays(
+                [c.cast(pa.string()) for c in link_chunks])
+        else:
+            parent = jj = lh = np.empty(0, dtype=np.int64)
+            valid = np.empty(0, dtype=bool)
+            links_arr = pa.array([], pa.string())
+        # candidate fold order = (parent visit order, link idx)
+        sort_idx = np.lexsort((jj, parent))
+        parent, jj, lh, valid = (parent[sort_idx], jj[sort_idx],
+                                 lh[sort_idx], valid[sort_idx])
+        uniq_h, first_idx = np.unique(lh, return_index=True)
+        pre = self.seen.contains_batch(uniq_h.astype(np.uint64)) \
+            if len(uniq_h) else np.empty(0, dtype=bool)
+        stage_secs['seen_probe'] = _time.time() - t0
+
+        t0 = _time.time()
+        # winners = first occurrence (in fold order) of each not-preseen
+        # hash — exact under the tier preconditions, PROVIDED no parent
+        # hits the max_links break (the break suppresses registration of
+        # post-break candidates, which can reassign later winners)
+        win_idx = np.sort(first_idx[~pre])
+        emit_mask = valid[win_idx]
+        emit_counts = np.bincount(parent[win_idx][emit_mask],
+                                  minlength=len(urls)) if len(win_idx) \
+            else np.zeros(len(urls), dtype=np.int64)
+        if emit_counts.size and emit_counts.max() >= self.max_links:
+            # rare: some parent is at/over the cap — run the exact
+            # sequential fold over the flat arrays (the vectorized
+            # winner set would register post-break candidates)
+            pre_of = dict(zip(uniq_h.tolist(), pre.tolist()))
+            local = set()
+            win_list = []
+            emit_list = []
+            n_out = np.zeros(len(urls), dtype=np.int64)
+            skip_parent = -1
+            for k in range(len(parent)):
+                p = parent[k]
+                if p == skip_parent:
+                    continue
+                h = lh[k]
+                if h not in local and not pre_of[h]:
+                    local.add(h)
+                    win_list.append(k)
+                    if valid[k]:
+                        emit_list.append(k)
+                        n_out[p] += 1
+                        if n_out[p] == self.max_links:
+                            skip_parent = p
+            win_idx = np.array(win_list, dtype=np.int64)
+            emit_idx = np.array(emit_list, dtype=np.int64)
+        else:
+            emit_idx = win_idx[emit_mask]
+        stage_secs['resolve'] = _time.time() - t0
+
+        t0 = _time.time()
+        if len(win_idx):
+            self.seen.add_batch(lh[win_idx].astype(np.uint64))
+        stage_secs['seen_commit'] = _time.time() - t0
+
+        # emitted links materialize to Python only here (answer-sized)
+        take = pa.array(sort_idx[emit_idx], pa.int64())
+        e_links = links_arr.take(take).to_pylist()
+        e_parents = parent[emit_idx]
+        e_depths = (depth_arr[e_parents] + 1).tolist()
+        e_pv = [visit_orders[p] for p in e_parents]
+        e_j = jj[emit_idx].tolist()
+        e_link = e_links
+        e_ld = e_depths
+        new_frontier = list(zip(e_links, e_depths))
+        n_new = int(len(win_idx))
+
+        t0 = _time.time()
+        self._next_frontier = new_frontier
+        if self.output_dir:
+            # same edges layout and directory shape as the fully
+            # distributed tier (combo = wave-local (parent order,
+            # link idx) packing)
+            base = min(visit_orders)
+            combo = [((pv - base) << 32) | j for pv, j in zip(e_pv, e_j)]
+            edir = os.path.join(self.output_dir,
+                                'wave_%05d_edges' % self.wave)
+            os.makedirs(edir, exist_ok=True)
+            pq.write_table(pa.table({
+                'combo': pa.array(combo, pa.int64()),
+                'pvisit': pa.array(e_pv, pa.int64()),
+                'j': pa.array(e_j, pa.int32()),
+                'link': pa.array(e_link, pa.string()),
+                'ldepth': pa.array(e_ld, pa.int32()),
+            }), os.path.join(edir, 'edges.parquet'))
+        stage_secs['emit_output'] = _time.time() - t0
+        visits = self._visits_from_meta(urls, depth_hints, visit_orders,
+                                        scheduled, status_of)
+        if self.output_dir:
+            self._write_visits_meta(visits)
+        self._record_distributed_wave(visits, hosts, n_cand_total,
+                                      n_new, stage_secs)
         return visits
 
     def _latest_snapshot_distributed(self, rec, urls):

@@ -145,12 +145,22 @@ class CorpusStore:
                 os.path.join(self.root, 'bucket=%d' % b, '*.parquet'))))
         return files
 
+    #: above this many lookup urls the isin filter moves out of the
+    #: parquet scan expression (which is serialized into EVERY read
+    #: task — ~10 MB per task at 250k urls) into one ray.put broadcast
+    #: read zero-copy by a post-read filter map.  Mega waves touch
+    #: every row group anyway, so scan-level pushdown prunes nothing.
+    BROADCAST_FILTER_THRESHOLD = 20_000
+
     def lookup_ds(self, urls, columns=None):
         """Ray Dataset of corpus rows whose url is in ``urls``.
 
-        Partition-pruned (only the buckets of the given urls are read)
-        with the isin filter pushed to the Parquet scanner.
+        Partition-pruned (only the buckets of the given urls are read);
+        the isin row filter is pushed to the Parquet scanner for small
+        waves and applied as a broadcast post-read filter for big ones
+        (see BROADCAST_FILTER_THRESHOLD).
         """
+        import ray
         import ray.data
 
         by_bucket = {}
@@ -162,8 +172,17 @@ class CorpusStore:
         if not files:
             return None
         columns = self._available_columns(files[0], columns)
-        flt = pc.field('url').isin(pa.array(sorted(set(urls)), pa.string()))
-        return ray.data.read_parquet(files, columns=columns, filter=flt)
+        want = pa.array(sorted(set(urls)), pa.string())
+        if len(want) <= self.BROADCAST_FILTER_THRESHOLD:
+            flt = pc.field('url').isin(want)
+            return ray.data.read_parquet(files, columns=columns, filter=flt)
+        want_ref = ray.put(want)
+
+        def filter_urls(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t['url'], value_set=ray.get(want_ref)))
+
+        return (ray.data.read_parquet(files, columns=columns)
+                .map_batches(filter_urls, batch_format='pyarrow'))
 
     def _rg_spans(self, path):
         """Cached per-row-group (min_url, max_url) stats of one file.
