@@ -149,3 +149,25 @@ def test_decode_image_stage_real_jpeg(ray_session):
     for i, m in enumerate(imgs):
         assert by_id[i]['real_decode'] is True
         assert abs(by_id[i]['mean_pixel'] - float(m.mean())) < 3.0
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 encode (2x2 luma sampling, box-averaged chroma, interleaved
+    MCUs) exercises the decoder's general sampling-factor / upsample
+    path — near-lossless on smooth gradients, exact odd-size crops."""
+    from webscraping_ray.stages.jpegcodec import (decode_jpeg_baseline,
+                                                  encode_jpeg_baseline)
+
+    h, w = 48, 64
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([x * 255 // w, y * 255 // h,
+                    (x + y) * 255 // (w + h)], axis=-1).astype(np.uint8)
+    data = encode_jpeg_baseline(img, quality=90, subsample=True)
+    assert len(data) < len(encode_jpeg_baseline(img, quality=90))
+    dec = decode_jpeg_baseline(data)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+    odd = img[:45, :61]
+    do = decode_jpeg_baseline(encode_jpeg_baseline(odd, 85, subsample=True))
+    assert do.shape == odd.shape
+    assert np.abs(do.astype(int) - odd.astype(int)).mean() < 4.0

@@ -432,14 +432,31 @@ def _encode_block(bw, coefs_zz, pred, dc_codes, ac_codes):
     return dc
 
 
-def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85) -> bytes:
+def _comp_blocks(comp: np.ndarray, q: np.ndarray, ph: int, pw: int):
+    """Pad to (ph, pw), FDCT + quantize all 8x8 blocks → zigzag coefs
+    with shape (ph/8, pw/8, 64)."""
+    h, w = comp.shape
+    padded = np.pad(comp, ((0, ph - h), (0, pw - w)), mode='edge')
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3))
+    F = np.einsum('ij,abjk,kl->abil', _D, blocks, _D.T)
+    zz = np.round(
+        F.reshape(-1, 64)[:, ZIGZAG] /
+        q[ZIGZAG][None, :]).astype(np.int32)
+    return zz.reshape(ph // 8, pw // 8, 64)
+
+
+def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85,
+                         subsample: bool = False) -> bytes:
     """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline JPEG
-    (4:4:4, standard Annex-K tables)."""
+    with standard Annex-K tables — 4:4:4 by default, 4:2:0 (2x2 luma
+    sampling, box-averaged chroma) with ``subsample=True``."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if gray:
         comps = [arr.astype(np.float64) - 128.0]
+        subsample = False
     else:
         R = arr[:, :, 0].astype(np.float64)
         G = arr[:, :, 1].astype(np.float64)
@@ -449,18 +466,25 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85) -> bytes:
         Cr = 0.5 * R - 0.418688 * G - 0.081312 * B
         comps = [Y, Cb, Cr]
     qts = [_scale_qt(QT_LUMA, quality), _scale_qt(QT_CHROMA, quality)]
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    nc = 1 if gray else 3
+    hs = [2, 1, 1] if subsample else [1] * nc   # per-comp sampling factors
+    vs = [2, 1, 1] if subsample else [1] * nc
+    hmax, vmax = max(hs[:nc]), max(vs[:nc])
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
     blocks_per_comp = []
     for ci, comp in enumerate(comps):
-        padded = np.pad(comp, ((0, ph - h), (0, pw - w)), mode='edge')
-        blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
-                  .transpose(0, 2, 1, 3))
-        F = np.einsum('ij,abjk,kl->abil', _D, blocks, _D.T)
-        q = qts[0 if ci == 0 else 1]
-        zz = np.round(
-            F.reshape(-1, 64)[:, ZIGZAG] /
-            q[ZIGZAG][None, :]).astype(np.int32)
-        blocks_per_comp.append(zz.reshape(ph // 8, pw // 8, 64))
+        if subsample and ci > 0:
+            # box-average 2x2 chroma downsample (pad odd dims first)
+            ch, cw = comp.shape
+            comp = np.pad(comp, ((0, ch % 2), (0, cw % 2)), mode='edge')
+            comp = (comp[0::2, 0::2] + comp[0::2, 1::2]
+                    + comp[1::2, 0::2] + comp[1::2, 1::2]) / 4.0
+        ph = mcuy * vs[ci] * 8
+        pw = mcux * hs[ci] * 8
+        blocks_per_comp.append(
+            _comp_blocks(comp, qts[0 if ci == 0 else 1], ph, pw))
 
     out = bytearray(b'\xff\xd8')                # SOI
 
@@ -472,10 +496,9 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85) -> bytes:
     seg(b'\xff\xdb', bytes([0]) + bytes(qts[0][ZIGZAG].tolist()))
     if not gray:
         seg(b'\xff\xdb', bytes([1]) + bytes(qts[1][ZIGZAG].tolist()))
-    nc = 1 if gray else 3
     sof = bytearray(struct.pack('>BHHB', 8, h, w, nc))
     for ci in range(nc):
-        sof.extend([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sof.extend([ci + 1, (hs[ci] << 4) | vs[ci], 0 if ci == 0 else 1])
     seg(b'\xff\xc0', bytes(sof))
     tables = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
     if not gray:
@@ -494,13 +517,19 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 85) -> bytes:
     ac_c = _huff_codes(*HT_AC_CHROMA)
     bw = _BitWriter()
     preds = [0] * nc
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    # interleaved MCU order (ITU-T.81 A.2.3): per MCU, each component
+    # contributes vs[ci] x hs[ci] blocks in raster order
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(nc):
                 dc_codes, ac_codes = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                preds[ci] = _encode_block(
-                    bw, blocks_per_comp[ci][by, bx], preds[ci],
-                    dc_codes, ac_codes)
+                for by in range(vs[ci]):
+                    for bx in range(hs[ci]):
+                        preds[ci] = _encode_block(
+                            bw,
+                            blocks_per_comp[ci][my * vs[ci] + by,
+                                                mx * hs[ci] + bx],
+                            preds[ci], dc_codes, ac_codes)
     bw.flush()
     out.extend(bw.out)
     out.extend(b'\xff\xd9')                     # EOI
