@@ -171,3 +171,73 @@ def test_jpeg_420_subsampled_roundtrip():
     do = decode_jpeg_baseline(encode_jpeg_baseline(odd, 85, subsample=True))
     assert do.shape == odd.shape
     assert np.abs(do.astype(int) - odd.astype(int)).mean() < 4.0
+
+
+def test_jpeg_random_images_roundtrip():
+    """Random-noise images (worst case for DCT) round-trip with bounded
+    error at q95 across sizes/parities and both subsampling modes."""
+    from webscraping_ray.stages.jpegcodec import (decode_jpeg_baseline,
+                                                  encode_jpeg_baseline)
+
+    def luma(a):
+        return (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                + 0.114 * a[:, :, 2])
+
+    r = np.random.default_rng(7)
+    for hh, ww in [(8, 8), (9, 13), (24, 17), (32, 32)]:
+        img = r.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        for sub in (False, True):
+            dec = decode_jpeg_baseline(
+                encode_jpeg_baseline(img, quality=95, subsample=sub))
+            assert dec.shape == img.shape
+            if sub:
+                # 4:2:0 chroma on noise is lossy BY DESIGN (half-res
+                # chroma); luma stays full-resolution and tight
+                err = np.abs(luma(dec.astype(np.float64))
+                             - luma(img.astype(np.float64))).max()
+                assert err <= 48, (hh, ww, err)
+            else:
+                assert np.abs(dec.astype(int)
+                              - img.astype(int)).max() <= 64, (hh, ww)
+
+
+def test_jpeg_decoder_rejects_garbage_cleanly():
+    """Corrupt/truncated inputs raise (UnsupportedJpeg/ValueError/
+    struct.error) — never hang or return garbage silently."""
+    import struct as _struct
+
+    from webscraping_ray.stages.jpegcodec import (UnsupportedJpeg,
+                                                  decode_jpeg_baseline,
+                                                  encode_jpeg_baseline)
+
+    r = np.random.default_rng(11)
+    img = r.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg_baseline(img, quality=80)
+    cases = [
+        b'',
+        b'\xff\xd8',
+        b'\xff\xd8\xff',
+        b'not a jpeg at all',
+        good[:20],                 # truncated mid-header
+        good[:len(good) // 2],     # truncated mid-entropy (may decode
+                                   # a prefix or raise — must not hang)
+        good[:2] + b'\x00' * 30,
+    ]
+    for i, data in enumerate(cases):
+        try:
+            out = decode_jpeg_baseline(data)
+            # decoding a truncated entropy stream may succeed with
+            # padded bits; the result must still be a sane array
+            assert out.ndim in (2, 3) and out.size > 0
+        except (UnsupportedJpeg, ValueError, _struct.error, IndexError):
+            pass
+    # random byte flips in the entropy segment must not hang
+    for seed in range(5):
+        rr = np.random.default_rng(seed)
+        data = bytearray(good)
+        for _ in range(4):
+            data[rr.integers(30, len(data) - 3)] = rr.integers(0, 256)
+        try:
+            decode_jpeg_baseline(bytes(data))
+        except (UnsupportedJpeg, ValueError, _struct.error, IndexError):
+            pass
