@@ -187,8 +187,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'agg_counters': R.agg_counters,
         'count_by_lang': R.count_by_lang,
         'events_window': R.events_window,
+        'events_sliding_window': R.events_sliding_window,
         'events_sessions': R.events_sessions,
         'distinct_event_types': R.distinct_event_types,
+        'top_orders_per_customer': R.top_orders_per_customer,
+        'top_ngrams': R.top_ngrams,
         # sort / top-k (Queue.pull, link_score priority)
         'topk_priority': R.topk_priority,
         'priority_scores': R.priority_scores,
@@ -273,6 +276,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         'distinct_event_types': """
             SELECT DISTINCT event_type FROM events
+        """,
+        'events_sliding_window': """
+            -- hop windows: 1 h window sliding every 30 min — each
+            -- event lands in 2 windows (same floor arithmetic as the
+            -- Ray explode: (t_sec - k*1800) // 1800 * 1800)
+            SELECT event_type,
+                   TIMESTAMP '1970-01-01'
+                     + ((epoch_us(ts) // 1000000 - k.k * 1800)
+                        // 1800 * 1800) * INTERVAL 1 SECOND
+                       AS window_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events, (VALUES (0), (1)) AS k(k)
+            GROUP BY 1, 2
+        """,
+        'top_orders_per_customer': """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        'top_ngrams': """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '\\w+') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_transform(range(1, len(ts) - 1),
+                            i -> array_to_string(ts[i:i+2], ' '))) AS ngram
+              FROM toks WHERE len(ts) >= 3
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 100
         """,
         'topk_priority': """
             SELECT o_orderkey, o_totalprice FROM orders

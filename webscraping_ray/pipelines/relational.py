@@ -126,6 +126,104 @@ def distinct_event_types(sf_dir: str):
     return pa.table({'event_type': pa.array(vals, pa.string())})
 
 
+def events_sliding_window(sf_dir: str, window_s: int = 3600,
+                          slide_s: int = 1800):
+    """SLIDING windows (1 h window, 30 min slide): each event explodes
+    into window_s/slide_s window keys inside ``map_batches`` (the
+    streaming hop-window pattern), partial-aggregated per batch, then
+    one small groupby — shuffle rows are per (window, type) partials,
+    never per event."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['event_type', 'ts', 'value'])
+    hops = window_s // slide_s
+
+    def explode_partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df['ts'].astype('int64') // 1_000_000   # seconds
+        frames = []
+        for k in range(hops):
+            ws = (epoch - k * slide_s) // slide_s * slide_s
+            frames.append(pd.DataFrame({
+                'event_type': df['event_type'],
+                'window_start': pd.to_datetime(ws * 1_000_000_000),
+                'value': df['value'],
+            }))
+        allf = pd.concat(frames, ignore_index=True)
+        return allf.groupby(['event_type', 'window_start'],
+                            as_index=False).agg(
+            n=('value', 'size'), sum_value=('value', 'sum'))
+
+    out = (ds.map_batches(explode_partial, batch_format='pandas')
+           .groupby(['event_type', 'window_start'])
+           .aggregate(Sum('n', alias_name='n'),
+                      Sum('sum_value', alias_name='sum_value')))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index('sum_value'),
+                         'sum_value', pc.round(t['sum_value'], 2))
+        idx = t.schema.get_field_index('window_start')
+        return t.set_column(idx, 'window_start',
+                            t['window_start'].cast(pa.timestamp('us')))
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Per-group top-k (top-3 orders by price per customer): per-batch
+    partial top-k per key inside ``map_batches`` (the combiner
+    pattern — shuffle carries ≤ k rows per (key, batch)), then the
+    exact per-key merge in ``map_groups`` over the reduced rows."""
+    ds = _read(sf_dir, 'orders', ['o_custkey', 'o_orderkey', 'o_totalprice'])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(['o_totalprice', 'o_orderkey'],
+                            ascending=[False, True])
+        return df.groupby('o_custkey', as_index=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['o_totalprice', 'o_orderkey'],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g['rank'] = (g.index + 1).astype('int64')
+        return g
+
+    return (ds.map_batches(partial_topk, batch_format='pandas')
+            .groupby('o_custkey')
+            .map_groups(final_topk, batch_format='pandas'))
+
+
+def top_ngrams(sf_dir: str, n: int = 3, k: int = 100):
+    """Corpus-wide top-k word n-grams (dataset-statistics op for
+    training corpora): per-batch Counter partials (the combiner —
+    shuffle rows are distinct (ngram, count) partials, never token
+    streams), groupby-sum, global sort + limit.  Deterministic
+    ordering: count desc, ngram asc."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t.column('text').to_pylist():
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            for i in range(len(toks) - n + 1):
+                c[' '.join(toks[i:i + n])] += 1
+        return pa.table({
+            'ngram': pa.array(list(c.keys()), pa.string()),
+            'cnt': pa.array(list(c.values()), pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format='pyarrow')
+           .groupby('ngram').aggregate(Sum('cnt', alias_name='cnt'))
+           .sort(['cnt', 'ngram'], descending=[True, False])
+           .limit(k))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # sorts / top-k (reference Queue.pull, pdict.py:468-478)
 
