@@ -410,3 +410,31 @@ def test_queue_reopen_derives_counters_from_disk(tmp_path):
     q2.push([('k5', 0)])                    # must NOT overwrite seg_00001
     got = set(q2.pull(limit=10))
     assert got == {'k1', 'k2', 'k3', 'k4', 'k5'}, got
+
+
+def test_snap_round_matches_duckdb_round_exactly():
+    """Oracle float parity: ``pc.round`` preserves summation-order ulp
+    drift (pc.round(199.42000000000002, 2) returns the input unchanged),
+    so two sums differing only in reduction order hash differently in
+    the driver's exact-value compare.  ``_snap_round`` must snap to the
+    nearest representable double of the decimal, bit-identical to
+    DuckDB's ``round(x, 2)`` on the values that actually occur: sums of
+    2-decimal inputs, i.e. an exact 2-decimal value perturbed by a few
+    ulps.  (True 3rd-decimal midpoints — where numpy's half-even and
+    DuckDB's half-away diverge — cannot arise from such sums.)"""
+    import duckdb
+    import pyarrow as pa
+
+    from webscraping_ray.pipelines.relational import _snap_round
+
+    drifted = [199.42000000000002, 0.1 + 0.2, sum([7.11] * 3),
+               -sum([0.07] * 5), 199.41999999999999, 0.0,
+               sum([1234.56] * 7)]
+    t = pa.table({'v': pa.array(drifted, pa.float64())})
+    got = _snap_round(t, 'v')['v'].to_pylist()
+    con = duckdb.connect()
+    want = [con.sql(f'SELECT round(CAST({v!r} AS DOUBLE), 2)').fetchone()[0]
+            for v in drifted]
+    assert got == want, list(zip(drifted, got, want))
+    # and the headline drift case actually snaps (pc.round would not)
+    assert got[0] == 199.42

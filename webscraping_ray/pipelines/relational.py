@@ -25,6 +25,20 @@ import pyarrow.compute as pc
 ASOF_CUTOFF = '2024-01-15 00:00:00'
 
 
+def _snap_round(t: pa.Table, col: str, nd: int = 2) -> pa.Table:
+    """Round ``col`` to ``nd`` decimals, snapping to the nearest
+    representable double of the decimal (numpy scaled-rint semantics,
+    matching DuckDB ``round``).  ``pc.round`` must NOT be used for
+    oracle-compared floats: Arrow's algorithm preserves summation-order
+    ulp drift (pc.round(199.42000000000002, 2) == 199.42000000000002),
+    so two sums that differ only in reduction order hash differently."""
+    arr = t[col].to_numpy(zero_copy_only=False)
+    scale = 10.0 ** nd
+    snapped = np.rint(arr * scale) / scale
+    return t.set_column(t.schema.get_field_index(col), col,
+                        pa.array(snapped, pa.float64()))
+
+
 def _strip_meta(t: pa.Table) -> pa.Table:
     """Drop schema-level metadata (the pandas blob parquet writers
     attach): Ray's shuffle/join schema-dedup tries to hash it and logs
@@ -51,10 +65,8 @@ def agg_counters(sf_dir: str):
     ds = _read(sf_dir, 'events', ['event_type', 'value'])
     out = ds.groupby('event_type').aggregate(
         Count(alias_name='n'), Sum('value', alias_name='sum_value'))
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index('sum_value'),
-                               'sum_value', pc.round(t['sum_value'], 2)),
-        batch_format='pyarrow')
+    return out.map_batches(lambda t: _snap_round(t, 'sum_value'),
+                           batch_format='pyarrow')
 
 
 def count_by_lang(sf_dir: str):
@@ -86,8 +98,7 @@ def events_window(sf_dir: str):
         Sum('n', alias_name='n'), Sum('sum_value', alias_name='sum_value'))
 
     def finish(t: pa.Table) -> pa.Table:
-        t = t.set_column(t.schema.get_field_index('sum_value'),
-                         'sum_value', pc.round(t['sum_value'], 2))
+        t = _snap_round(t, 'sum_value')
         # normalize to timestamp[us] (pandas floor gives ns; DuckDB
         # date_trunc gives us — align so the driver's value hash agrees)
         idx = t.schema.get_field_index('window_start')
@@ -159,8 +170,7 @@ def events_sliding_window(sf_dir: str, window_s: int = 3600,
                       Sum('sum_value', alias_name='sum_value')))
 
     def finish(t: pa.Table) -> pa.Table:
-        t = t.set_column(t.schema.get_field_index('sum_value'),
-                         'sum_value', pc.round(t['sum_value'], 2))
+        t = _snap_round(t, 'sum_value')
         idx = t.schema.get_field_index('window_start')
         return t.set_column(idx, 'window_start',
                             t['window_start'].cast(pa.timestamp('us')))
@@ -296,10 +306,8 @@ def join_orders_customers(sf_dir: str):
     out = partials.groupby('nationkey').aggregate(
         Sum('n_orders', alias_name='n_orders'),
         Sum('sum_price', alias_name='sum_price'))
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index('sum_price'),
-                               'sum_price', pc.round(t['sum_price'], 2)),
-        batch_format='pyarrow')
+    return out.map_batches(lambda t: _snap_round(t, 'sum_price'),
+                           batch_format='pyarrow')
 
 
 BIG_ORDER_PRICE = 300_000.0
@@ -326,10 +334,8 @@ def join_lineitem_orders(sf_dir: str):
     out = out.groupby('o_orderpriority').aggregate(
         Sum('n_items', alias_name='n_items'),
         Sum('sum_price', alias_name='sum_price'))
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index('sum_price'),
-                               'sum_price', pc.round(t['sum_price'], 2)),
-        batch_format='pyarrow')
+    return out.map_batches(lambda t: _snap_round(t, 'sum_price'),
+                           batch_format='pyarrow')
 
 
 def _customers_with_order_flag(sf_dir: str, want_exists: bool,
@@ -556,10 +562,8 @@ def user_event_counts(sf_dir: str):
 
     ds = _read(sf_dir, 'events', ['user_id', 'value'])
     out = salted_agg(ds, 'user_id', value_col='value', num_salts=8)
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index('sum_value'),
-                               'sum_value', pc.round(t['sum_value'], 2)),
-        batch_format='pyarrow')
+    return out.map_batches(lambda t: _snap_round(t, 'sum_value'),
+                           batch_format='pyarrow')
 
 
 def page_links(sf_dir: str):
@@ -645,8 +649,7 @@ def embedding_dups(sf_dir: str):
 
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     out = embedding_dup_pairs(ds, threshold=0.95, method='brute')
-    return out.set_column(out.schema.get_field_index('cosine'), 'cosine',
-                          pc.round(out['cosine'], 6))
+    return _snap_round(out, 'cosine', 6)
 
 
 def embedding_dups_ivf(sf_dir: str):
@@ -657,8 +660,7 @@ def embedding_dups_ivf(sf_dir: str):
 
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     out = embedding_dup_pairs(ds, threshold=0.95, method='ivf')
-    return out.set_column(out.schema.get_field_index('cosine'), 'cosine',
-                          pc.round(out['cosine'], 6))
+    return _snap_round(out, 'cosine', 6)
 
 
 def langid(sf_dir: str):
