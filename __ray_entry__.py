@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_dups_ivf': R.embedding_dups_ivf,
         'langid': R.langid,
         'fingerprints': R.fingerprints,
+        'decontaminate': R.decontaminate,
+        'sample_hash': R.sample_hash,
+        'token_quantiles': R.token_quantiles,
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -572,6 +575,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         'langid': _langid_sql(),
         'fingerprints': _fingerprints_sql(),
+        'decontaminate': """
+            -- word-8-gram overlap vs the held-out set (doc_id%100==0);
+            -- <8-token docs contribute their whole token string
+            -- (stages/dedup.py shingles() convention)
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\\w+') AS ts
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(
+                               range(1, len(ts) - 6),
+                               i -> array_to_string(ts[i:i+7], ' '))) END
+                       AS shs
+                   FROM toks),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 100 = 0)
+            SELECT t.doc_id, CAST(count(DISTINCT t.s) AS BIGINT) AS n_overlap
+            FROM ex t JOIN ev USING (s)
+            WHERE t.doc_id % 100 <> 0 GROUP BY 1
+        """,
+        'sample_hash': """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
+        'token_quantiles': """
+            SELECT lang, quantile_cont(n_tok, 0.25) AS p25,
+                   quantile_cont(n_tok, 0.5) AS p50,
+                   quantile_cont(n_tok, 0.75) AS p75
+            FROM (SELECT lang,
+                         len(regexp_extract_all(lower(text), '\\w+')) AS n_tok
+                  FROM documents)
+            GROUP BY lang
+        """,
     }
 
 

@@ -232,3 +232,45 @@ def test_ngram_jaccard_exact_equals_lsh(ray_session):
     assert set(lp) == set(ep)          # ...and recall is 1.0 here
     for k in ep:
         assert abs(ep[k] - lp[k]) < 1e-12
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """Planted contamination: an eval doc (doc_id%100==0) shares an
+    8-gram with one train doc; a <8-token train doc equals an eval
+    doc's whole token string (the short-doc shingle convention); clean
+    docs stay unflagged.  Ray output must equal the DuckDB oracle on
+    the same corpus."""
+    import duckdb
+    import __ray_entry__ as entrymod
+    from webscraping_ray.pipelines.relational import decontaminate
+
+    gram = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = {
+        100: f"benchmark question: {gram} answer follows here",  # eval
+        200: "tiny eval snippet",                               # eval
+        1: f"training text mentioning {gram} inside a long paragraph "
+           "of otherwise unique words never repeated elsewhere",
+        2: "Tiny EVAL snippet",      # <8 tokens, matches 200 lowercased
+        3: "a completely clean training document with plenty of words "
+           "none of which overlap the held out benchmark suite at all",
+    }
+    ids = sorted(texts)
+    t = pa.table({
+        'doc_id': pa.array(ids, pa.int64()),
+        'text': pa.array([texts[i] for i in ids], pa.string()),
+        'lang': pa.array(['en'] * len(ids), pa.string()),
+        'source': pa.array(['t'] * len(ids), pa.string()),
+        'n_chars': pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    got = decontaminate(str(tmp_path)).to_pandas().sort_values(
+        'doc_id').reset_index(drop=True)
+    assert list(got.doc_id) == [1, 2], got
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = con.sql(entrymod.oracle_sql()['decontaminate']).df().sort_values(
+        'doc_id').reset_index(drop=True)
+    assert got.equals(want), (got, want)

@@ -822,6 +822,150 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3):
     return simhash_dup_pairs(ds, max_hamming=max_hamming)
 
 
+def decontaminate(sf_dir: str, ngram: int = 8, holdout_mod: int = 100):
+    """Benchmark decontamination: flag training documents sharing any
+    word ``ngram``-gram with a held-out eval set.
+
+    The eval set here is ``doc_id % holdout_mod == 0`` (a deterministic
+    stand-in for a benchmark suite); in the real setting the eval side
+    is a fixed, small corpus (MBs of benchmark text vs TBs of training
+    data), so its distinct-shingle set is the canonical broadcast small
+    side: shingled distributed, unioned once on the driver, ``ray.put``
+    once, membership-tested inside every train batch — no shuffle
+    touches the 100-TB side.  Docs with < ngram tokens contribute their
+    whole token string (the :func:`~..stages.dedup.shingles`
+    convention); returns (doc_id, n_overlap) for contaminated docs.
+    """
+    import ray
+
+    from ..stages.dedup import shingles
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def eval_shingles(t: pa.Table) -> pa.Table:
+        mask = t['doc_id'].to_numpy(zero_copy_only=False) % holdout_mod == 0
+        out = set()
+        for txt in t.filter(pa.array(mask)).column('text').to_pylist():
+            out |= shingles(txt, ngram)
+        return pa.table({'s': pa.array(sorted(out), pa.string())})
+
+    ev = set()
+    for batch in ds.map_batches(eval_shingles,
+                                batch_format='pyarrow').iter_batches(
+                                    batch_format='pyarrow'):
+        ev.update(batch.column('s').to_pylist())
+    ev_ref = ray.put(frozenset(ev))
+
+    def overlap(t: pa.Table) -> pa.Table:
+        ev_ = ray.get(ev_ref)
+        mask = t['doc_id'].to_numpy(zero_copy_only=False) % holdout_mod != 0
+        t = t.filter(pa.array(mask))
+        ids, counts = [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            n = len(shingles(txt, ngram) & ev_)
+            if n:
+                ids.append(i)
+                counts.append(n)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'n_overlap': pa.array(counts, pa.int64())})
+
+    out = ds.map_batches(overlap, batch_format='pyarrow')
+    # the flagged list IS the answer and is small by construction
+    # (contaminated docs only); concatenate so an all-clean corpus
+    # still reports the (doc_id, n_overlap) schema instead of Ray's
+    # schemaless empty blocks
+    schema = pa.schema([('doc_id', pa.int64()), ('n_overlap', pa.int64())])
+    batches = [b for b in out.iter_batches(batch_format='pyarrow')
+               if b.num_rows]
+    return (pa.concat_tables(batches) if batches
+            else schema.empty_table())
+
+
+def sample_hash(sf_dir: str, rate_pct: int = 10):
+    """Deterministic hash sampling: keep documents whose
+    ``md5_number_lower(str(doc_id)) % 100 < rate_pct``.
+
+    The canonical reproducible-subset op for training corpora: the
+    sample is a pure per-row predicate (no RNG state, no shuffle, no
+    coordination), so it is stable across cluster sizes, restarts and
+    repartitioning, and composable (a 10 % sample of a 10 % sample is
+    the same 1 % everywhere).  Hash layout matches DuckDB
+    ``md5_number_lower`` (last 8 digest bytes little-endian) so the
+    oracle recomputes it exactly.
+    """
+    import hashlib
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'n_chars'])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = [int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:],
+                    'little') % 100 < rate_pct
+                for i in t.column('doc_id').to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format='pyarrow')
+
+
+def token_quantiles(sf_dir: str):
+    """Exact per-language quantiles (p25/p50/p75) of word-token counts
+    — the corpus-statistics op behind length-filter thresholds.
+
+    Scale shape: the continuous column is integer-valued and bounded
+    (tokens per document), so exact quantiles come from a distributed
+    value histogram — ``map_batches`` emits (lang, n_tokens) rows,
+    ``groupby(lang, n_tokens).count()`` reduces 100 TB of text to
+    O(#langs x #distinct lengths) rows (thousands), and the driver
+    interpolates ``q*(n-1)`` positions over the cumulative counts
+    (DuckDB ``quantile_cont`` semantics, exact in double since the
+    fractions are dyadic).  No sort of the full data anywhere.
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['lang', 'text'])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'lang': t.column('lang'),
+            'n_tokens': pa.array(
+                [len(_TOKEN_RE.findall((s or '').lower()))
+                 for s in t.column('text').to_pylist()], pa.int64())})
+
+    hist = (ds.map_batches(tok, batch_format='pyarrow')
+            .groupby(['lang', 'n_tokens'])
+            .aggregate(Count(alias_name='cnt'))).take_all()
+
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r['lang'], []).append((r['n_tokens'], r['cnt']))
+    langs, p25, p50, p75 = [], [], [], []
+    for lang in sorted(by_lang):
+        vals = sorted(by_lang[lang])
+        xs = np.array([v for v, _ in vals], dtype=np.float64)
+        cum = np.cumsum([c for _, c in vals])
+        n = int(cum[-1])
+        qs = []
+        for q in (0.25, 0.5, 0.75):
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            hi = int(np.ceil(h))
+            # value at 0-based rank r = first xs index with cum > r
+            a = xs[np.searchsorted(cum, lo, side='right')]
+            b = xs[np.searchsorted(cum, hi, side='right')]
+            qs.append(a + (h - lo) * (b - a))
+        langs.append(lang)
+        p25.append(qs[0])
+        p50.append(qs[1])
+        p75.append(qs[2])
+    return pa.table({'lang': pa.array(langs, pa.string()),
+                     'p25': pa.array(p25, pa.float64()),
+                     'p50': pa.array(p50, pa.float64()),
+                     'p75': pa.array(p75, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # the flagship crawl over derived pages
 
