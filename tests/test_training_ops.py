@@ -274,3 +274,26 @@ def test_decontaminate_planted(ray_session, tmp_path):
     want = con.sql(entrymod.oracle_sql()['decontaminate']).df().sort_values(
         'doc_id').reset_index(drop=True)
     assert got.equals(want), (got, want)
+
+
+def test_ivf_sample_invariant_under_repartition(ray_session):
+    """The hash-reservoir training sample (and therefore the centroids
+    and every bucket assignment) must be identical under any block
+    layout — the determinism `random_sample`'s per-block RNG cannot
+    give."""
+    import ray.data
+    from webscraping_ray.stages.similarity import ivf_build
+
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        'vec_id': pa.array(range(512), pa.int64()),
+        'embedding': pa.array(rng.randn(512, 16).tolist(),
+                              pa.list_(pa.float64()))})
+    ds1 = ray.data.from_arrow(t)
+    ds2 = ray.data.from_arrow(t).repartition(13)
+    C1, b1 = ivf_build(ds1, n_clusters=4, sample_size=64)
+    C2, b2 = ivf_build(ds2, n_clusters=4, sample_size=64)
+    assert np.array_equal(C1, C2)
+    a1 = sorted((r['vec_id'], r['ivf_bucket']) for r in b1.take_all())
+    a2 = sorted((r['vec_id'], r['ivf_bucket']) for r in b2.take_all())
+    assert a1 == a2

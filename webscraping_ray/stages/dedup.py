@@ -641,8 +641,9 @@ def _embedding_pairs_brute(ds, threshold: float, emb_col: str, id_col: str):
             self.ids, self.M = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from .similarity import _emb_matrix
             bids = np.asarray(batch.column(id_col), dtype=np.int64)
-            B = np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+            B = _emb_matrix(batch.column(emb_col))
             B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
             S = B @ self.M.T
             out_a, out_b, out_c = [], [], []

@@ -19,6 +19,37 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """``list<float>`` column → (n, dim) float64 matrix.
+
+    Embedding columns are uniform-length lists, so the flat Arrow
+    values buffer reshapes directly — no per-row ``to_pylist``
+    round-trip through Python objects.  Falls back to the object path
+    for ragged lists."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)) and len(arr):
+        offsets = np.asarray(arr.offsets)
+        widths = np.diff(offsets)
+        if (widths == widths[0]).all() and widths[0] > 0:
+            flat = np.asarray(arr.values)[offsets[0]:offsets[-1]]
+            return flat.astype(np.float64, copy=False).reshape(
+                len(widths), widths[0])
+    return np.array(arr.to_pylist(), dtype=np.float64)
+
+
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over uint64 (wrapping arithmetic)."""
+    z = x + _SM_C1
+    z = (z ^ (z >> np.uint64(30))) * _SM_C2
+    z = (z ^ (z >> np.uint64(27))) * _SM_C3
+    return z ^ (z >> np.uint64(31))
+
+
 def knn_brute(ds, queries: np.ndarray, k: int = 10,
               emb_col: str = 'embedding', id_col: str = 'vec_id',
               query_ids=None, concurrency=None) -> pa.Table:
@@ -39,8 +70,7 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
         # free and the task pool autoscales with no actor spin-up cost
         Q = ray.get(qref)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        M = _normalize(np.array(batch.column(emb_col).to_pylist(),
-                                dtype=np.float64))
+        M = _normalize(_emb_matrix(batch.column(emb_col)))
         S = Q @ M.T                    # (nq, nb)
         kk = min(k, S.shape[1])
         out_q, out_id, out_cos = [], [], []
@@ -99,23 +129,52 @@ def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
     """Train coarse centroids on a sample and bucket the dataset.
 
     Returns (centroids, bucketed_ds) where bucketed_ds has an extra
-    ``ivf_bucket`` column.  One pass over the data; the bucketed
-    dataset can be written partitioned by bucket for reuse.
+    ``ivf_bucket`` column.  The bucketed dataset can be written
+    partitioned by bucket for reuse.
+
+    Training sample: deterministic hash reservoir — each row gets a
+    seeded splitmix64 key of its id, every batch emits its
+    ``sample_size`` smallest-key rows, and the driver folds the stream
+    into the global ``sample_size`` smallest (O(sample) driver memory,
+    bounded merge per block).  One data pass, no ``count()``, and —
+    unlike ``random_sample`` (per-block RNG) — the sample is identical
+    under any repartitioning or parallelism.
     """
     import ray
 
-    n = ds.count()
-    frac = min(1.0, sample_size / max(1, n))
-    sample = ds.random_sample(frac, seed=seed).take_all()
-    X = _normalize(np.array([r[emb_col] for r in sample], dtype=np.float64))
+    skey_seed = _splitmix64(np.array([seed], dtype=np.uint64))
+
+    def partial_sample(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64).astype(np.uint64)
+        keys = _splitmix64(ids ^ skey_seed)
+        take = np.argsort(keys, kind='stable')[:sample_size]
+        M = _emb_matrix(t.column(emb_col))[take]
+        return pa.table({
+            'skey': pa.array(keys[take], pa.uint64()),
+            'emb': pa.array(M.tolist(), pa.list_(pa.float64()))})
+
+    keys = np.empty(0, dtype=np.uint64)
+    X = None
+    for b in ds.map_batches(partial_sample,
+                            batch_format='pyarrow').iter_batches(
+                                batch_format='pyarrow'):
+        if not b.num_rows:
+            continue
+        bk = np.asarray(b.column('skey'), dtype=np.uint64)
+        bx = _emb_matrix(b.column('emb'))
+        keys = np.concatenate([keys, bk])
+        X = bx if X is None else np.vstack([X, bx])
+        if len(keys) > sample_size:
+            keep = np.argsort(keys, kind='stable')[:sample_size]
+            keys, X = keys[keep], X[keep]
+    X = _normalize(X if X is not None else np.zeros((1, 1)))
     C = _kmeans(X, n_clusters, seed=seed)
     cref = ray.put(C)
 
     def assign_bucket(batch: pa.Table) -> pa.Table:
         # plain task: the centroid matrix broadcast reads zero-copy
         C_ = ray.get(cref)
-        M = _normalize(np.array(batch.column(emb_col).to_pylist(),
-                                dtype=np.float64))
+        M = _normalize(_emb_matrix(batch.column(emb_col)))
         assign = np.argmax(M @ C_.T, axis=1).astype(np.int32)
         return batch.append_column('ivf_bucket', pa.array(assign, pa.int32()))
 
