@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'langid': R.langid,
         'fingerprints': R.fingerprints,
         'decontaminate': R.decontaminate,
+        'repetition': R.repetition,
         'sample_hash': R.sample_hash,
         'token_quantiles': R.token_quantiles,
         # training-data cleaning composition
@@ -595,6 +596,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, CAST(count(DISTINCT t.s) AS BIGINT) AS n_overlap
             FROM ex t JOIN ev USING (s)
             WHERE t.doc_id % 100 <> 0 GROUP BY 1
+        """,
+        'repetition': """
+            -- Gopher-style repetition: share of a doc's word bigrams
+            -- taken by its most frequent bigram (<2-token docs: 0)
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\\w+') AS ts
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ts)),
+                                i -> array_to_string(ts[i:i+1], ' '))) AS g2
+                  FROM toks WHERE len(ts) >= 2),
+            c AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2),
+            m AS (SELECT doc_id, max(c) AS mc,
+                         CAST(sum(c) AS BIGINT) AS tot
+                  FROM c GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(m.mc, 0) AS BIGINT) AS top_bigram_count,
+                   COALESCE(CAST(m.mc AS DOUBLE) / m.tot, 0.0)
+                       AS top_bigram_frac
+            FROM documents d LEFT JOIN m USING (doc_id)
         """,
         'sample_hash': """
             SELECT doc_id, lang, n_chars FROM documents

@@ -908,6 +908,38 @@ def sample_hash(sf_dir: str, rate_pct: int = 10):
     return ds.map_batches(keep, batch_format='pyarrow')
 
 
+def repetition(sf_dir: str):
+    """Within-document repetition score (Gopher-style quality signal):
+    the fraction of a document's word bigrams taken by its single most
+    frequent bigram.  High values flag boilerplate / template spam for
+    the cleaning pipeline.  Embarrassingly parallel per-doc kernel —
+    no shuffle; docs with < 2 tokens score 0.
+    """
+    from collections import Counter
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def score(t: pa.Table) -> pa.Table:
+        top_cnt, frac = [], []
+        for s in t.column('text').to_pylist():
+            toks = _TOKEN_RE.findall((s or '').lower())
+            if len(toks) < 2:
+                top_cnt.append(0)
+                frac.append(0.0)
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            mc = max(c.values())
+            top_cnt.append(mc)
+            frac.append(mc / (len(toks) - 1))
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'top_bigram_count': pa.array(top_cnt, pa.int64()),
+                         'top_bigram_frac': pa.array(frac, pa.float64())})
+
+    return ds.map_batches(score, batch_format='pyarrow')
+
+
 def token_quantiles(sf_dir: str):
     """Exact per-language quantiles (p25/p50/p75) of word-token counts
     — the corpus-statistics op behind length-filter thresholds.
