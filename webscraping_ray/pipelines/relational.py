@@ -48,10 +48,19 @@ def _strip_meta(t: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, name: str, columns=None):
+    """Pruned parquet read with metadata-free schema: passing the
+    footer schema stripped of the pandas metadata blob stops Ray's
+    shuffle/join schema-dedup from trying to hash an unhashable dict
+    (warning spam) at the source; ``_strip_meta`` still covers blocks
+    whose batches re-attach metadata."""
+    import pyarrow.parquet as pq
     import ray.data
 
-    return (ray.data.read_parquet(f'{sf_dir}/{name}.parquet',
-                                  columns=columns)
+    path = f'{sf_dir}/{name}.parquet'
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return (ray.data.read_parquet(path, columns=columns, schema=schema)
             .map_batches(_strip_meta, batch_format='pyarrow'))
 
 
