@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
+        'clean_corpus_decontaminated': R.clean_corpus_decontaminated,
         # extra dedup family members
         'ngram_jaccard_dups': R.ngram_jaccard_dups,  # exact quadratic baseline
         'simhash_dups': R.simhash_dups,
@@ -513,6 +514,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             WHERE len(regexp_extract_all(lower(text), '\\w+')) >= 20
             GROUP BY md5(text)
+        """,
+        'clean_corpus_decontaminated': """
+            -- quality >= 20 tokens, exact dedup (min doc_id per text),
+            -- then drop held-out docs and any 8-gram-contaminated doc
+            WITH surv AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              WHERE len(regexp_extract_all(lower(text), '\\w+')) >= 20
+              GROUP BY md5(text)
+            ),
+            toks AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\w+') AS ts
+                     FROM documents),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+                          ELSE list_distinct(list_transform(
+                               range(1, len(ts) - 6),
+                               i -> array_to_string(ts[i:i+7], ' '))) END
+                       AS shs
+                   FROM toks),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 100 = 0),
+            bad AS (SELECT DISTINCT t.doc_id FROM ex t JOIN ev USING (s)
+                    WHERE t.doc_id % 100 <> 0)
+            SELECT doc_id FROM surv
+            WHERE doc_id % 100 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         'embedding_dups': """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

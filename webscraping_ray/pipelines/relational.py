@@ -748,6 +748,30 @@ def clean_corpus_neardup(sf_dir: str, min_tokens: int = 20,
         anti, batch_format='pyarrow')
 
 
+def clean_corpus_decontaminated(sf_dir: str, min_tokens: int = 20,
+                                ngram: int = 8, holdout_mod: int = 100):
+    """Full curation composition: quality filter → exact dedup
+    (:func:`clean_corpus`) → benchmark decontamination
+    (:func:`decontaminate`).  Survivors stay a Dataset; the flagged-id
+    list (small by construction) is the only broadcast.  The held-out
+    docs themselves (doc_id % holdout_mod == 0) are also excluded —
+    eval text must never reach the training corpus."""
+    import ray
+
+    survivors = clean_corpus(sf_dir, min_tokens)
+    flagged = decontaminate(sf_dir, ngram, holdout_mod)
+    drop_ref = ray.put(flagged.column('doc_id').combine_chunks())
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t['doc_id'].to_numpy(zero_copy_only=False)
+        mask = ids % holdout_mod != 0
+        t = t.filter(pa.array(mask))
+        return t.filter(pc.invert(
+            pc.is_in(t['doc_id'], value_set=ray.get(drop_ref))))
+
+    return survivors.map_batches(keep, batch_format='pyarrow')
+
+
 #: row-count ceiling for the quadratic exact-Jaccard baseline — it is
 #: the small-scale oracle for the LSH family, never the scale path
 NGRAM_BASELINE_MAX_DOCS = 50_000
