@@ -297,3 +297,23 @@ def test_ivf_sample_invariant_under_repartition(ray_session):
     a1 = sorted((r['vec_id'], r['ivf_bucket']) for r in b1.take_all())
     a2 = sorted((r['vec_id'], r['ivf_bucket']) for r in b2.take_all())
     assert a1 == a2
+
+
+def test_sample_hash_composable_and_layout_invariant(ray_session):
+    """The documented claims of deterministic hash sampling: a lower
+    rate selects a strict subset of a higher rate (composability), and
+    the selection is a pure per-row predicate — identical no matter the
+    block layout."""
+    from webscraping_ray.pipelines.relational import sample_hash
+
+    ids10 = sorted(r['doc_id'] for r in
+                   sample_hash('/root/testdata/sf0.001').take_all())
+    ids1 = sorted(r['doc_id'] for r in
+                  sample_hash('/root/testdata/sf0.001',
+                              rate_pct=1).take_all())
+    assert set(ids1) <= set(ids10)
+    assert 0 < len(ids10) < 500
+    ids10_again = sorted(
+        r['doc_id'] for r in
+        sample_hash('/root/testdata/sf0.001').take_all())
+    assert ids10 == ids10_again
