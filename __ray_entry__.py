@@ -229,10 +229,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'repetition': R.repetition,
         'sample_hash': R.sample_hash,
         'token_quantiles': R.token_quantiles,
+        'dup_clusters': R.dup_clusters,
+        'pack_sequences': R.pack_sequences,
+        'mixture_weights': R.mixture_weights,
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
         'clean_corpus_decontaminated': R.clean_corpus_decontaminated,
+        'clean_corpus_clustered': R.clean_corpus_clustered,
         # extra dedup family members
         'ngram_jaccard_dups': R.ngram_jaccard_dups,  # exact quadratic baseline
         'simhash_dups': R.simhash_dups,
@@ -477,6 +481,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
             FROM documents
         """,
+        # greedy concat-and-chunk packing == exclusive running sum of
+        # whitespace-token counts in doc_id order, cut every 2048
+        'pack_sequences': """
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS pre
+              FROM n)
+            SELECT doc_id, n_tokens,
+                   CAST(pre // 2048 AS BIGINT) AS seq_id,
+                   CAST(pre % 2048 AS BIGINT) AS seq_offset
+            FROM p
+        """,
+        'mixture_weights': """
+            WITH t AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang
+            ), s AS (
+              SELECT lang, n_docs, n_tokens,
+                     CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+                         AS share
+              FROM t)
+            SELECT lang, n_docs, n_tokens,
+                   round(share, 6) AS token_share,
+                   round(pow(share, 0.5)
+                         / SUM(pow(share, 0.5)) OVER (), 6) AS weight
+            FROM s
+        """,
         'quality': """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens,
@@ -569,6 +610,40 @@ def oracle_sql() -> dict[str, str]:
         'minhash_dups': f"""
             WITH {_shingle_jaccard_cte('documents')}
             SELECT id_a, id_b, jaccard FROM pairs
+        """,
+        # connected components of the verified near-dup pair graph:
+        # the Ray side labels by hash-to-min propagation, the oracle
+        # by recursive-CTE transitive closure — both min(id)/component
+        'dup_clusters': f"""
+            WITH RECURSIVE {_shingle_jaccard_cte('documents')},
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            cc(node, lbl) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, c.lbl FROM edges e JOIN cc c ON e.v = c.node)
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM cc GROUP BY node
+        """,
+        'clean_corpus_clustered': f"""
+            WITH RECURSIVE clean AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              WHERE len(regexp_extract_all(lower(text), '\\w+')) >= 20
+              GROUP BY md5(text)
+            ), cdocs AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN clean c ON d.doc_id = c.doc_id
+            ), {_shingle_jaccard_cte('cdocs')},
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            cc(node, lbl) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, c.lbl FROM edges e JOIN cc c ON e.v = c.node)
+            SELECT doc_id FROM cdocs
+            WHERE doc_id NOT IN (
+              SELECT node FROM cc GROUP BY node
+              HAVING node != MIN(lbl))
         """,
         'ngram_jaccard_dups': f"""
             WITH {_shingle_jaccard_cte('documents')}

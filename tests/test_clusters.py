@@ -1,0 +1,207 @@
+"""Connected components (stages/clusters.py) and the round-3 training
+ops built on it (dup_clusters, clean_corpus_clustered, pack_sequences,
+mixture_weights)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webscraping_ray.stages.clusters import (_cc_numpy,
+                                             connected_components)
+
+
+def _edges(pairs):
+    a, b = zip(*pairs) if pairs else ((), ())
+    return pa.table({'id_a': pa.array(a, pa.int64()),
+                     'id_b': pa.array(b, pa.int64())})
+
+
+def _uf_labels(pairs):
+    """Reference union-find (plain python) — min id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+CASES = [
+    [],                                            # empty graph
+    [(5, 9)],                                      # single edge
+    [(1, 2), (2, 3), (3, 4), (10, 11)],            # chain + pair
+    [(i, i + 1) for i in range(60)],               # 61-node chain
+    [(0, i) for i in range(1, 20)],                # star
+    [(7, 3), (3, 7), (7, 7)],                      # dup edges + self-loop
+]
+
+
+@pytest.mark.parametrize('pairs', CASES)
+def test_cc_numpy_matches_union_find(pairs):
+    out = _cc_numpy(np.array([a for a, _ in pairs], np.int64),
+                    np.array([b for _, b in pairs], np.int64))
+    want = _uf_labels(pairs)
+    got = dict(zip(out.column('doc_id').to_pylist(),
+                   out.column('cluster_id').to_pylist()))
+    assert got == want
+    # output is sorted by doc_id
+    ids = out.column('doc_id').to_pylist()
+    assert ids == sorted(ids)
+
+
+def test_cc_random_graph_matches_union_find():
+    rng = np.random.default_rng(7)
+    pairs = [(int(a), int(b))
+             for a, b in rng.integers(0, 400, size=(600, 2))]
+    out = _cc_numpy(np.array([a for a, _ in pairs], np.int64),
+                    np.array([b for _, b in pairs], np.int64))
+    got = dict(zip(out.column('doc_id').to_pylist(),
+                   out.column('cluster_id').to_pylist()))
+    assert got == _uf_labels(pairs)
+
+
+@pytest.mark.parametrize('pairs', [c for c in CASES if c])
+def test_cc_distributed_tier_matches_numpy(ray_session, pairs):
+    got = connected_components(_edges(pairs), num_partitions=2,
+                               force_distributed=True)
+    want = connected_components(_edges(pairs))
+    assert got.equals(want)
+
+
+def test_cc_distributed_long_chain(ray_session):
+    # multi-round convergence: a 150-node chain needs pointer jumping
+    pairs = [(i, i + 1) for i in range(150)]
+    got = connected_components(_edges(pairs), num_partitions=4,
+                               force_distributed=True)
+    assert set(got.column('cluster_id').to_pylist()) == {0}
+    assert got.num_rows == 151
+
+
+def test_cc_dataset_input_driver_tier(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(_edges([(1, 2), (2, 3), (8, 9)]))
+    out = connected_components(ds)
+    assert dict(zip(out.column('doc_id').to_pylist(),
+                    out.column('cluster_id').to_pylist())) == {
+        1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_dup_clusters_is_transitive_closure_of_pairs(ray_session):
+    """dup_clusters == union-find over the minhash_dups pair list."""
+    from webscraping_ray.pipelines import relational as R
+
+    sf = '/root/testdata/sf0.001'
+    pairs_t = R.minhash_dups(sf)
+    pairs = list(zip(pairs_t.column('id_a').to_pylist(),
+                     pairs_t.column('id_b').to_pylist()))
+    out = R.dup_clusters(sf)
+    got = dict(zip(out.column('doc_id').to_pylist(),
+                   out.column('cluster_id').to_pylist()))
+    assert got == _uf_labels(pairs)
+
+
+def test_clean_corpus_clustered_keeps_one_per_component(ray_session):
+    from webscraping_ray.pipelines import relational as R
+
+    sf = '/root/testdata/sf0.001'
+    survivors = {r['doc_id']
+                 for r in R.clean_corpus_clustered(sf).take_all()}
+    base = {r['doc_id'] for r in R.clean_corpus(sf).take_all()}
+    assert survivors <= base
+
+    import pyarrow.parquet as pq
+    texts = dict(zip(
+        pq.read_table(f'{sf}/documents.parquet',
+                      columns=['doc_id', 'text']).column('doc_id')
+        .to_pylist(),
+        pq.read_table(f'{sf}/documents.parquet',
+                      columns=['doc_id', 'text']).column('text')
+        .to_pylist()))
+    from webscraping_ray.stages.dedup import minhash_dup_pairs
+    import ray.data
+    keep_t = pa.table({
+        'doc_id': pa.array(sorted(base), pa.int64()),
+        'text': pa.array([texts[i] for i in sorted(base)], pa.string())})
+    pairs_t = minhash_dup_pairs(ray.data.from_arrow(keep_t),
+                                threshold=0.8)
+    pairs = list(zip(pairs_t.column('id_a').to_pylist(),
+                     pairs_t.column('id_b').to_pylist()))
+    labels = _uf_labels(pairs)
+    # exactly the component minima survive among paired docs
+    paired = set(labels)
+    comp_min = {v for v in labels.values()}
+    assert survivors & paired == comp_min
+    # unpaired survivors pass through untouched
+    assert (base - paired) <= survivors
+
+
+def test_pack_sequences_matches_sequential_fold(ray_session):
+    from webscraping_ray.pipelines import relational as R
+    from webscraping_ray.stages.textstats import whitespace_token_count
+    import pyarrow.parquet as pq
+
+    sf = '/root/testdata/sf0.001'
+    ctx = 2048
+    out = {r['doc_id']: (r['n_tokens'], r['seq_id'], r['seq_offset'])
+           for r in R.pack_sequences(sf, ctx=ctx).take_all()}
+    t = pq.read_table(f'{sf}/documents.parquet',
+                      columns=['doc_id', 'text'])
+    rows = sorted(zip(t.column('doc_id').to_pylist(),
+                      t.column('text').to_pylist()))
+    pre = 0
+    crossed = 0
+    for doc_id, text in rows:
+        n = whitespace_token_count(text)
+        assert out[doc_id] == (n, pre // ctx, pre % ctx)
+        if (pre % ctx) + n > ctx:
+            crossed += 1
+        pre += n
+    assert len(out) == len(rows)
+    assert crossed > 0  # boundary-crossing docs exercised
+
+
+def test_pack_sequences_bucket_invariance(ray_session):
+    """The distributed prefix sum must not depend on the bucket width
+    (driver-scan granularity)."""
+    from webscraping_ray.pipelines import relational as R
+
+    sf = '/root/testdata/sf0.001'
+    base = R.pack_sequences(sf).take_all()
+    import webscraping_ray.pipelines.relational as rel
+    old = rel.PACK_BUCKET_DOCS
+    try:
+        rel.PACK_BUCKET_DOCS = 7  # force many buckets
+        alt = R.pack_sequences(sf).take_all()
+    finally:
+        rel.PACK_BUCKET_DOCS = old
+    key = lambda r: r['doc_id']
+    assert sorted(base, key=key) == sorted(alt, key=key)
+
+
+def test_mixture_weights_properties(ray_session):
+    from webscraping_ray.pipelines import relational as R
+
+    out = R.mixture_weights('/root/testdata/sf0.001')
+    w = np.array(out.column('weight').to_pylist())
+    share = np.array(out.column('token_share').to_pylist())
+    assert abs(w.sum() - 1.0) < 1e-5
+    assert abs(share.sum() - 1.0) < 1e-5
+    # alpha=0.5 flattens but preserves order: same ranking, and the
+    # boost ratio w/share strictly decreases as share grows
+    order = np.argsort(share)
+    assert (np.diff(w[order]) >= -1e-12).all()
+    ratio = w[order] / share[order]
+    assert (np.diff(ratio) <= 1e-12).all()
+    # alpha=1 is a no-op (weights == shares)
+    flat = R.mixture_weights('/root/testdata/sf0.001', alpha=1.0)
+    assert np.allclose(flat.column('weight').to_pylist(),
+                       flat.column('token_share').to_pylist(),
+                       atol=2e-6)

@@ -1076,3 +1076,179 @@ def crawl_contacts(sf_dir: str, max_depth: int = 6):
                      'depth': visits.column('depth'),
                      'visit_order': visits.column('visit_order'),
                      'email': pa.array(emails, pa.string())})
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Near-dup clusters: the MinHash-LSH verified pair list (exact
+    Jaccard >= threshold; recall 1.0 vs the all-pairs oracle at
+    testdata scale) as a similarity graph, every member labeled with
+    min(doc_id) of its connected component — the RefinedWeb/FineWeb
+    dedup convention (keep one doc per COMPONENT, not per pair:
+    pairwise drops can chain a-b-c into deleting every copy).
+
+    Returns (doc_id, cluster_id), sorted, one row per doc that appears
+    in at least one near-dup pair (singletons are implicitly their own
+    cluster).  Components via :func:`~webscraping_ray.stages.clusters.
+    connected_components` (tiered: driver numpy fold at answer size,
+    hash-to-min Dataset joins above it)."""
+    from ..stages.clusters import connected_components
+    from ..stages.dedup import minhash_dup_pairs
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    pairs = minhash_dup_pairs(ds, threshold=threshold)
+    return connected_components(pairs)
+
+
+def clean_corpus_clustered(sf_dir: str, min_tokens: int = 20,
+                           jaccard_threshold: float = 0.8):
+    """Cluster-canonical cleaning composition: quality filter → exact
+    dedup (:func:`clean_corpus`) → near-dup removal keeping ONE doc
+    (the min doc_id) per connected component of the verified-pair
+    graph.  Contrast :func:`clean_corpus_neardup`, which drops
+    max(id) per PAIR: on a chain a-b-c that keeps only a, while the
+    pairwise rule also re-drops b from (a,b) and c from (b,c) — same
+    here — but on a-b, b-c WITHOUT a-c the pairwise rule keeps {a}
+    only if a-b and b-c both verify; component semantics always keep
+    exactly one per component regardless of which pairs verified.
+
+    Survivors stay a Dataset; the drop list (non-canonical cluster
+    members — answer-sized) is the only broadcast."""
+    import ray
+
+    from ..stages.clusters import connected_components
+    from ..stages.dedup import minhash_dup_pairs
+
+    survivors_ds = clean_corpus(sf_dir, min_tokens)
+    docs = (_read(sf_dir, 'documents', ['doc_id', 'text'])
+            .join(survivors_ds.map_batches(
+                lambda t: pa.table({'keep_id': t['doc_id']}),
+                batch_format='pyarrow'),
+                'inner', num_partitions=8,
+                on=('doc_id',), right_on=('keep_id',))
+            .select_columns(['doc_id', 'text']))
+    pairs = minhash_dup_pairs(docs, threshold=jaccard_threshold)
+    cc = connected_components(pairs)
+    drop = cc.filter(pc.not_equal(cc['doc_id'], cc['cluster_id']))
+    drop_ref = ray.put(drop.column('doc_id').combine_chunks())
+
+    def anti(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(
+            pc.is_in(t['doc_id'], value_set=ray.get(drop_ref))))
+
+    return docs.select_columns(['doc_id']).map_batches(
+        anti, batch_format='pyarrow')
+
+
+#: pack_sequences prefix-sum bucket width: bucket = doc_id // this.
+#: Bucket count is n_docs/4096, so the driver-side exclusive scan
+#: holds ~2.4M int64s even at 10^10 docs.
+PACK_BUCKET_DOCS = 4096
+
+
+def pack_sequences(sf_dir: str, ctx: int = 2048):
+    """Greedy concat-and-chunk sequence packing (GPT-style training
+    prep): documents in doc_id order are laid end to end in token
+    space and cut every ``ctx`` tokens; each doc is assigned the
+    sequence index its first token lands in plus its offset within
+    that sequence.  Tokens are whitespace tokens (same contract as
+    :func:`token_count`).
+
+    A distributed prefix sum: pass 1 is a per-bucket token-sum
+    aggregate (bucket = doc_id // PACK_BUCKET_DOCS) whose output is
+    bucket-count-sized — the driver exclusive-scans it and broadcasts
+    the base offsets once (``ray.put``); pass 2 ``map_groups`` each
+    bucket, sorting by doc_id inside the group and running a
+    vectorized in-bucket cumsum on top of the broadcast base.  No
+    global sort, no O(corpus) driver state."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import whitespace_token_count
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        n = pa.array([whitespace_token_count(s)
+                      for s in t.column('text').to_pylist()], pa.int64())
+        return pa.table({'doc_id': t.column('doc_id'), 'n_tokens': n,
+                         'bucket': pa.array(ids // PACK_BUCKET_DOCS,
+                                            pa.int64())})
+
+    cnt = ds.map_batches(counts, batch_format='pyarrow').materialize()
+
+    bsums = (cnt.groupby('bucket')
+             .aggregate(Sum('n_tokens', alias_name='bt')).take_all())
+    bsums.sort(key=lambda r: r['bucket'])
+    bids = np.array([r['bucket'] for r in bsums], np.int64)
+    btok = np.array([r['bt'] for r in bsums], np.int64)
+    bases = np.concatenate([[0], np.cumsum(btok)[:-1]])
+    base_ref = ray.put((bids, bases))
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids_b, base_b = ray.get(base_ref)
+        g = g.sort_by('doc_id')
+        n = g.column('n_tokens').to_numpy(zero_copy_only=False)
+        b = g.column('bucket')[0].as_py()
+        base = base_b[np.searchsorted(ids_b, b)]
+        pre = base + np.cumsum(n) - n
+        return pa.table({'doc_id': g.column('doc_id'),
+                         'n_tokens': g.column('n_tokens'),
+                         'seq_id': pa.array(pre // ctx, pa.int64()),
+                         'seq_offset': pa.array(pre % ctx, pa.int64())})
+
+    return cnt.groupby('bucket').map_groups(pack, batch_format='pyarrow')
+
+
+def mixture_weights(sf_dir: str, alpha: float = 0.5):
+    """Temperature-scaled language-mixing weights (the multilingual
+    sampling rule of XLM-R / mT5: p_l ∝ share_l^alpha): per-language
+    doc and whitespace-token totals, token share, and the normalized
+    alpha-scaled sampling weight.
+
+    Partial aggregation inside ``map_batches`` (one (lang, docs,
+    tokens) row per lang per batch) feeds a lang-count-sized groupby;
+    the finalize (shares, powers, normalization) runs on the driver
+    over the answer itself."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import whitespace_token_count
+
+    ds = _read(sf_dir, 'documents', ['lang', 'text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import collections
+        docs = collections.Counter()
+        toks = collections.Counter()
+        for lang, s in zip(t.column('lang').to_pylist(),
+                           t.column('text').to_pylist()):
+            docs[lang] += 1
+            toks[lang] += whitespace_token_count(s)
+        langs = sorted(docs)
+        return pa.table({'lang': pa.array(langs, pa.string()),
+                         'd': pa.array([docs[x] for x in langs],
+                                       pa.int64()),
+                         'tk': pa.array([toks[x] for x in langs],
+                                        pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format='pyarrow')
+            .groupby('lang')
+            .aggregate(Sum('d', alias_name='n_docs'),
+                       Sum('tk', alias_name='n_tokens'))
+            # rebuild blocks: hash aggregates emit schemaless empty
+            # blocks for empty partitions (see stages/dedup._join_safe)
+            .repartition(1)
+            .take_all())
+    rows.sort(key=lambda r: r['lang'])
+    tok = np.array([r['n_tokens'] for r in rows], np.float64)
+    share = tok / tok.sum()
+    w = share ** alpha
+    w = w / w.sum()
+    out = pa.table({
+        'lang': pa.array([r['lang'] for r in rows], pa.string()),
+        'n_docs': pa.array([r['n_docs'] for r in rows], pa.int64()),
+        'n_tokens': pa.array([r['n_tokens'] for r in rows], pa.int64()),
+        'token_share': pa.array(share, pa.float64()),
+        'weight': pa.array(w, pa.float64())})
+    out = _snap_round(out, 'token_share', 6)
+    return _snap_round(out, 'weight', 6)
