@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'sample_hash': R.sample_hash,
         'token_quantiles': R.token_quantiles,
         'dup_clusters': R.dup_clusters,
+        'embedding_dup_clusters': R.embedding_dup_clusters,
         'pack_sequences': R.pack_sequences,
         'mixture_weights': R.mixture_weights,
         # training-data cleaning composition
@@ -602,6 +603,24 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # components of the IVF cosine pair graph (pair recall vs the
+        # brute oracle is pytest-pinned at 1.0 on testdata)
+        'embedding_dup_clusters': """
+            WITH RECURSIVE pr AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.95
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pr
+              UNION SELECT id_b, id_a FROM pr
+            ), cc(node, lbl) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, c.lbl FROM edges e JOIN cc c ON e.v = c.node)
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM cc GROUP BY node
         """,
         # MinHash-LSH with exact Jaccard verification: candidates are
         # verified exactly and LSH recall is 1.0 at testdata scale

@@ -205,3 +205,58 @@ def test_mixture_weights_properties(ray_session):
     assert np.allclose(flat.column('weight').to_pylist(),
                        flat.column('token_share').to_pylist(),
                        atol=2e-6)
+
+
+def test_embedding_dup_clusters_planted(ray_session, tmp_path):
+    """Plant two near-identical vector groups; the query must label
+    each group with its min vec_id."""
+    import pyarrow.parquet as pq
+    from webscraping_ray.pipelines import relational as R
+
+    # n >> n_clusters so IVF is non-degenerate (with fewer points than
+    # centroids every near-dup gets its own centroid and recall dies —
+    # not the regime the operator targets)
+    n = 300
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(2, 16))
+    vecs = []
+    for i in range(n):
+        if i in (40, 70, 90):      # cluster around vec 40's direction
+            v = base[0] + rng.normal(scale=1e-4, size=16)
+        elif i in (20, 60):        # second cluster
+            v = base[1] + rng.normal(scale=1e-4, size=16)
+        else:
+            v = rng.normal(size=16)
+        vecs.append((v / np.linalg.norm(v)).tolist())
+    t = pa.table({'vec_id': pa.array(range(n), pa.int64()),
+                  'embedding': pa.array(vecs, pa.list_(pa.float64()))})
+    pq.write_table(t, tmp_path / 'embeddings.parquet')
+
+    out = R.embedding_dup_clusters(str(tmp_path))
+    got = dict(zip(out.column('doc_id').to_pylist(),
+                   out.column('cluster_id').to_pylist()))
+    want = {40: 40, 70: 40, 90: 40, 20: 20, 60: 20}
+    # random 16-dim vectors can stray above 0.95 cosine; the planted
+    # clusters must be present and correctly labeled regardless
+    for k, v in want.items():
+        assert got.get(k) == v, (k, got.get(k))
+
+
+def test_embedding_brute_float64_input(ray_session):
+    """Regression: float64 embedding columns reach BlockCos as a
+    zero-copy READ-ONLY Arrow view; normalization must not mutate it
+    in place (crashed with 'output array is read-only')."""
+    import ray.data
+    from webscraping_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    M = rng.normal(size=(40, 8))
+    M[7] = M[3] + 1e-6          # planted near-dup
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ds = ray.data.from_arrow(pa.table({
+        'vec_id': pa.array(range(40), pa.int64()),
+        'embedding': pa.array(M.tolist(), pa.list_(pa.float64()))}))
+    out = embedding_dup_pairs(ds, threshold=0.999, method='brute')
+    pairs = set(zip(out.column('id_a').to_pylist(),
+                    out.column('id_b').to_pylist()))
+    assert (3, 7) in pairs

@@ -1252,3 +1252,17 @@ def mixture_weights(sf_dir: str, alpha: float = 0.5):
         'weight': pa.array(w, pa.float64())})
     out = _snap_round(out, 'token_share', 6)
     return _snap_round(out, 'weight', 6)
+
+
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.95):
+    """Connected components of the embedding-cosine near-dup graph
+    (IVF-bucketed pair discovery — the scale path; recall vs the brute
+    oracle is pytest-pinned), labeled min(vec_id) per component.
+    Returns (doc_id, cluster_id) — the column names follow
+    :func:`dup_clusters` so both cluster ops share one schema."""
+    from ..stages.clusters import connected_components
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    pairs = embedding_dup_pairs(ds, threshold=threshold, method='ivf')
+    return connected_components(pairs)

@@ -643,8 +643,11 @@ def _embedding_pairs_brute(ds, threshold: float, emb_col: str, id_col: str):
         def __call__(self, batch: pa.Table) -> pa.Table:
             from .similarity import _emb_matrix
             bids = np.asarray(batch.column(id_col), dtype=np.int64)
+            # NOT in-place: _emb_matrix is zero-copy over the Arrow
+            # buffer (read-only) when the column is already float64
             B = _emb_matrix(batch.column(emb_col))
-            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True),
+                               1e-12)
             S = B @ self.M.T
             out_a, out_b, out_c = [], [], []
             for r in range(S.shape[0]):
