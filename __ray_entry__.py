@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'semi_join_customers': R.semi_join_customers,
         'anti_join_customers': R.anti_join_customers,
         'asof_latest_event': R.asof_latest_event,
+        'events_band_join': R.events_band_join,
         # per-document kernels
         'normalize_text': R.normalize_text,
         'token_count': R.token_count,
@@ -462,6 +463,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000.0)
+        """,
+        'events_band_join': """
+            SELECT e1.event_id,
+                   CAST(count(e2.event_id) AS BIGINT) AS n_nearby,
+                   round(COALESCE(sum(e2.value), 0.0), 2)
+                       AS sum_nearby_value
+            FROM events e1 LEFT JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e2.event_id != e1.event_id
+             AND e2.ts BETWEEN e1.ts - INTERVAL 10 MINUTE
+                           AND e1.ts + INTERVAL 10 MINUTE
+            GROUP BY e1.event_id
         """,
         'asof_latest_event': """
             SELECT user_id, event_id AS last_event_id,

@@ -260,3 +260,34 @@ def test_embedding_brute_float64_input(ray_session):
     pairs = set(zip(out.column('id_a').to_pylist(),
                     out.column('id_b').to_pylist()))
     assert (3, 7) in pairs
+
+
+def test_events_band_join_edge_inclusive(ray_session, tmp_path, monkeypatch):
+    """Band bounds are inclusive (BETWEEN semantics): events exactly
+    band_s away count; one microsecond further do not."""
+    import pyarrow.parquet as pq
+    import webscraping_ray.pipelines.relational as rel
+
+    base = 1_700_000_000_000_000  # us epoch
+    band = 600 * 1_000_000
+    rows = [
+        (0, 10, base, 1.0),
+        (1, 10, base + band, 2.0),        # exactly at +band of e0
+        (2, 10, base + band + 1, 4.0),    # 1us beyond e0's band
+        (3, 99, base, 8.0),               # other user, same instant
+    ]
+    t = pa.table({
+        'event_id': pa.array([r[0] for r in rows], pa.int64()),
+        'user_id': pa.array([r[1] for r in rows], pa.int64()),
+        'ts': pa.array([r[2] for r in rows], pa.timestamp('us')),
+        'value': pa.array([r[3] for r in rows], pa.float64()),
+        'event_type': pa.array(['x'] * 4, pa.string()),
+        'props': pa.array([''] * 4, pa.string()),
+    })
+    pq.write_table(t, tmp_path / 'events.parquet')
+    out = {r['event_id']: (r['n_nearby'], r['sum_nearby_value'])
+           for r in rel.events_band_join(str(tmp_path)).take_all()}
+    assert out[0] == (1, 2.0)        # sees e1 only (e2 is 1us out)
+    assert out[1] == (2, 5.0)        # sees e0 and e2
+    assert out[2] == (1, 2.0)        # sees e1 only
+    assert out[3] == (0, 0.0)        # alone on its user

@@ -34,7 +34,9 @@ def _snap_round(t: pa.Table, col: str, nd: int = 2) -> pa.Table:
     so two sums that differ only in reduction order hash differently."""
     arr = t[col].to_numpy(zero_copy_only=False)
     scale = 10.0 ** nd
-    snapped = np.rint(arr * scale) / scale
+    # + 0.0 normalizes -0.0 (a prefix-sum difference that rounds to
+    # zero keeps the sign bit, which breaks byte-level hash compares)
+    snapped = np.rint(arr * scale) / scale + 0.0
     return t.set_column(t.schema.get_field_index(col), col,
                         pa.array(snapped, pa.float64()))
 
@@ -1266,3 +1268,37 @@ def embedding_dup_clusters(sf_dir: str, threshold: float = 0.95):
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     pairs = embedding_dup_pairs(ds, threshold=threshold, method='ivf')
     return connected_components(pairs)
+
+
+def events_band_join(sf_dir: str, band_s: int = 600):
+    """Band (interval) self-join: for every event, the count and value
+    sum of OTHER events by the same user within ±band_s seconds.
+
+    Ray Data has no range-join operator; the scale shape here is
+    shuffle-by-equality-key (user) + a vectorized two-sided
+    ``searchsorted`` over the ts-sorted group with prefix-sum window
+    sums — O(n log n) per key instead of the O(n²) nested-loop a naive
+    cross join would do.  For equality keys too hot to fit one group,
+    the documented alternative is time-bucketing at band width and
+    replicating each row into its 3 adjacent buckets (same kernel per
+    bucket).  Timestamps compare in integer microseconds — no float
+    time math."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+    band_us = band_s * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('ts')
+        ts = g['ts'].astype('int64').to_numpy()
+        v = g['value'].to_numpy()
+        lo = np.searchsorted(ts, ts - band_us, side='left')
+        hi = np.searchsorted(ts, ts + band_us, side='right')
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        return pd.DataFrame({
+            'event_id': g['event_id'].to_numpy(),
+            'n_nearby': (hi - lo - 1).astype('int64'),
+            'sum_nearby_value': cum[hi] - cum[lo] - v})
+
+    out = ds.groupby('user_id').map_groups(per_user,
+                                           batch_format='pandas')
+    return out.map_batches(lambda t: _snap_round(t, 'sum_nearby_value'),
+                           batch_format='pyarrow')
