@@ -144,6 +144,9 @@ def run_bench():
         'knn_query0': R.knn_query0,
         'minhash_dups': R.minhash_dups,
         'quality': R.quality,
+        'dup_clusters': R.dup_clusters,
+        'pack_sequences': R.pack_sequences,
+        'events_band_join': R.events_band_join,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a
