@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'token_quantiles': R.token_quantiles,
         'dup_clusters': R.dup_clusters,
         'embedding_dup_clusters': R.embedding_dup_clusters,
+        'repeated_spans': R.repeated_spans,
         'pack_sequences': R.pack_sequences,
         'mixture_weights': R.mixture_weights,
         # training-data cleaning composition
@@ -731,6 +732,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, CAST(count(DISTINCT t.s) AS BIGINT) AS n_overlap
             FROM ex t JOIN ev USING (s)
             WHERE t.doc_id % 100 <> 0 GROUP BY 1
+        """,
+        # ExactSubstr (Lee et al. 2022) as positional word-16-grams:
+        # every (doc, pos) whose span text repeats corpus-wide
+        'repeated_spans': """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\\w+') AS ts
+                          FROM documents),
+            ex AS (SELECT doc_id,
+                          unnest(range(1, len(ts) - 14)) AS i, ts
+                   FROM toks WHERE len(ts) >= 16),
+            sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                          array_to_string(ts[i:i+15], ' ') AS s
+                   FROM ex),
+            cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS n_occurrences
+                    FROM sp GROUP BY s)
+            SELECT doc_id, pos, n_occurrences
+            FROM sp JOIN cnt USING (s) WHERE n_occurrences >= 2
         """,
         'repetition': """
             -- Gopher-style repetition: share of a doc's word bigrams

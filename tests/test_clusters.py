@@ -291,3 +291,40 @@ def test_events_band_join_edge_inclusive(ray_session, tmp_path, monkeypatch):
     assert out[1] == (2, 5.0)        # sees e0 and e2
     assert out[2] == (1, 2.0)        # sees e1 only
     assert out[3] == (0, 0.0)        # alone on its user
+
+
+def test_repeated_spans_planted_and_tier_equal(ray_session, tmp_path,
+                                               monkeypatch):
+    """Planted 16-token span shared by two docs at different positions;
+    broadcast and join tiers must agree exactly."""
+    import pyarrow.parquet as pq
+    import webscraping_ray.pipelines.relational as rel
+    import webscraping_ray.stages.dedup as dedup
+
+    span = ' '.join(f'w{i}' for i in range(16))
+    texts = [
+        'alpha beta ' + span + ' gamma',           # span at pos 2
+        span + ' delta epsilon',                   # span at pos 0
+        'unrelated words only here nothing repeats at all in this doc',
+        'short doc',                               # < 16 tokens
+    ]
+    t = pa.table({'doc_id': pa.array(range(4), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * 4), 'source': pa.array(['s'] * 4),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, tmp_path / 'documents.parquet')
+
+    out = rel.repeated_spans(str(tmp_path))
+    rows = sorted(zip(out.column('doc_id').to_pylist(),
+                      out.column('pos').to_pylist(),
+                      out.column('n_occurrences').to_pylist()))
+    assert rows == [(0, 2, 2), (1, 0, 2)]
+
+    monkeypatch.setattr(rel, 'BROADCAST_KEY_LIMIT', 0, raising=False)
+    # the function imports the limit from stages.dedup at call time
+    monkeypatch.setattr(dedup, 'BROADCAST_KEY_LIMIT', 0)
+    out2 = rel.repeated_spans(str(tmp_path))
+    rows2 = sorted(zip(out2.column('doc_id').to_pylist(),
+                       out2.column('pos').to_pylist(),
+                       out2.column('n_occurrences').to_pylist()))
+    assert rows2 == rows

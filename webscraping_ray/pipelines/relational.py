@@ -1302,3 +1302,119 @@ def events_band_join(sf_dir: str, band_s: int = 600):
                                            batch_format='pandas')
     return out.map_batches(lambda t: _snap_round(t, 'sum_nearby_value'),
                            batch_format='pyarrow')
+
+
+def repeated_spans(sf_dir: str, k: int = 16):
+    """Exact-substring repeated-span detection — the ExactSubstr pass
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), re-expressed as hashed positional word
+    ``k``-grams instead of a monolithic suffix array (which needs the
+    whole corpus in one address space).  Flags every (doc_id, pos)
+    whose k-token span text occurs >= 2 times corpus-wide; tokens are
+    lowercased ``\\w+`` (the shingle convention, positional variant:
+    docs under k tokens emit no spans).
+
+    Two corpus passes; positions themselves never shuffle in the
+    default tier: pass 1 folds per-batch span counts (16-byte blake2b
+    span hashes) into a groupby-sum whose >=2 survivors are
+    answer-scale for realistic dup rates — broadcast once via
+    ``ray.put`` under ``BROADCAST_KEY_LIMIT``, else hash-joined (two
+    int64 key columns) against the re-exploded spans; pass 2 keeps
+    flagged positions.  Returns (doc_id, pos, n_occurrences).
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import BROADCAST_KEY_LIMIT, _join_safe, _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def span_digests(doc: str):
+        toks = _TOKEN_RE.findall((doc or '').lower())
+        for i in range(len(toks) - k + 1):
+            yield i, hashlib.blake2b(
+                ' '.join(toks[i:i + k]).encode('utf-8', 'surrogatepass'),
+                digest_size=16).digest()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import collections
+        cnt = collections.Counter()
+        for txt in t.column('text').to_pylist():
+            for _, d in span_digests(txt):
+                cnt[d] += 1
+        ks = list(cnt)
+        return pa.table({
+            'h1': pa.array([int.from_bytes(d[:8], 'little', signed=False)
+                            - (1 << 63) for d in ks], pa.int64()),
+            'h2': pa.array([int.from_bytes(d[8:], 'little', signed=False)
+                            - (1 << 63) for d in ks], pa.int64()),
+            'c': pa.array([cnt[d] for d in ks], pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format='pyarrow')
+              .groupby(['h1', 'h2'])
+              .aggregate(Sum('c', alias_name='n_occurrences')))
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t['n_occurrences'], 2)),
+        batch_format='pyarrow').materialize()
+    n_dup = dup.count()
+    schema = pa.schema([('doc_id', pa.int64()), ('pos', pa.int64()),
+                        ('n_occurrences', pa.int64())])
+    if n_dup == 0:
+        return schema.empty_table()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, poss, hs1, hs2 = [], [], [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            for pos, d in span_digests(txt):
+                ids.append(i)
+                poss.append(pos)
+                hs1.append(int.from_bytes(d[:8], 'little') - (1 << 63))
+                hs2.append(int.from_bytes(d[8:], 'little') - (1 << 63))
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'pos': pa.array(poss, pa.int64()),
+                         'h1': pa.array(hs1, pa.int64()),
+                         'h2': pa.array(hs2, pa.int64())})
+
+    if n_dup <= BROADCAST_KEY_LIMIT:
+        dmap = {}
+        for b in dup.iter_batches(batch_format='pyarrow'):
+            dmap.update(zip(zip(b.column('h1').to_pylist(),
+                                b.column('h2').to_pylist()),
+                            b.column('n_occurrences').to_pylist()))
+        dref = ray.put(dmap)
+
+        def flag(t: pa.Table) -> pa.Table:
+            dm = ray.get(dref)
+            sp = explode(t)
+            keep, occ = [], []
+            for j, key in enumerate(zip(sp.column('h1').to_pylist(),
+                                        sp.column('h2').to_pylist())):
+                c = dm.get(key)
+                if c is not None:
+                    keep.append(j)
+                    occ.append(c)
+            sp = sp.take(pa.array(keep, pa.int64()))
+            return pa.table({'doc_id': sp.column('doc_id'),
+                             'pos': sp.column('pos'),
+                             'n_occurrences': pa.array(occ, pa.int64())})
+
+        out = ds.map_batches(flag, batch_format='pyarrow')
+        batches = [b for b in out.iter_batches(batch_format='pyarrow')
+                   if b.num_rows]
+        return (pa.concat_tables(batches) if batches
+                else schema.empty_table())
+
+    # join tier: dup-key set too big to broadcast — shuffle the
+    # exploded positions against the dup keys (both sides hash-
+    # partition on (h1, h2))
+    joined = (ds.map_batches(explode, batch_format='pyarrow')
+              .join(_join_safe(dup), 'inner', num_partitions=8,
+                    on=('h1', 'h2'), right_on=('h1', 'h2'))
+              .select_columns(['doc_id', 'pos', 'n_occurrences']))
+    batches = [b for b in joined.iter_batches(batch_format='pyarrow')
+               if b.num_rows]
+    return (pa.concat_tables(batches) if batches
+            else schema.empty_table())
