@@ -2,6 +2,7 @@
 one-row-per-block Dataset fold."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from webscraping_ray.stages.sketch import (DEFAULT_P, HyperLogLog,
@@ -91,3 +92,94 @@ def test_approx_distinct_on_testdata(ray_session):
     exact = len({r['user_id'] for r in ds.take_all()})
     est = approx_distinct(ds, 'user_id')
     assert abs(est - exact) / exact < 0.05
+
+
+def test_misra_gries_exact_when_capacity_sufficient():
+    from webscraping_ray.stages.sketch import MisraGries
+    import collections
+
+    vals = [f'k{i % 37}' for i in range(2000)]
+    mg = MisraGries(capacity=64)
+    mg.add(vals)
+    assert mg.err == 0
+    assert mg.counts == dict(collections.Counter(vals))
+
+
+def test_misra_gries_error_bound_and_guarantee():
+    from webscraping_ray.stages.sketch import MisraGries
+    import collections
+
+    rng = np.random.default_rng(5)
+    # zipf-ish stream: few heavy keys + long tail
+    vals = ([f'hot{i}' for i in range(5) for _ in range(500)]
+            + [f'tail{int(x)}' for x in rng.integers(0, 5000, 8000)])
+    rng.shuffle(vals)
+    n = len(vals)
+    cap = 256
+    mg = MisraGries(capacity=cap)
+    for i in range(0, n, 997):     # streamed in uneven chunks
+        mg.add(vals[i:i + 997])
+    true = collections.Counter(vals)
+    assert mg.err <= n // (cap + 1) + 1
+    for key, c in mg.counts.items():
+        assert c <= true[key]                  # never overcounts
+        assert true[key] - c <= mg.err         # bounded undercount
+    # every key above the threshold is guaranteed present
+    thresh = n / (cap + 1)
+    for key, c in true.items():
+        if c > thresh + mg.err:
+            assert key in mg.counts
+
+
+def test_misra_gries_merge_bounds_add():
+    from webscraping_ray.stages.sketch import MisraGries
+    import collections
+
+    a_vals = [f'x{i % 300}' for i in range(3000)]
+    b_vals = [f'x{i % 50}' for i in range(3000)]
+    a, b = MisraGries(64), MisraGries(64)
+    a.add(a_vals)
+    b.add(b_vals)
+    err_budget = a.err + b.err
+    a.merge(b)
+    true = collections.Counter(a_vals + b_vals)
+    assert a.err >= err_budget
+    assert a.err <= len(a_vals + b_vals) // 65 + 2
+    for key, c in a.counts.items():
+        assert c <= true[key] and true[key] - c <= a.err
+
+
+def test_approx_top_ngrams_matches_exact(ray_session):
+    """With capacity >= distinct n-grams per block the sketch is exact
+    — must equal the exact shuffle-based top_ngrams."""
+    from webscraping_ray.pipelines import relational as R
+    from webscraping_ray.pipelines.relational import _read
+    from webscraping_ray.stages.sketch import approx_top_ngrams
+
+    sf = '/root/testdata/sf0.001'
+    exact = R.top_ngrams(sf, n=3, k=50).take_all()
+    got = approx_top_ngrams(_read(sf, 'documents', ['text']),
+                            n=3, k=50, capacity=200_000)
+    got_rows = list(zip(got.column('ngram').to_pylist(),
+                        got.column('cnt').to_pylist()))
+    assert got_rows == [(r['ngram'], r['cnt']) for r in exact]
+
+
+def test_approx_top_ngrams_small_capacity_keeps_heavy_head(ray_session):
+    """MG only guarantees keys above N/(capacity+1) — the testdata
+    vocabulary is near-uniform, so build a skewed corpus where the
+    head truly dominates and assert it survives a tight capacity."""
+    import ray.data
+    from webscraping_ray.stages.sketch import approx_top_ngrams
+
+    rng = np.random.default_rng(9)
+    tail_words = [f'w{i}' for i in range(2000)]
+    texts = []
+    for i in range(400):
+        words = list(rng.choice(tail_words, size=30))
+        if i % 2 == 0:
+            words += ['hot', 'hot', 'hot']     # heavy unigram
+        texts.append(' '.join(words))
+    ds = ray.data.from_arrow(pa.table({'text': pa.array(texts)}))
+    got = approx_top_ngrams(ds, n=1, k=5, capacity=256)
+    assert got.column('ngram').to_pylist()[0] == 'hot'

@@ -123,3 +123,104 @@ def approx_distinct(ds, col: str, p: int = DEFAULT_P) -> float:
         for blob in b.column('regs').to_pylist():
             acc.merge(HyperLogLog.from_bytes(blob, p))
     return acc.estimate()
+
+
+class MisraGries:
+    """Heavy-hitters summary (Misra & Gries 1982 / SpaceSaving family).
+
+    Holds at most ``capacity`` counters.  After ingesting N items the
+    stored count of any key undercounts its true frequency by at most
+    ``self.err`` <= N / (capacity + 1), and every key with true
+    frequency > N / (capacity + 1) is guaranteed present.  With
+    ``capacity`` >= the number of distinct keys the summary is exact.
+    Summaries merge by counter addition + re-shrink (Agarwal et al.,
+    "Mergeable Summaries", PODS 2012): error bounds add, so a tree of
+    block merges keeps the same N / (capacity + 1) corpus-wide bound.
+    """
+
+    def __init__(self, capacity: int = 4096):
+        if capacity < 1:
+            raise ValueError('capacity must be >= 1')
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.err = 0  # max undercount of any stored counter
+
+    def _shrink(self) -> None:
+        over = len(self.counts) - self.capacity
+        if over <= 0:
+            return
+        # subtract the (over)-th smallest count from everyone — the
+        # batched form of the classic decrement-all step
+        vals = sorted(self.counts.values())
+        d = vals[over - 1]
+        self.counts = {k: c - d for k, c in self.counts.items() if c > d}
+        self.err += d
+
+    def add_counter(self, cnt: dict) -> None:
+        for key, c in cnt.items():
+            self.counts[key] = self.counts.get(key, 0) + c
+        self._shrink()
+
+    def add(self, values) -> None:
+        import collections
+        self.add_counter(collections.Counter(values))
+
+    def merge(self, other: 'MisraGries') -> 'MisraGries':
+        if other.capacity != self.capacity:
+            raise ValueError('capacity mismatch')
+        self.err += other.err
+        self.add_counter(other.counts)
+        return self
+
+    def top(self, k: int):
+        """[(key, lower-bound count)] — count desc, key asc."""
+        return sorted(self.counts.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def approx_top_ngrams(ds, n: int = 3, k: int = 100,
+                      capacity: int = 4096, text_col: str = 'text'):
+    """Approximate corpus top-k word n-grams in one streaming pass.
+
+    The exact :func:`~webscraping_ray.pipelines.relational.top_ngrams`
+    shuffles one (ngram, count) partial per distinct ngram per batch —
+    at 100 TB the distinct-trigram space is billions of keys and the
+    groupby becomes the bottleneck.  This sketch folds each block to a
+    ``capacity``-bounded Misra-Gries summary row and merges summaries
+    on the driver: shuffled state is O(blocks x capacity) regardless
+    of vocabulary, counts undercount by <= N/(capacity+1) corpus-wide,
+    and any ngram above that frequency is guaranteed in the summary.
+    Returns a pyarrow Table (ngram, cnt) — count desc, ngram asc.
+    """
+    import re
+
+    import pyarrow as pa
+
+    tok = re.compile(r'\w+', re.UNICODE)
+
+    def fold(t: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter()
+        for txt in t.column(text_col).to_pylist():
+            toks = tok.findall((txt or '').lower())
+            for i in range(len(toks) - n + 1):
+                c[' '.join(toks[i:i + n])] += 1
+        mg = MisraGries(capacity)
+        mg.add_counter(c)
+        return pa.table({
+            'ngram': pa.array(list(mg.counts.keys()), pa.string()),
+            'cnt': pa.array(list(mg.counts.values()), pa.int64()),
+            'err': pa.array([mg.err] * len(mg.counts), pa.int64())})
+
+    acc = MisraGries(capacity)
+    for b in ds.select_columns([text_col]).map_batches(
+            fold, batch_format='pyarrow').iter_batches(
+                batch_format='pyarrow'):
+        part = MisraGries(capacity)
+        part.counts = dict(zip(b.column('ngram').to_pylist(),
+                               b.column('cnt').to_pylist()))
+        part.err = b.column('err')[0].as_py() if b.num_rows else 0
+        acc.merge(part)
+    top = acc.top(k)
+    return pa.table({'ngram': pa.array([t_ for t_, _ in top], pa.string()),
+                     'cnt': pa.array([c for _, c in top], pa.int64())})
