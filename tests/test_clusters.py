@@ -328,3 +328,35 @@ def test_repeated_spans_planted_and_tier_equal(ray_session, tmp_path,
                        out2.column('pos').to_pylist(),
                        out2.column('n_occurrences').to_pylist()))
     assert rows2 == rows
+
+
+def test_write_training_shards_resumable(ray_session, tmp_path):
+    """First run writes every shard; delete one; rerun rewrites ONLY
+    the missing shard byte-identically and skips the rest."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import webscraping_ray.pipelines.relational as rel
+
+    sf = '/root/testdata/sf0.001'
+    out = str(tmp_path / 'shards')
+    s1 = rel.write_training_shards(sf, out, seqs_per_shard=4)
+    assert not any(s1.column('skipped').to_pylist())
+    shards = sorted(os.listdir(out))
+    assert len(shards) == s1.num_rows > 1
+    # packed rows partition the corpus exactly
+    total = sum(s1.column('n_rows').to_pylist())
+    assert total == 500
+
+    victim = os.path.join(out, shards[1])
+    before = pq.read_table(os.path.join(victim, 'part.parquet'))
+    shutil.rmtree(victim)
+
+    s2 = rel.write_training_shards(sf, out, seqs_per_shard=4)
+    skipped = dict(zip(s2.column('shard').to_pylist(),
+                       s2.column('skipped').to_pylist()))
+    rewritten = [k for k, v in skipped.items() if not v]
+    assert rewritten == [int(shards[1].split('=')[1])]
+    after = pq.read_table(os.path.join(victim, 'part.parquet'))
+    assert after.equals(before)

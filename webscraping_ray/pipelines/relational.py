@@ -1418,3 +1418,61 @@ def repeated_spans(sf_dir: str, k: int = 16):
                if b.num_rows]
     return (pa.concat_tables(batches) if batches
             else schema.empty_table())
+
+
+def write_training_shards(sf_dir: str, out_dir: str, ctx: int = 2048,
+                          seqs_per_shard: int = 64):
+    """Resumable partitioned training-shard sink: pack documents into
+    fixed-``ctx`` token sequences (:func:`pack_sequences`) and write
+    one parquet file per shard of ``seqs_per_shard`` consecutive
+    sequences — ``out_dir/shard=NNNNNN/part.parquet``.
+
+    Each shard writes through a tmp-file + atomic ``os.replace`` and is
+    SKIPPED if its file already exists, so a failed run resumes by
+    rerunning the same command — finished shards are never rewritten
+    or re-read (the brief's "resumable output" contract; the
+    deterministic pack means a rewrite would be byte-identical
+    anyway).  Shard assignment is a pure function of seq_id, so the
+    partitioning is stable under any input repartitioning.  Returns a
+    pyarrow Table (shard, n_rows, skipped) sorted by shard.
+    """
+    import os
+    import uuid
+
+    packed = pack_sequences(sf_dir, ctx=ctx)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sid = t.column('seq_id').to_numpy(zero_copy_only=False)
+        return t.append_column(
+            'shard', pa.array(sid // seqs_per_shard, pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        shard = int(g.column('shard')[0].as_py())
+        d = os.path.join(out_dir, f'shard={shard:06d}')
+        final = os.path.join(d, 'part.parquet')
+        if os.path.exists(final):
+            return pa.table({'shard': pa.array([shard], pa.int64()),
+                             'n_rows': pa.array([g.num_rows], pa.int64()),
+                             'skipped': pa.array([True])})
+        os.makedirs(d, exist_ok=True)
+        body = g.sort_by([('seq_id', 'ascending'),
+                          ('seq_offset', 'ascending')]).drop(['shard'])
+        tmp = os.path.join(d, f'.tmp-{uuid.uuid4().hex}')
+        pq.write_table(body, tmp)
+        os.replace(tmp, final)
+        return pa.table({'shard': pa.array([shard], pa.int64()),
+                         'n_rows': pa.array([g.num_rows], pa.int64()),
+                         'skipped': pa.array([False])})
+
+    stats = (packed.map_batches(add_shard, batch_format='pyarrow')
+             .groupby('shard').map_groups(write_shard,
+                                          batch_format='pyarrow')
+             .take_all())
+    stats.sort(key=lambda r: r['shard'])
+    return pa.table({
+        'shard': pa.array([r['shard'] for r in stats], pa.int64()),
+        'n_rows': pa.array([r['n_rows'] for r in stats], pa.int64()),
+        'skipped': pa.array([r['skipped'] for r in stats], pa.bool_())})
