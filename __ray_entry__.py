@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dup_clusters': R.dup_clusters,
         'embedding_dup_clusters': R.embedding_dup_clusters,
         'repeated_spans': R.repeated_spans,
+        'unigram_logprob': R.unigram_logprob,
         'pack_sequences': R.pack_sequences,
         'mixture_weights': R.mixture_weights,
         # training-data cleaning composition
@@ -732,6 +733,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, CAST(count(DISTINCT t.s) AS BIGINT) AS n_overlap
             FROM ex t JOIN ev USING (s)
             WHERE t.doc_id % 100 <> 0 GROUP BY 1
+        """,
+        # order-0 KenLM proxy: mean token log-prob under the corpus
+        # unigram distribution (ln/sum drift absorbed by round(4))
+        'unigram_logprob': """
+            WITH tk AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '\\w+'))
+                              AS w
+                        FROM documents),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tk),
+            vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                      FROM tk GROUP BY w),
+            per AS (SELECT t.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_tokens,
+                           SUM(ln(v.c / (SELECT n FROM tot))) / count(*)
+                               AS lp
+                    FROM tk t JOIN vocab v USING (w)
+                    GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   round(COALESCE(p.lp, 0.0), 4) AS logprob_per_token
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         # ExactSubstr (Lee et al. 2022) as positional word-16-grams:
         # every (doc, pos) whose span text repeats corpus-wide

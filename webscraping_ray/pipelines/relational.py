@@ -1476,3 +1476,64 @@ def write_training_shards(sf_dir: str, out_dir: str, ctx: int = 2048,
         'shard': pa.array([r['shard'] for r in stats], pa.int64()),
         'n_rows': pa.array([r['n_rows'] for r in stats], pa.int64()),
         'skipped': pa.array([r['skipped'] for r in stats], pa.bool_())})
+
+
+def unigram_logprob(sf_dir: str):
+    """Unigram-LM document scoring (the KenLM-perplexity proxy used by
+    CCNet-style quality filtering, reduced to its order-0 core): mean
+    per-token log-probability of each doc under the corpus unigram
+    distribution.  Low scores = improbable token soup.
+
+    Pass 1 builds the vocabulary counts (per-batch Counter partials →
+    groupby-sum — the shuffle carries (token, count) partials); the
+    log-prob table broadcasts once via ``ray.put`` (web-corpus
+    vocabularies are ~1e7-1e8 keys — GBs, still broadcastable; beyond
+    that, hash-join the exploded tokens instead).  Pass 2 scores each
+    doc vectorized against the broadcast map.  Returns (doc_id,
+    n_tokens, logprob_per_token rounded to 4) — token-less docs score
+    0.0."""
+    import collections
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(_TOKEN_RE.findall((txt or '').lower()))
+        return pa.table({'w': pa.array(list(c.keys()), pa.string()),
+                         'c': pa.array(list(c.values()), pa.int64())})
+
+    vocab = {}
+    for b in (ds.map_batches(vocab_partial, batch_format='pyarrow')
+              .groupby('w').aggregate(Sum('c', alias_name='c'))
+              .iter_batches(batch_format='pyarrow')):
+        vocab.update(zip(b.column('w').to_pylist(),
+                         b.column('c').to_pylist()))
+    total = sum(vocab.values())
+    logp = {w: math.log(c / total) for w, c in vocab.items()}
+    lref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(lref)
+        ids = t.column('doc_id')
+        ns, scores = [], []
+        for txt in t.column('text').to_pylist():
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            ns.append(len(toks))
+            scores.append(sum(lp[w] for w in toks) / len(toks)
+                          if toks else 0.0)
+        return pa.table({'doc_id': ids,
+                         'n_tokens': pa.array(ns, pa.int64()),
+                         'logprob_per_token': pa.array(scores,
+                                                       pa.float64())})
+
+    out = ds.map_batches(score, batch_format='pyarrow')
+    return out.map_batches(
+        lambda t: _snap_round(t, 'logprob_per_token', 4),
+        batch_format='pyarrow')
