@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dup_clusters': R.dup_clusters,
         'embedding_dup_clusters': R.embedding_dup_clusters,
         'repeated_spans': R.repeated_spans,
+        'remove_repeated_spans': R.remove_repeated_spans,
         'unigram_logprob': R.unigram_logprob,
         'pack_sequences': R.pack_sequences,
         'mixture_weights': R.mixture_weights,
@@ -771,6 +772,54 @@ def oracle_sql() -> dict[str, str]:
                     FROM sp GROUP BY s)
             SELECT doc_id, pos, n_occurrences
             FROM sp JOIN cnt USING (s) WHERE n_occurrences >= 2
+        """,
+        # full ExactSubstr cleaning: merged covering intervals
+        # (gaps-and-islands) over the flagged positions, tokens
+        # outside any interval re-joined in order
+        'remove_repeated_spans': """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\\w+') AS ts
+                          FROM documents),
+            ex AS (SELECT doc_id, unnest(range(1, len(ts) - 14)) AS i, ts
+                   FROM toks WHERE len(ts) >= 16),
+            sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                          array_to_string(ts[i:i+15], ' ') AS s
+                   FROM ex),
+            cnt AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+            flag AS (SELECT doc_id, pos, pos + 16 AS e
+                     FROM sp JOIN cnt USING (s)),
+            ordd AS (SELECT doc_id, pos, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+                     FROM flag),
+            isl AS (SELECT doc_id, pos, e,
+                    SUM(CASE WHEN pm IS NULL OR pos > pm
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM ordd),
+            ivl AS (SELECT doc_id, island, min(pos) AS s0, max(e) AS e0
+                    FROM isl GROUP BY 1, 2),
+            tk AS (SELECT doc_id, unnest(ts) AS w,
+                          CAST(unnest(range(0, len(ts))) AS BIGINT)
+                              AS idx
+                   FROM toks),
+            keep AS (SELECT t.doc_id, t.w, t.idx FROM tk t
+                     LEFT JOIN ivl v ON v.doc_id = t.doc_id
+                                    AND t.idx >= v.s0 AND t.idx < v.e0
+                     WHERE v.s0 IS NULL),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_tokens_kept,
+                           string_agg(w, ' ' ORDER BY idx) AS text_clean
+                    FROM keep GROUP BY doc_id),
+            nt AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks)
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+                   nt.n - COALESCE(a.n_tokens_kept, 0)
+                       AS n_tokens_removed,
+                   COALESCE(a.text_clean, '') AS text_clean
+            FROM documents d JOIN nt USING (doc_id)
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         'repetition': """
             -- Gopher-style repetition: share of a doc's word bigrams

@@ -360,3 +360,32 @@ def test_write_training_shards_resumable(ray_session, tmp_path):
     assert rewritten == [int(shards[1].split('=')[1])]
     after = pq.read_table(os.path.join(victim, 'part.parquet'))
     assert after.equals(before)
+
+
+def test_remove_repeated_spans_interval_merge(ray_session, tmp_path):
+    """Overlapping flagged spans merge into one covering interval; the
+    rewrite drops exactly the covered tokens from every copy."""
+    import pyarrow.parquet as pq
+    import webscraping_ray.pipelines.relational as rel
+
+    # 18 shared tokens -> spans at pos 0,1,2 in doc0 (overlapping) and
+    # pos 1,2,3 in doc1; merged coverage = tokens 0..17 / 1..18
+    shared = ' '.join(f's{i}' for i in range(18))
+    texts = [shared + ' tail0 tail1',
+             'head0 ' + shared + ' tail2',
+             'no repeats in this one at all just unique words here']
+    t = pa.table({'doc_id': pa.array(range(3), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * 3),
+                  'source': pa.array(['s'] * 3),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, tmp_path / 'documents.parquet')
+
+    out = {r['doc_id']: r for r in
+           rel.remove_repeated_spans(str(tmp_path)).take_all()}
+    assert out[0]['text_clean'] == 'tail0 tail1'
+    assert out[0]['n_tokens_removed'] == 18
+    assert out[1]['text_clean'] == 'head0 tail2'
+    assert out[1]['n_tokens_removed'] == 18
+    assert out[2]['n_tokens_removed'] == 0
+    assert out[2]['text_clean'] == texts[2]

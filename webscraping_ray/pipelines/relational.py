@@ -1537,3 +1537,68 @@ def unigram_logprob(sf_dir: str):
     return out.map_batches(
         lambda t: _snap_round(t, 'logprob_per_token', 4),
         batch_format='pyarrow')
+
+
+def remove_repeated_spans(sf_dir: str, k: int = 16):
+    """Full ExactSubstr cleaning (the second half of Lee et al. 2022):
+    drop every token covered by any corpus-repeated ``k``-token span
+    (all copies — the conservative variant) and re-emit the cleaned
+    token stream.  Returns (doc_id, n_tokens_kept, n_tokens_removed,
+    text_clean) for every document; ``text_clean`` is the surviving
+    lowercased token stream joined by single spaces (the span
+    inventory is defined over tokens, so the rewrite is too).
+
+    Composition: :func:`repeated_spans` supplies the flagged
+    positions (answer-scale for realistic dup rates — same argument
+    as the dedup dup-key broadcast; at extreme dup rates ship them as
+    a Dataset join on doc_id instead); positions merge into covering
+    intervals per doc on the driver (O(flags)) and broadcast once;
+    each batch then drops covered tokens vectorized."""
+    import ray
+
+    from ..stages.dedup import _TOKEN_RE
+
+    flags = repeated_spans(sf_dir, k)
+    by_doc: dict = {}
+    for i, p in zip(flags.column('doc_id').to_pylist(),
+                    flags.column('pos').to_pylist()):
+        by_doc.setdefault(i, []).append(p)
+    intervals = {}
+    for i, ps in by_doc.items():
+        ps.sort()
+        merged = []
+        for p in ps:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + k)
+            else:
+                merged.append([p, p + k])
+        intervals[i] = merged
+    iref = ray.put(intervals)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        iv = ray.get(iref)
+        kept_n, rem_n, clean = [], [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            spans = iv.get(i)
+            if not spans:
+                kept_n.append(len(toks))
+                rem_n.append(0)
+                clean.append(' '.join(toks))
+                continue
+            mask = np.ones(len(toks), dtype=bool)
+            for s, e in spans:
+                mask[s:e] = False
+            kept = [w for w, m in zip(toks, mask) if m]
+            kept_n.append(len(kept))
+            rem_n.append(len(toks) - len(kept))
+            clean.append(' '.join(kept))
+        return pa.table({
+            'doc_id': t.column('doc_id'),
+            'n_tokens_kept': pa.array(kept_n, pa.int64()),
+            'n_tokens_removed': pa.array(rem_n, pa.int64()),
+            'text_clean': pa.array(clean, pa.string())})
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return ds.map_batches(rewrite, batch_format='pyarrow')
