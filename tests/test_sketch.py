@@ -183,3 +183,98 @@ def test_approx_top_ngrams_small_capacity_keeps_heavy_head(ray_session):
     ds = ray.data.from_arrow(pa.table({'text': pa.array(texts)}))
     got = approx_top_ngrams(ds, n=1, k=5, capacity=256)
     assert got.column('ngram').to_pylist()[0] == 'hot'
+
+
+def _rank_error(sketch, data, qs):
+    data = np.sort(np.asarray(data, dtype=np.float64))
+    n = len(data)
+    worst = 0.0
+    for q in qs:
+        est = sketch.quantile(q)
+        # with ties an estimate's true rank is an interval — error is
+        # the distance from q to [rank_left, rank_right]
+        lo = np.searchsorted(data, est, side='left') / n
+        hi = np.searchsorted(data, est, side='right') / n
+        worst = max(worst, lo - q, q - hi, 0.0)
+    return worst
+
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@pytest.mark.parametrize('dist', ['uniform', 'zipf', 'normal'])
+def test_kll_rank_error_bound(dist):
+    from webscraping_ray.stages.sketch import KLLQuantiles
+
+    rng = np.random.default_rng(13)
+    n = 100_000
+    data = {'uniform': rng.uniform(0, 1, n),
+            'zipf': rng.zipf(1.5, n).astype(float),
+            'normal': rng.normal(0, 1, n)}[dist]
+    h = KLLQuantiles(k=200)
+    for i in range(0, n, 4096):
+        h.add(data[i:i + 4096])
+    assert h.n == n
+    assert sum(len(b) for b in h.levels) <= 200 * len(h.levels)
+    assert _rank_error(h, data, QS) < 0.02
+
+
+def test_kll_merge_within_bound():
+    from webscraping_ray.stages.sketch import KLLQuantiles
+
+    rng = np.random.default_rng(17)
+    shards = [rng.normal(s, 1, 20_000) for s in range(5)]
+    acc = KLLQuantiles(k=200)
+    for i, s in enumerate(shards):
+        part = KLLQuantiles(k=200, seed=100 + i)
+        part.add(s)
+        acc.merge(part)
+    data = np.concatenate(shards)
+    assert acc.n == len(data)
+    assert _rank_error(acc, data, QS) < 0.025
+
+
+def test_kll_constant_and_tiny_streams():
+    from webscraping_ray.stages.sketch import KLLQuantiles
+
+    h = KLLQuantiles(k=8)
+    h.add([7.0] * 5000)
+    assert h.quantile(0.01) == h.quantile(0.99) == 7.0
+    t = KLLQuantiles()
+    t.add([3.0, 1.0, 2.0])
+    assert t.quantile(0.5) == 2.0
+    with pytest.raises(ValueError):
+        KLLQuantiles().quantile(0.5)
+    with pytest.raises(ValueError):
+        t.quantile(1.5)
+
+
+def test_kll_roundtrip_table():
+    from webscraping_ray.stages.sketch import KLLQuantiles
+
+    rng = np.random.default_rng(23)
+    h = KLLQuantiles(k=64)
+    h.add(rng.uniform(0, 10, 50_000))
+    t = h.to_table()
+    h2 = KLLQuantiles.from_table(t, k=64)
+    assert h2.n == h.n
+    for q in QS:
+        assert h2.quantile(q) == h.quantile(q)
+
+
+def test_approx_quantiles_dataset_vs_exact(ray_session):
+    """Sketch quantiles of the events value column vs exact numpy
+    quantiles — rank error under 2.5%."""
+    from webscraping_ray.pipelines.relational import _read
+    from webscraping_ray.stages.sketch import approx_quantiles
+    import pyarrow.parquet as pq
+
+    sf = '/root/testdata/sf0.001'
+    vals = np.sort(pq.read_table(f'{sf}/events.parquet',
+                                 columns=['value'])
+                   .column('value').to_numpy(zero_copy_only=False))
+    got = approx_quantiles(_read(sf, 'events', ['value']), 'value', QS)
+    n = len(vals)
+    for q, est in zip(QS, got):
+        r = np.searchsorted(vals, est, side='right') / n
+        assert abs(r - q) < 0.025
