@@ -172,6 +172,63 @@ def _fingerprints_sql() -> str:
     """
 
 
+def _redact_pii_sql() -> str:
+    """Reconstruct the derived-page html by construction
+    (sources/docs_pages.py doc_html — host h = doc_id % 8, local index
+    k = doc_id // 8, children j_m = h + 8*(3k+m) < N for m = 1..3,
+    which keeps j_m % 8 == h) and apply the SAME RE2 patterns as
+    stages/redact.py via nested ``regexp_replace``."""
+    from webscraping_ray.stages.redact import (
+        OBF_EMAIL_SQL, PHONE_SQL, PLAIN_EMAIL_SQL)
+
+    return f"""
+      WITH nd AS (SELECT count(*) AS n FROM documents),
+      pg AS (
+        SELECT doc_id,
+          '<html><head><meta charset=utf-8><title>Doc ' || doc_id
+          || '</title><meta name="description" content="Doc ' || doc_id
+          || ' summary"></head><body><h1>Doc ' || doc_id || '</h1>'
+          || '<!-- generated --><p>' || text || '</p>'
+          || CASE WHEN doc_id % 3 = 0 THEN '<p>contact: user' || doc_id
+                  || ' AT example DOT com</p>' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN '<p>call (555) 010-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '</p>' ELSE '' END
+          || CASE WHEN doc_id % 8 + 8 * (3 * (doc_id // 8) + 1)
+                       < (SELECT n FROM nd)
+                  THEN '<a href="/d/'
+                       || (doc_id % 8 + 8 * (3 * (doc_id // 8) + 1))
+                       || '#top">l0</a>' ELSE '' END
+          || CASE WHEN doc_id % 8 + 8 * (3 * (doc_id // 8) + 2)
+                       < (SELECT n FROM nd)
+                  THEN '<a href="http://src' || doc_id % 8 || '.com/d/'
+                       || (doc_id % 8 + 8 * (3 * (doc_id // 8) + 2))
+                       || '">l1</a>' ELSE '' END
+          || CASE WHEN doc_id % 8 + 8 * (3 * (doc_id // 8) + 3)
+                       < (SELECT n FROM nd)
+                  THEN '<a href="/d/'
+                       || (doc_id % 8 + 8 * (3 * (doc_id // 8) + 3))
+                       || '">l2</a>' ELSE '' END
+          || '<a href="/q/' || doc_id || '?a=1&amp;b=2">query</a>'
+          || '<a href="http://src' || (doc_id + 1) % 8 || '.com/x/'
+          || doc_id || '">cross</a>'
+          || '<a href="/img/' || doc_id || '.png">media</a>'
+          || '</body></html>' AS html
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(html,
+            '{OBF_EMAIL_SQL}', '<EMAIL>', 'g'),
+            '{PLAIN_EMAIL_SQL}', '<EMAIL>', 'g'),
+            '{PHONE_SQL}', '<PHONE>', 'g') AS html_redacted,
+        CAST(len(regexp_extract_all(html, '{OBF_EMAIL_SQL}'))
+             + len(regexp_extract_all(html, '{PLAIN_EMAIL_SQL}'))
+             AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(html, '{PHONE_SQL}'))
+             AS BIGINT) AS n_phones
+      FROM pg
+    """
+
+
 def entry() -> Any:
     """Flagship: BFS crawl of the documents-derived web at sf0.001."""
     from webscraping_ray.pipelines import relational as R
@@ -234,6 +291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_dup_clusters': R.embedding_dup_clusters,
         'repeated_spans': R.repeated_spans,
         'remove_repeated_spans': R.remove_repeated_spans,
+        'redact_pii': R.redact_pii,
+        'sample_stratified': R.sample_stratified,
+        'tfidf_top_terms': R.tfidf_top_terms,
+        'shuffle_assign': R.shuffle_assign,
         'unigram_logprob': R.unigram_logprob,
         'pack_sequences': R.pack_sequences,
         'mixture_weights': R.mixture_weights,
@@ -840,6 +901,51 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(m.mc AS DOUBLE) / m.tot, 0.0)
                        AS top_bigram_frac
             FROM documents d LEFT JOIN m USING (doc_id)
+        """,
+        # PII redaction: the oracle rebuilds the page html by
+        # construction (docs_pages.py is a pure function of doc_id)
+        # and applies the SAME RE2 patterns — a dual implementation
+        # of the redaction semantics (Python re vs DuckDB RE2)
+        'redact_pii': _redact_pii_sql(),
+        'sample_stratified': """
+            SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                             doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 50
+        """,
+        # ranking is integer-only (tf desc, df asc, term) so the
+        # compare never rides on float ties; score checked via round(6)
+        'tfidf_top_terms': """
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\\w+') AS ts
+                          FROM documents),
+            tfr AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+            tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM tfr GROUP BY 1, 2),
+            dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tfc GROUP BY term),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            r AS (SELECT doc_id, term, tf, df,
+                    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, term ASC) AS rn
+                  FROM tfc JOIN dfc USING (term))
+            SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rank,
+                   round(tf * ln((SELECT n FROM nd) / df), 6) AS score
+            FROM r WHERE rn <= 3
+        """,
+        'shuffle_assign': """
+            WITH p AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)
+                                          || ':shuffle'), doc_id) - 1
+                  AS pos
+              FROM documents)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(pos // 256 AS BIGINT) AS shard
+            FROM p
         """,
         'sample_hash': """
             SELECT doc_id, lang, n_chars FROM documents

@@ -317,3 +317,103 @@ def test_sample_hash_composable_and_layout_invariant(ray_session):
         r['doc_id'] for r in
         sample_hash('/root/testdata/sf0.001').take_all())
     assert ids10 == ids10_again
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / stratified sampling / global shuffle / TF-IDF
+
+
+def test_redact_text_planted_pii():
+    """Planted-PII kernel check: the synthetic corpus only carries the
+    obfuscated email + phone forms, so the plain-email path is proven
+    here (the oracle run proves the other two end to end)."""
+    from webscraping_ray.stages.redact import redact_text
+
+    t, ne, np_ = redact_text(
+        'mail me at alice.smith+spam@sub.example.co.uk or '
+        'bob AT example DOT org, call (555) 123-4567 or 555-123-4567.')
+    assert ne == 2 and np_ == 2
+    assert t == ('mail me at <EMAIL> or <EMAIL>, call <PHONE> or '
+                 '<PHONE>.')
+    # no PII → identity
+    assert redact_text('nothing here') == ('nothing here', 0, 0)
+    assert redact_text(None) == ('', 0, 0)
+
+
+def test_redact_pii_counts_by_construction(ray_session):
+    """docs_pages.py embeds an obfuscated email on doc_id%3==0 and a
+    phone on doc_id%5==0 — the stage must find exactly those."""
+    from webscraping_ray.pipelines.relational import redact_pii
+
+    out = redact_pii('/root/testdata/sf0.001').to_pandas()
+    for _, r in out.iterrows():
+        assert r['n_emails'] == (1 if r['doc_id'] % 3 == 0 else 0)
+        assert r['n_phones'] == (1 if r['doc_id'] % 5 == 0 else 0)
+        assert ('<EMAIL>' in r['html_redacted']) == (r['n_emails'] == 1)
+        assert ' AT example DOT com' not in r['html_redacted']
+
+
+def test_shuffle_assign_is_md5_permutation(ray_session):
+    """pos must be the exact md5-keyed permutation 0..n-1 (ties by
+    doc_id) regardless of bucketing, and shard = pos // shard_size."""
+    import hashlib
+
+    from webscraping_ray.pipelines.relational import shuffle_assign
+
+    out = shuffle_assign('/root/testdata/sf0.001', shard_size=64).to_pandas()
+    n = len(out)
+    assert sorted(out['pos']) == list(range(n))
+    key = {i: int.from_bytes(
+               hashlib.md5((str(i) + ':shuffle').encode()).digest()[8:],
+               'little')
+           for i in out['doc_id']}
+    want = sorted(out['doc_id'], key=lambda i: (key[i], i))
+    got = out.sort_values('pos')['doc_id'].tolist()
+    assert got == want
+    assert (out['shard'] == out['pos'] // 64).all()
+
+
+def test_sample_stratified_is_k_smallest_hashes_per_lang(ray_session):
+    import hashlib
+
+    import duckdb
+
+    from webscraping_ray.pipelines.relational import sample_stratified
+
+    sf = '/root/testdata/sf0.001'
+    out = sample_stratified(sf, k=7).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{sf}/documents.parquet'").df()
+    docs['h'] = [int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                                'little') for i in docs['doc_id']]
+    for lang, g in docs.groupby('lang'):
+        want = g.sort_values(['h', 'doc_id']).head(7)['doc_id'].tolist()
+        got = (out[out['lang'] == lang].sort_values('rank')['doc_id']
+               .tolist())
+        assert got == want, lang
+
+
+def test_tfidf_top_terms_local_recount(ray_session):
+    """Spot-check tf/df/rank against a local pandas recount."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from webscraping_ray.pipelines.relational import tfidf_top_terms
+
+    sf = '/root/testdata/sf0.001'
+    out = tfidf_top_terms(sf, k=3).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'").df()
+    tok = re.compile(r'\w+')
+    tfs = {r.doc_id: Counter(tok.findall(r.text.lower()))
+           for r in docs.itertuples()}
+    df = Counter(w for c in tfs.values() for w in c)
+    for doc_id in list(tfs)[:25]:
+        ranked = sorted(tfs[doc_id].items(),
+                        key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:3]
+        got = (out[out['doc_id'] == doc_id].sort_values('rank')
+               [['term', 'tf', 'df']].values.tolist())
+        want = [[w, c, df[w]] for w, c in ranked]
+        assert got == want, doc_id

@@ -1602,3 +1602,184 @@ def remove_repeated_spans(sf_dir: str, k: int = 16):
 
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
     return ds.map_batches(rewrite, batch_format='pyarrow')
+
+
+def redact_pii(sf_dir: str):
+    """PII redaction over the derived web pages (stages/redact.py):
+    every email (plain or 'AT/DOT'-obfuscated — the corpus convention
+    the reference de-obfuscates, alg.py:29-65) and US-style phone is
+    rewritten to a placeholder token, with per-page counts for audit.
+
+    Embarrassingly parallel regex rewrite — no shuffle.  The oracle
+    reconstructs the page html by construction (docs_pages.py is a
+    pure function of doc_id) and applies the SAME RE2 patterns via
+    ``regexp_replace``, so the redaction semantics are checked by a
+    true dual implementation, not a replayed constant."""
+    from ..stages.redact import RedactPII
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'doc_id': t.column('doc_id'),
+            'text': pa.array([h.decode('utf-8') if isinstance(h, bytes)
+                              else h for h in
+                              t.column('html').to_pylist()], pa.string())})
+
+    return pages.map_batches(decode, batch_format='pyarrow').map_batches(
+        RedactPII(out_col='html_redacted'), batch_format='pyarrow')
+
+
+def sample_stratified(sf_dir: str, k: int = 50):
+    """Stratified deterministic sampling: the ``k`` documents with the
+    smallest md5 hash per language — a fixed-size per-stratum sample
+    that is stable across cluster sizes, restarts and repartitioning
+    (same hash contract as :func:`sample_hash`; the per-group-top-k
+    combiner shape of :func:`top_orders_per_customer`: each batch
+    ships at most k rows per language into the groupby)."""
+    import hashlib
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang'])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        hk = [int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                             'little')
+              for i in t.column('doc_id').to_pylist()]
+        # decimal-string sort key: DuckDB md5_number_lower is UBIGINT
+        # and Arrow sorts uint64 natively — carried as uint64
+        return t.append_column('hkey', pa.array(hk, pa.uint64()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(['hkey', 'doc_id'])
+        return df.groupby('lang', as_index=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['hkey', 'doc_id']).head(k)
+        g = g.reset_index(drop=True)
+        g['rank'] = (g.index + 1).astype('int64')
+        return g[['doc_id', 'lang', 'rank']]
+
+    return (ds.map_batches(hashed, batch_format='pyarrow')
+            .map_batches(partial, batch_format='pandas')
+            .groupby('lang')
+            .map_groups(final, batch_format='pandas'))
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms (keyword extraction for corpus
+    analysis / clustering features).  Ranking is integer-deterministic
+    — tf desc, then rarer term (df asc), then term asc — so the oracle
+    compare never rides on float ties; the reported ``score`` is the
+    classic tf·ln(N/df), computed with libm ``math.log`` to match
+    DuckDB's ``ln`` bit-for-bit before the round(6) snap.
+
+    Shape: per-batch (doc, term, tf) partials carry ONE row per
+    distinct term per doc (docs are whole rows, so batch-local tf is
+    exact — no combine needed); df is a groupby-sum over per-batch
+    distinct (term, n_docs) partials; tf ⋈ df is a hash join on term
+    (the vocabulary is unbounded at corpus scale, so no broadcast);
+    per-doc top-k uses the partial-top-k combiner."""
+    import math
+
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+    from ..stages.dedup import _join_safe
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    n_docs = ds.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            for w, c in Counter(
+                    _TOKEN_RE.findall((txt or '').lower())).items():
+                ids.append(i)
+                terms.append(w)
+                tfs.append(c)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'term': pa.array(terms, pa.string()),
+                         'tf': pa.array(tfs, pa.int64())})
+
+    tf = ds.map_batches(tf_rows, batch_format='pyarrow').materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c = Counter(t.column('term').to_pylist())
+        return pa.table({'term': pa.array(list(c.keys()), pa.string()),
+                         'dfp': pa.array(list(c.values()), pa.int64())})
+
+    df = _join_safe(tf.map_batches(df_partial, batch_format='pyarrow')
+                    .groupby('term').aggregate(Sum('dfp', alias_name='df')))
+
+    joined = tf.join(df, 'inner', num_partitions=8,
+                     on=('term',), right_on=('term',))
+
+    def partial_topk(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(['tf', 'df', 'term'],
+                          ascending=[False, True, True])
+        return d.groupby('doc_id', as_index=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['tf', 'df', 'term'],
+                          ascending=[False, True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g['rank'] = (g.index + 1).astype('int64')
+        g['score'] = [round(t * math.log(n_docs / d), 6)
+                      for t, d in zip(g['tf'], g['df'])]
+        return g[['doc_id', 'term', 'tf', 'df', 'rank', 'score']]
+
+    return (joined.map_batches(partial_topk, batch_format='pandas')
+            .groupby('doc_id').map_groups(final_topk, batch_format='pandas'))
+
+
+def shuffle_assign(sf_dir: str, shard_size: int = 256):
+    """Deterministic global training shuffle: every document gets a
+    position in the md5-keyed permutation of the corpus and the
+    training shard that position falls in.  Reproducible at any
+    parallelism (pure hash order, no RNG state) — the canonical
+    "shuffle once, stream shards forever" prep step.
+
+    Distributed rank WITHOUT a global sort: the hash key's top 8 bits
+    bucket the permutation into 256 contiguous ranges; pass 1 counts
+    per bucket (256-row driver state), the exclusive scan is broadcast,
+    and pass 2 ranks inside each bucket independently — the same
+    two-pass prefix-sum shape as :func:`pack_sequences`."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, 'documents', ['doc_id'])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        hk = [int.from_bytes(
+                  hashlib.md5((str(i) + ':shuffle').encode()).digest()[8:],
+                  'little')
+              for i in t.column('doc_id').to_pylist()]
+        hk = np.array(hk, np.uint64)
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'hkey': pa.array(hk, pa.uint64()),
+                         'bucket': pa.array(hk >> np.uint64(56), pa.int64())})
+
+    kd = ds.map_batches(keyed, batch_format='pyarrow').materialize()
+    counts = kd.groupby('bucket').aggregate(Count(alias_name='n')).take_all()
+    counts.sort(key=lambda r: r['bucket'])
+    bids = np.array([r['bucket'] for r in counts], np.int64)
+    bn = np.array([r['n'] for r in counts], np.int64)
+    bases = np.concatenate([[0], np.cumsum(bn)[:-1]])
+    base_ref = ray.put((bids, bases))
+
+    def rank(g: pa.Table) -> pa.Table:
+        ids_b, base_b = ray.get(base_ref)
+        g = g.sort_by([('hkey', 'ascending'), ('doc_id', 'ascending')])
+        b = g.column('bucket')[0].as_py()
+        base = base_b[np.searchsorted(ids_b, b)]
+        pos = base + np.arange(g.num_rows, dtype=np.int64)
+        return pa.table({'doc_id': g.column('doc_id'),
+                         'pos': pa.array(pos, pa.int64()),
+                         'shard': pa.array(pos // shard_size, pa.int64())})
+
+    return kd.groupby('bucket').map_groups(rank, batch_format='pyarrow')
