@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'repeated_spans': R.repeated_spans,
         'remove_repeated_spans': R.remove_repeated_spans,
         'redact_pii': R.redact_pii,
+        'inlink_anchors': R.inlink_anchors,
+        'host_graph': R.host_graph,
         'sample_stratified': R.sample_stratified,
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
@@ -907,6 +909,47 @@ def oracle_sql() -> dict[str, str]:
         # and applies the SAME RE2 patterns — a dual implementation
         # of the redaction semantics (Python re vs DuckDB RE2)
         'redact_pii': _redact_pii_sql(),
+        # web-graph inversion / host graph: the oracle enumerates the
+        # by-construction link graph (docs_pages.py — each page links
+        # its tree children as l0/l1/l2 plus query/cross/media)
+        'inlink_anchors': """
+            WITH d AS (SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k
+                       FROM documents),
+            links AS (
+              SELECT 'http://src' || h || '.com/d/' || doc_id AS url,
+                     'l' || ((k - 1) % 3) AS anchor
+              FROM d WHERE k >= 1
+              UNION ALL
+              SELECT 'http://src' || h || '.com/q/' || doc_id
+                       || '?a=1&b=2', 'query' FROM d
+              UNION ALL
+              SELECT 'http://src' || (h + 1) % 8 || '.com/x/' || doc_id,
+                     'cross' FROM d
+              UNION ALL
+              SELECT 'http://src' || h || '.com/img/' || doc_id
+                       || '.png', 'media' FROM d)
+            SELECT url, CAST(count(*) AS BIGINT) AS n_inlinks,
+                   string_agg(DISTINCT anchor, ',' ORDER BY anchor)
+                       AS anchors
+            FROM links GROUP BY url
+        """,
+        'host_graph': """
+            WITH nd AS (SELECT count(*) AS n FROM documents),
+            d AS (SELECT doc_id, doc_id % 8 AS h FROM documents),
+            c AS (SELECT h,
+                    LEAST(3, GREATEST(0, CAST(floor(
+                      ((SELECT n FROM nd) - 1 - (3 * doc_id - 2 * h))
+                      / 8.0) AS BIGINT))) + 2 AS same_links
+                  FROM d)
+            SELECT 'src' || h || '.com' AS src_host,
+                   'src' || h || '.com' AS dst_host,
+                   CAST(sum(same_links) AS BIGINT) AS n_links
+            FROM c GROUP BY h
+            UNION ALL
+            SELECT 'src' || h || '.com', 'src' || (h + 1) % 8 || '.com',
+                   CAST(count(*) AS BIGINT)
+            FROM d GROUP BY h
+        """,
         'sample_stratified': """
             SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
             FROM (SELECT doc_id, lang, row_number() OVER (

@@ -147,6 +147,9 @@ def run_bench():
         'dup_clusters': R.dup_clusters,
         'pack_sequences': R.pack_sequences,
         'events_band_join': R.events_band_join,
+        'tfidf_top_terms': R.tfidf_top_terms,
+        'shuffle_assign': R.shuffle_assign,
+        'redact_pii': R.redact_pii,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

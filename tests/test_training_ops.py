@@ -417,3 +417,34 @@ def test_tfidf_top_terms_local_recount(ray_session):
                [['term', 'tf', 'df']].values.tolist())
         want = [[w, c, df[w]] for w, c in ranked]
         assert got == want, doc_id
+
+
+def test_inlink_anchors_by_construction(ray_session):
+    """Every non-root /d/ page is linked exactly once by its unique
+    tree parent with anchor l{(k-1)%3}; q/x/img targets once each."""
+    from webscraping_ray.pipelines.relational import inlink_anchors
+
+    out = inlink_anchors('/root/testdata/sf0.001').to_pandas()
+    assert (out['n_inlinks'] == 1).all()
+    d = out[out['url'].str.contains('/d/')]
+    for _, r in d.head(50).iterrows():
+        j = int(r['url'].rsplit('/', 1)[1])
+        k = j // 8
+        assert k >= 1  # roots have no inlinks
+        assert r['anchors'] == 'l%d' % ((k - 1) % 3)
+    # 500 docs: 492 non-root /d/ + 500 q + 500 x + 500 img
+    assert len(out) == 492 + 3 * 500
+
+
+def test_host_graph_by_construction(ray_session):
+    from webscraping_ray.pipelines.relational import host_graph
+
+    out = host_graph('/root/testdata/sf0.001').to_pandas()
+    assert len(out) == 16
+    cross = out[out['src_host'] != out['dst_host']]
+    assert len(cross) == 8
+    for _, r in cross.iterrows():
+        h = int(r['src_host'][3])
+        assert r['dst_host'] == 'src%d.com' % ((h + 1) % 8)
+    # total links == sum of per-page link counts (children + 3)
+    assert out['n_links'].sum() == 492 + 3 * 500

@@ -1783,3 +1783,84 @@ def shuffle_assign(sf_dir: str, shard_size: int = 256):
                          'shard': pa.array(pos // shard_size, pa.int64())})
 
     return kd.groupby('bucket').map_groups(rank, batch_format='pyarrow')
+
+
+def inlink_anchors(sf_dir: str):
+    """Web-graph inversion: aggregate the anchor texts of every link
+    pointing AT each url (the op behind anchor-text corpora and
+    link-based ranking features).  Each page's ``<a>`` pairs
+    (href → anchor text) come from the real xpath engine
+    (reference xpath.py:515-555 link semantics; targets canonicalized
+    with the crawl's normalize, download.py:987-1004); the inversion
+    is one groupby over (target, anchor) link rows — the shuffle
+    carries only the link list, never page html.
+
+    Returns (url, n_inlinks, anchors) with anchors the
+    comma-joined sorted distinct anchor texts."""
+    from ..kernels import xpath as X
+    from ..kernels.text import html_to_unicode
+    from ..kernels.urls import normalize_url
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def links(t: pa.Table) -> pa.Table:
+        tgt, anc = [], []
+        for u, h in zip(t.column('url').to_pylist(),
+                        t.column('html').to_pylist()):
+            page = html_to_unicode(h)
+            hrefs = X.search(page, '//a/@href')
+            texts = X.search(page, '//a')
+            for href, txt in zip(hrefs, texts):
+                tgt.append(normalize_url(u, href))
+                anc.append(txt)
+        return pa.table({'url': pa.array(tgt, pa.string()),
+                         'anchor': pa.array(anc, pa.string())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'url': [g['url'].iloc[0]],
+            'n_inlinks': np.array([len(g)], np.int64),
+            'anchors': [','.join(sorted(set(g['anchor'])))]})
+
+    return (pages.map_batches(links, batch_format='pyarrow')
+            .groupby('url').map_groups(fold, batch_format='pandas'))
+
+
+def host_graph(sf_dir: str):
+    """Host-level link graph: (src_host, dst_host, n_links) over every
+    link the corpus emits — the aggregation behind crawl-frontier host
+    budgeting and domain-level graph analysis.  Per-batch Counter
+    partials (one row per distinct host pair per batch — the combiner
+    pattern), then a groupby-sum; host derivation is the reference's
+    registrable-domain kernel (common.py:408-429)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels import xpath as X
+    from ..kernels.text import get_domain, html_to_unicode
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for u, h in zip(t.column('url').to_pylist(),
+                        t.column('html').to_pylist()):
+            page = html_to_unicode(h)
+            src = get_domain(u)
+            for link in X.get_links(page, u):
+                c[(src, get_domain(link))] += 1
+        ks = list(c.keys())
+        return pa.table({
+            'src_host': pa.array([a for a, _ in ks], pa.string()),
+            'dst_host': pa.array([b for _, b in ks], pa.string()),
+            'n': pa.array([c[k] for k in ks], pa.int64())})
+
+    from ..stages.dedup import _join_safe
+
+    # _join_safe: rebuild blocks so the aggregate's schemaless empty
+    # partitions (Ray 2.49 defect, stages/dedup.py) don't leak into
+    # consumers as schema-mismatch warnings
+    return _join_safe(pages.map_batches(pairs, batch_format='pyarrow')
+                      .groupby(['src_host', 'dst_host'])
+                      .aggregate(Sum('n', alias_name='n_links')))
