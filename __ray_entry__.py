@@ -229,6 +229,59 @@ def _redact_pii_sql() -> str:
     """
 
 
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Damped PageRank over the by-construction link graph, unrolled
+    ``iters`` power-iteration levels.  Bit-exact float parity with the
+    Ray side: contribution sums are ascending-sorted LEFT folds
+    (``list_reduce(list_sort(list(x)), (a,b) -> a+b)`` mirrors
+    relational._fold_sorted), and the damping constants are emitted
+    with full repr so ``1.0 - 0.85`` rounds identically."""
+    base = repr(1.0 - damping)   # 0.15000000000000002 — match Python
+    d = repr(damping)
+    levels = []
+    for i in range(1, iters + 1):
+        p = f'r{i - 1}'
+        levels.append(f"""
+            f{i} AS (SELECT e.dst AS url,
+                       list_reduce(list_sort(list(p.r / e.outdeg)),
+                                   (a, b) -> a + b) AS s
+                     FROM e JOIN {p} p ON e.src = p.url GROUP BY e.dst),
+            r{i} AS (SELECT nodes.url,
+                       {base} / (SELECT n FROM nn)
+                       + {d} * COALESCE(f{i}.s, 0.0) AS r
+                     FROM nodes LEFT JOIN f{i} USING (url))""")
+    return f"""
+      WITH d AS (SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k
+                 FROM documents),
+      ed AS (
+        SELECT 'http://src' || h || '.com/d/'
+                 || (h + 8 * ((k - 1) // 3)) AS src,
+               'http://src' || h || '.com/d/' || doc_id AS dst
+        FROM d WHERE k >= 1
+        UNION ALL
+        SELECT 'http://src' || h || '.com/d/' || doc_id,
+               'http://src' || h || '.com/q/' || doc_id || '?a=1&b=2'
+        FROM d
+        UNION ALL
+        SELECT 'http://src' || h || '.com/d/' || doc_id,
+               'http://src' || (h + 1) % 8 || '.com/x/' || doc_id
+        FROM d
+        UNION ALL
+        SELECT 'http://src' || h || '.com/d/' || doc_id,
+               'http://src' || h || '.com/img/' || doc_id || '.png'
+        FROM d),
+      od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+             FROM ed GROUP BY src),
+      e AS (SELECT ed.src, ed.dst, od.outdeg FROM ed JOIN od USING (src)),
+      nodes AS (SELECT DISTINCT url FROM
+                (SELECT src AS url FROM ed UNION ALL SELECT dst FROM ed)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT url, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+      {','.join(levels)}
+      SELECT url, round(r, 6) AS pagerank FROM r{iters}
+    """
+
+
 def entry() -> Any:
     """Flagship: BFS crawl of the documents-derived web at sf0.001."""
     from webscraping_ray.pipelines import relational as R
@@ -294,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'redact_pii': R.redact_pii,
         'inlink_anchors': R.inlink_anchors,
         'host_graph': R.host_graph,
+        'pagerank': R.pagerank,
         'sample_stratified': R.sample_stratified,
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
@@ -950,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT)
             FROM d GROUP BY h
         """,
+        'pagerank': _pagerank_sql(),
         'sample_stratified': """
             SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
             FROM (SELECT doc_id, lang, row_number() OVER (

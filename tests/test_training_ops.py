@@ -448,3 +448,25 @@ def test_host_graph_by_construction(ray_session):
         assert r['dst_host'] == 'src%d.com' % ((h + 1) % 8)
     # total links == sum of per-page link counts (children + 3)
     assert out['n_links'].sum() == 492 + 3 * 500
+
+
+def test_pagerank_tiers_bit_equal_and_sane(ray_session):
+    """Distributed Dataset-join tier must reproduce the driver fold
+    bit-for-bit (both use the sorted-left-fold sum), and ranks must be
+    a valid distribution shape: all >= (1-d)/N, roots (no inlinks) at
+    exactly the base, total mass <= 1 (sinks leak, no dangling
+    redistribution by design)."""
+    from webscraping_ray.pipelines.relational import pagerank
+
+    sf = '/root/testdata/sf0.001'
+    a = pagerank(sf).to_pandas().sort_values('url').reset_index(drop=True)
+    b = (pagerank(sf, force_distributed=True).to_pandas()
+         .sort_values('url').reset_index(drop=True))
+    assert a.equals(b)
+    n = len(a)
+    base = round((1.0 - 0.85) / n, 6)
+    assert (a['pagerank'] >= base - 1e-9).all()
+    # roots doc_id 0..7 have no inlinks -> exactly the base rank
+    roots = a[a['url'].str.match(r'http://src\d\.com/d/[0-7]$')]
+    assert len(roots) == 8 and (roots['pagerank'] == base).all()
+    assert a['pagerank'].sum() <= 1.0 + 1e-6

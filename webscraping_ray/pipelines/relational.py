@@ -1864,3 +1864,158 @@ def host_graph(sf_dir: str):
     return _join_safe(pages.map_batches(pairs, batch_format='pyarrow')
                       .groupby(['src_host', 'dst_host'])
                       .aggregate(Sum('n', alias_name='n_links')))
+
+
+#: edge lists at or below this size run the PageRank power iteration
+#: as a driver fold (python dicts over answer-sized edge rows); above
+#: it the Dataset-join tier iterates with per-round O(nodes) state
+PAGERANK_DRIVER_EDGE_LIMIT = 4_000_000
+
+
+def _pagerank_edges(sf_dir: str):
+    """(src, dst) url edge list of the derived web, extracted with the
+    real link kernels (xpath get_links + crawl canonicalization)."""
+    from ..kernels import xpath as X
+    from ..kernels.text import html_to_unicode
+    from ..kernels.urls import normalize_url
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u, h in zip(t.column('url').to_pylist(),
+                        t.column('html').to_pylist()):
+            page = html_to_unicode(h)
+            for href in X.search(page, '//a/@href'):
+                src.append(u)
+                dst.append(normalize_url(u, href))
+        return pa.table({'src': pa.array(src, pa.string()),
+                         'dst': pa.array(dst, pa.string())})
+
+    return pages.map_batches(edges, batch_format='pyarrow')
+
+
+def _fold_sorted(vals) -> float:
+    """Ascending-sorted LEFT fold — the one float-sum order both
+    engines can reproduce bit-for-bit (DuckDB:
+    ``list_reduce(list_sort(list(x)), (a,b) -> a+b)``)."""
+    s = None
+    for v in sorted(vals):
+        s = v if s is None else s + v
+    return 0.0 if s is None else s
+
+
+def pagerank(sf_dir: str, iters: int = 3, damping: float = 0.85,
+             force_distributed: bool = False):
+    """Damped PageRank power iteration over the url link graph (the
+    crawl-graph ranking signal; dangling mass is not redistributed —
+    sinks leak, the documented simple variant).  Deterministic at any
+    parallelism AND bit-identical to the SQL oracle: every per-node
+    contribution sum is an ascending-sorted left fold
+    (:func:`_fold_sorted`), so no float result rides on reduction
+    order.
+
+    Tiered like stages/clusters.py: at or below
+    ``PAGERANK_DRIVER_EDGE_LIMIT`` edges the iteration folds on the
+    driver (edge lists are answer-sized); above it each round is an
+    edges ⋈ ranks hash join + a groupby fold + a left join back onto
+    the node list — per-round state is one double per node, never the
+    corpus."""
+    eds = _pagerank_edges(sf_dir)
+    n_edges = eds.count()
+    if n_edges <= PAGERANK_DRIVER_EDGE_LIMIT and not force_distributed:
+        rows = eds.take_all()
+        src = [r['src'] for r in rows]
+        dst = [r['dst'] for r in rows]
+        return _pagerank_fold(src, dst, iters, damping)
+    return _pagerank_dataset(eds, iters, damping)
+
+
+def _pagerank_fold(src, dst, iters: int, damping: float) -> pa.Table:
+    nodes = sorted(set(src) | set(dst))
+    n = float(len(nodes))
+    outdeg: dict = {}
+    for u in src:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    inlinks: dict = {}
+    for u, v in zip(src, dst):
+        inlinks.setdefault(v, []).append(u)
+    base = (1.0 - damping) / n
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        r = {u: base + damping * _fold_sorted(
+                 [r[p] / outdeg[p] for p in inlinks.get(u, ())])
+             for u in nodes}
+    vals = np.array([r[u] for u in nodes], np.float64)
+    return pa.table({
+        'url': pa.array(nodes, pa.string()),
+        'pagerank': pa.array(np.rint(vals * 1e6) / 1e6 + 0.0,
+                             pa.float64())})
+
+
+def _pagerank_dataset(eds, iters: int, damping: float,
+                      num_partitions: int = 8):
+    from ..stages.dedup import _join_safe
+
+    eds = eds.materialize()
+    od = _join_safe(eds.groupby('src').aggregate(
+        __import__('ray').data.aggregate.Count(alias_name='outdeg')))
+    eds = eds.join(od, 'inner', num_partitions=num_partitions,
+                   on=('src',), right_on=('src',)).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({'url': pa.chunked_array(
+            t.column('src').cast(pa.string()).chunks
+            + t.column('dst').cast(pa.string()).chunks)})
+
+    nodes = _join_safe(eds.map_batches(node_rows, batch_format='pyarrow')
+                       .groupby('url').map_groups(
+                           lambda t: t.slice(0, 1),
+                           batch_format='pyarrow')).materialize()
+    n = float(nodes.count())
+    base = (1.0 - damping) / n
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table({'url': t['url'],
+                            'r': pa.array([1.0 / n] * t.num_rows,
+                                          pa.float64())}),
+        batch_format='pyarrow').materialize()
+    for _ in range(iters):
+        contribs = (eds.join(ranks, 'inner',
+                             num_partitions=num_partitions,
+                             on=('src',), right_on=('url',))
+                    .map_batches(
+                        lambda t: pa.table({
+                            'url': t['dst'],
+                            'c': pc.divide(
+                                t['r'],
+                                t['outdeg'].cast(pa.float64()))}),
+                        batch_format='pyarrow'))
+
+        def fold(g: pa.Table) -> pa.Table:
+            return pa.table({
+                'url': g.column('url').slice(0, 1),
+                's': pa.array([_fold_sorted(
+                    g.column('c').to_pylist())], pa.float64())})
+
+        folded = _join_safe(contribs.groupby('url').map_groups(
+            fold, batch_format='pyarrow'), num_partitions)
+        ranks = (nodes.join(folded, 'left_outer',
+                            num_partitions=num_partitions,
+                            on=('url',), right_on=('url',))
+                 .map_batches(
+                     lambda t: pa.table({
+                         'url': t['url'],
+                         'r': pa.array(
+                             [base + damping * (s or 0.0)
+                              for s in t.column('s').to_pylist()],
+                             pa.float64())}),
+                     batch_format='pyarrow')).materialize()
+
+    def snap(t: pa.Table) -> pa.Table:
+        v = t.column('r').to_numpy(zero_copy_only=False)
+        return pa.table({'url': t['url'],
+                         'pagerank': pa.array(np.rint(v * 1e6) / 1e6 + 0.0,
+                                              pa.float64())})
+
+    return ranks.map_batches(snap, batch_format='pyarrow')
