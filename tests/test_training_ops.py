@@ -470,3 +470,17 @@ def test_pagerank_tiers_bit_equal_and_sane(ray_session):
     roots = a[a['url'].str.match(r'http://src\d\.com/d/[0-7]$')]
     assert len(roots) == 8 and (roots['pagerank'] == base).all()
     assert a['pagerank'].sum() <= 1.0 + 1e-6
+
+
+def test_tfidf_join_tier_equals_broadcast_tier(ray_session):
+    """The unbounded-vocab join tier must reproduce the broadcast tier
+    exactly (same ranking keys, same libm scores)."""
+    from webscraping_ray.pipelines.relational import tfidf_top_terms
+
+    sf = '/root/testdata/sf0.001'
+    key = ['doc_id', 'rank']
+    a = (tfidf_top_terms(sf).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (tfidf_top_terms(sf, force_join=True).to_pandas()
+         .sort_values(key).reset_index(drop=True)[a.columns])
+    assert a.equals(b)

@@ -1665,7 +1665,7 @@ def sample_stratified(sf_dir: str, k: int = 50):
             .map_groups(final, batch_format='pandas'))
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 3):
+def tfidf_top_terms(sf_dir: str, k: int = 3, force_join: bool = False):
     """Per-document top-k TF-IDF terms (keyword extraction for corpus
     analysis / clustering features).  Ranking is integer-deterministic
     — tf desc, then rarer term (df asc), then term asc — so the oracle
@@ -1673,23 +1673,81 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
     classic tf·ln(N/df), computed with libm ``math.log`` to match
     DuckDB's ``ln`` bit-for-bit before the round(6) snap.
 
-    Shape: per-batch (doc, term, tf) partials carry ONE row per
-    distinct term per doc (docs are whole rows, so batch-local tf is
-    exact — no combine needed); df is a groupby-sum over per-batch
-    distinct (term, n_docs) partials; tf ⋈ df is a hash join on term
-    (the vocabulary is unbounded at corpus scale, so no broadcast);
-    per-doc top-k uses the partial-top-k combiner."""
+    Tiered on vocabulary size (the repo's broadcast convention,
+    stages/dedup.py BROADCAST_KEY_LIMIT):
+
+    - **broadcast tier** (vocab ≤ limit): the (term → df) map is
+      ``ray.put`` once; since every document is ONE input row, its
+      whole term profile lives in one batch and the per-doc top-k is
+      computed inside a single ``map_batches`` pass — zero shuffles
+      beyond the small df aggregate.
+    - **join tier** (natural-language corpora with unbounded vocab,
+      or ``force_join``): (doc, term, tf) rows persist once to parquet
+      (the minhash-bands pattern — never pinned in the object store),
+      hash-join df on term, then per-doc top-k via a coarse 64-bucket
+      group fold (a per-doc map_groups costs ~10 ms per group in
+      Ray's group-apply — 94 s at sf0.1).
+
+    Both tiers are test-pinned equal."""
     import math
 
     from collections import Counter
 
+    import pyarrow.parquet as pq
+    import ray
     from ray.data.aggregate import Sum
 
     from ..stages.textstats import _TOKEN_RE
-    from ..stages.dedup import _join_safe
+    from ..stages.dedup import BROADCAST_KEY_LIMIT, _join_safe
 
+    n_docs = pq.ParquetFile(
+        f'{sf_dir}/documents.parquet').metadata.num_rows
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
-    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(set(_TOKEN_RE.findall((txt or '').lower())))
+        return pa.table({'term': pa.array(list(c.keys()), pa.string()),
+                         'dfp': pa.array(list(c.values()), pa.int64())})
+
+    dfds = _join_safe(
+        ds.map_batches(df_partial, batch_format='pyarrow')
+        .groupby('term').aggregate(Sum('dfp', alias_name='df'))
+    ).materialize()
+
+    if not force_join and dfds.count() <= BROADCAST_KEY_LIMIT:
+        df_ref = ray.put({r['term']: r['df'] for r in dfds.take_all()})
+
+        def topk_batch(t: pa.Table) -> pa.Table:
+            dfm = ray.get(df_ref)
+            ids, terms, tfs, dfs, rks, scs = [], [], [], [], [], []
+            for i, txt in zip(t.column('doc_id').to_pylist(),
+                              t.column('text').to_pylist()):
+                c = Counter(_TOKEN_RE.findall((txt or '').lower()))
+                top = sorted(c.items(),
+                             key=lambda kv: (-kv[1], dfm[kv[0]], kv[0]))[:k]
+                for r, (w, tf) in enumerate(top, 1):
+                    ids.append(i)
+                    terms.append(w)
+                    tfs.append(tf)
+                    dfs.append(dfm[w])
+                    rks.append(r)
+                    scs.append(round(tf * math.log(n_docs / dfm[w]), 6))
+            return pa.table({
+                'doc_id': pa.array(ids, pa.int64()),
+                'term': pa.array(terms, pa.string()),
+                'tf': pa.array(tfs, pa.int64()),
+                'df': pa.array(dfs, pa.int64()),
+                'rank': pa.array(rks, pa.int64()),
+                'score': pa.array(scs, pa.float64())})
+
+        return ds.map_batches(topk_batch, batch_format='pyarrow')
+
+    # join tier — unbounded vocabulary
+    import tempfile
+
+    import ray.data
 
     def tf_rows(t: pa.Table) -> pa.Table:
         ids, terms, tfs = [], [], []
@@ -1704,35 +1762,32 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
                          'term': pa.array(terms, pa.string()),
                          'tf': pa.array(tfs, pa.int64())})
 
-    tf = ds.map_batches(tf_rows, batch_format='pyarrow').materialize()
+    tf_path = tempfile.mkdtemp(prefix='wsray_tfidf_') + '/tf'
+    ds.map_batches(tf_rows, batch_format='pyarrow').write_parquet(tf_path)
+    tf = ray.data.read_parquet(tf_path)
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        c = Counter(t.column('term').to_pylist())
-        return pa.table({'term': pa.array(list(c.keys()), pa.string()),
-                         'dfp': pa.array(list(c.values()), pa.int64())})
-
-    df = _join_safe(tf.map_batches(df_partial, batch_format='pyarrow')
-                    .groupby('term').aggregate(Sum('dfp', alias_name='df')))
-
-    joined = tf.join(df, 'inner', num_partitions=8,
+    joined = tf.join(dfds, 'inner', num_partitions=8,
                      on=('term',), right_on=('term',))
 
     def partial_topk(d: pd.DataFrame) -> pd.DataFrame:
         d = d.sort_values(['tf', 'df', 'term'],
                           ascending=[False, True, True])
-        return d.groupby('doc_id', as_index=False).head(k)
+        d = d.groupby('doc_id', as_index=False).head(k)
+        d['bkt'] = (d['doc_id'] % 64).astype('int64')
+        return d
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(['tf', 'df', 'term'],
-                          ascending=[False, True, True]).head(k)
-        g = g.reset_index(drop=True)
-        g['rank'] = (g.index + 1).astype('int64')
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['doc_id', 'tf', 'df', 'term'],
+                          ascending=[True, False, True, True],
+                          kind='mergesort')
+        g['rank'] = (g.groupby('doc_id').cumcount() + 1).astype('int64')
+        g = g[g['rank'] <= k].copy()
         g['score'] = [round(t * math.log(n_docs / d), 6)
                       for t, d in zip(g['tf'], g['df'])]
         return g[['doc_id', 'term', 'tf', 'df', 'rank', 'score']]
 
     return (joined.map_batches(partial_topk, batch_format='pandas')
-            .groupby('doc_id').map_groups(final_topk, batch_format='pandas'))
+            .groupby('bkt').map_groups(final_bucket, batch_format='pandas'))
 
 
 def shuffle_assign(sf_dir: str, shard_size: int = 256):
@@ -1816,14 +1871,29 @@ def inlink_anchors(sf_dir: str):
         return pa.table({'url': pa.array(tgt, pa.string()),
                          'anchor': pa.array(anc, pa.string())})
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            'url': [g['url'].iloc[0]],
-            'n_inlinks': np.array([len(g)], np.int64),
-            'anchors': [','.join(sorted(set(g['anchor'])))]})
+    # fold per COARSE url-hash bucket (64 groups), not per url — Ray's
+    # group-apply costs ~10 ms per group, and target urls are
+    # corpus-scale.  Inside a bucket the per-url aggregation is a
+    # pandas groupby (vectorized count + a cheap python join for the
+    # small distinct-anchor sets).
+    def bucketed(t: pa.Table) -> pa.Table:
+        import zlib
+        bkt = pa.array(
+            [zlib.crc32(u.encode()) & 63
+             for u in t.column('url').to_pylist()], pa.int64())
+        return t.append_column('bkt', bkt)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby('url')['anchor']
+               .agg(n_inlinks='size',
+                    anchors=lambda s: ','.join(sorted(set(s))))
+               .reset_index())
+        out['n_inlinks'] = out['n_inlinks'].astype('int64')
+        return out[['url', 'n_inlinks', 'anchors']]
 
     return (pages.map_batches(links, batch_format='pyarrow')
-            .groupby('url').map_groups(fold, batch_format='pandas'))
+            .map_batches(bucketed, batch_format='pyarrow')
+            .groupby('bkt').map_groups(fold_bucket, batch_format='pandas'))
 
 
 def host_graph(sf_dir: str):
@@ -1921,9 +1991,17 @@ def pagerank(sf_dir: str, iters: int = 3, damping: float = 0.85,
     edges ⋈ ranks hash join + a groupby fold + a left join back onto
     the node list — per-round state is one double per node, never the
     corpus."""
+    import pyarrow.parquet as pq
+
+    # tier on page count from the parquet footer (free) instead of an
+    # edge count() — counting would execute the whole extraction twice.
+    # Out-degree is bounded (≤ 6 links/page by construction; web pages
+    # are bounded by max_links in the crawl), so pages bound edges.
+    n_pages = pq.ParquetFile(
+        f'{sf_dir}/documents.parquet').metadata.num_rows
     eds = _pagerank_edges(sf_dir)
-    n_edges = eds.count()
-    if n_edges <= PAGERANK_DRIVER_EDGE_LIMIT and not force_distributed:
+    if (n_pages * 6 <= PAGERANK_DRIVER_EDGE_LIMIT
+            and not force_distributed):
         rows = eds.take_all()
         src = [r['src'] for r in rows]
         dst = [r['dst'] for r in rows]
