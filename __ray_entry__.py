@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'clean_corpus_neardup': R.clean_corpus_neardup,
         'clean_corpus_decontaminated': R.clean_corpus_decontaminated,
         'clean_corpus_clustered': R.clean_corpus_clustered,
+        'clean_corpus_quantile': R.clean_corpus_quantile,
         # extra dedup family members
         'ngram_jaccard_dups': R.ngram_jaccard_dups,  # exact quadratic baseline
         'simhash_dups': R.simhash_dups,
@@ -1048,6 +1049,17 @@ def oracle_sql() -> dict[str, str]:
         'sample_hash': """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
+        'clean_corpus_quantile': """
+            WITH n AS (SELECT doc_id, lang,
+                         CAST(len(regexp_extract_all(lower(text), '\\w+'))
+                              AS BIGINT) AS n_tokens
+                       FROM documents),
+            thr AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS p25
+                    FROM n GROUP BY lang)
+            SELECT n.doc_id, n.lang, n.n_tokens
+            FROM n JOIN thr USING (lang)
+            WHERE n.n_tokens >= thr.p25
         """,
         'token_quantiles': """
             SELECT lang, quantile_cont(n_tok, 0.25) AS p25,

@@ -1,0 +1,82 @@
+"""WARC source: parse/round-trip + Ray ingestion into the pages
+schema, composed with the extraction kernels."""
+
+import os
+
+import pytest
+
+
+RECORDS = [
+    {'url': 'http://a.com/1', 'warc_ts_us': 1700000000_000000,
+     'status': 200,
+     'html': b'<html><head><title>One</title></head>'
+             b'<body><h1>One</h1><a href="/2">next</a></body></html>'},
+    {'url': 'http://a.com/2', 'warc_ts_us': 1700000060_000000,
+     'status': 404, 'html': b'<html><body>gone</body></html>'},
+    {'url': 'http://b.com/x', 'warc_ts_us': 1700000120_000000,
+     'status': 200, 'html': b'<html><body>\xc3\xa9</body></html>'},
+]
+
+
+@pytest.mark.parametrize('gz', [False, True])
+def test_warc_round_trip(tmp_path, gz):
+    from webscraping_ray.sources.warc import parse_warc, write_warc
+
+    p = str(tmp_path / ('t.warc.gz' if gz else 't.warc'))
+    write_warc(p, RECORDS, gzip_members=gz)
+    got = list(parse_warc(open(p, 'rb').read()))
+    assert [(r['url'], r['warc_ts_us'], r['status'], r['html'])
+            for r in got] == \
+           [(r['url'], r['warc_ts_us'], r['status'], r['html'])
+            for r in RECORDS]
+
+
+def test_warc_skips_non_response_records(tmp_path):
+    from webscraping_ray.sources.warc import parse_warc
+
+    req = (b'WARC/1.0\r\nWARC-Type: request\r\n'
+           b'WARC-Target-URI: http://a.com/1\r\n'
+           b'WARC-Date: 2023-11-14T22:13:20Z\r\n'
+           b'Content-Length: 5\r\n\r\nhello\r\n\r\n')
+    resp = (b'WARC/1.0\r\nWARC-Type: response\r\n'
+            b'WARC-Target-URI: http://a.com/2\r\n'
+            b'WARC-Date: 2023-11-14T22:13:20Z\r\n'
+            b'Content-Length: 4\r\n\r\nbody\r\n\r\n')
+    got = list(parse_warc(req + resp))
+    assert len(got) == 1 and got[0]['url'] == 'http://a.com/2'
+    # a payload without an HTTP head is the html itself, status 0
+    assert got[0]['status'] == 0 and got[0]['html'] == b'body'
+
+
+def test_read_warc_dataset_and_extract(ray_session, tmp_path):
+    """Two WARC files → pages Dataset → xpath/title extraction:
+    the Common-Crawl ingestion path end to end."""
+    import pyarrow as pa
+
+    from webscraping_ray.kernels import xpath as X
+    from webscraping_ray.kernels.text import html_to_unicode
+    from webscraping_ray.sources.warc import read_warc, write_warc
+
+    p1 = str(tmp_path / 'a.warc.gz')
+    p2 = str(tmp_path / 'b.warc')
+    write_warc(p1, RECORDS[:2], gzip_members=True)
+    write_warc(p2, RECORDS[2:])
+    ds = read_warc([p1, p2])
+    assert set(ds.schema().names) == {'url', 'warc_ts', 'status', 'html'}
+
+    def titles(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'url': t.column('url'),
+            'title': pa.array(
+                [X.get(html_to_unicode(h), '//title')
+                 for h in t.column('html').to_pylist()], pa.string())})
+
+    rows = sorted((r['url'], r['title'])
+                  for r in ds.map_batches(
+                      titles, batch_format='pyarrow').take_all())
+    assert rows == [('http://a.com/1', 'One'), ('http://a.com/2', ''),
+                    ('http://b.com/x', '')]
+    ts = sorted(r['warc_ts'] for r in
+                ds.select_columns(['warc_ts']).take_all())
+    assert [t.timestamp() for t in ts] == [1700000000.0, 1700000060.0,
+                                           1700000120.0]

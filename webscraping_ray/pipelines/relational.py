@@ -1033,6 +1033,42 @@ def token_quantiles(sf_dir: str):
                      'p75': pa.array(p75, pa.float64())})
 
 
+def clean_corpus_quantile(sf_dir: str, q: float = 0.25):
+    """Quantile-thresholded length filter: keep documents whose token
+    count is at least their language's p25 (the data-driven variant of
+    the fixed ``min_tokens`` floor in :func:`clean_corpus` — corpus
+    statistics set the threshold, CCNet-style).
+
+    Composition: :func:`token_quantiles` reduces the corpus to a
+    per-(lang, length) histogram (O(thousands) rows) and interpolates
+    the thresholds on the driver; the 5-row (lang → p25) map is
+    broadcast and the filter is a pure vectorized second pass — no
+    shuffle touches document text."""
+    import ray
+
+    from ..stages.textstats import _TOKEN_RE
+
+    qt = token_quantiles(sf_dir)
+    thr = dict(zip(qt.column('lang').to_pylist(),
+                   qt.column('p25').to_pylist()))
+    thr_ref = ray.put(thr)
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'text'])
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        n = [len(_TOKEN_RE.findall((s or '').lower()))
+             for s in t.column('text').to_pylist()]
+        mask = [c >= th[lg] for c, lg in
+                zip(n, t.column('lang').to_pylist())]
+        out = pa.table({'doc_id': t.column('doc_id'),
+                        'lang': t.column('lang'),
+                        'n_tokens': pa.array(n, pa.int64())})
+        return out.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format='pyarrow')
+
+
 # ---------------------------------------------------------------------------
 # the flagship crawl over derived pages
 
