@@ -282,6 +282,63 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     """
 
 
+def _hits_sql(iters: int = 3) -> str:
+    """HITS over the same by-construction link graph as
+    ``_pagerank_sql``, unrolled ``iters`` unnormalized rounds with one
+    final sum-normalization per vector (mirrors relational.hits).
+    Bit-exact float parity: every per-node sum and both normalizers
+    are ascending-sorted LEFT folds.  Lambda params are (x, y) and the
+    score columns hv/av so nothing shadows inside list_reduce."""
+    fold = "list_reduce(list_sort(list({v})), (x, y) -> x + y)"
+    levels = []
+    for i in range(1, iters + 1):
+        p = f'h{i - 1}f' if i > 1 else 'h0'
+        levels.append(f"""
+            a{i} AS (SELECT ed.dst AS url,
+                        {fold.format(v='p.hv')} AS s
+                     FROM ed JOIN {p} p ON ed.src = p.url
+                     GROUP BY ed.dst),
+            a{i}f AS (SELECT nodes.url, COALESCE(a{i}.s, 0.0) AS av
+                      FROM nodes LEFT JOIN a{i} USING (url)),
+            h{i} AS (SELECT ed.src AS url,
+                        {fold.format(v='p.av')} AS s
+                     FROM ed JOIN a{i}f p ON ed.dst = p.url
+                     GROUP BY ed.src),
+            h{i}f AS (SELECT nodes.url, COALESCE(h{i}.s, 0.0) AS hv
+                      FROM nodes LEFT JOIN h{i} USING (url))""")
+    return f"""
+      WITH d AS (SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k
+                 FROM documents),
+      ed AS (
+        SELECT 'http://src' || h || '.com/d/'
+                 || (h + 8 * ((k - 1) // 3)) AS src,
+               'http://src' || h || '.com/d/' || doc_id AS dst
+        FROM d WHERE k >= 1
+        UNION ALL
+        SELECT 'http://src' || h || '.com/d/' || doc_id,
+               'http://src' || h || '.com/q/' || doc_id || '?a=1&b=2'
+        FROM d
+        UNION ALL
+        SELECT 'http://src' || h || '.com/d/' || doc_id,
+               'http://src' || (h + 1) % 8 || '.com/x/' || doc_id
+        FROM d
+        UNION ALL
+        SELECT 'http://src' || h || '.com/d/' || doc_id,
+               'http://src' || h || '.com/img/' || doc_id || '.png'
+        FROM d),
+      nodes AS (SELECT DISTINCT url FROM
+                (SELECT src AS url FROM ed UNION ALL SELECT dst FROM ed)),
+      h0 AS (SELECT url, CAST(1.0 AS DOUBLE) AS hv FROM nodes),
+      {','.join(levels)},
+      nrm AS (SELECT {fold.format(v='hv')} AS nh FROM h{iters}f),
+      nrma AS (SELECT {fold.format(v='av')} AS na FROM a{iters}f)
+      SELECT h.url,
+             round(h.hv / (SELECT nh FROM nrm), 6) AS hub,
+             round(a.av / (SELECT na FROM nrma), 6) AS auth
+      FROM h{iters}f h JOIN a{iters}f a USING (url)
+    """
+
+
 def entry() -> Any:
     """Flagship: BFS crawl of the documents-derived web at sf0.001."""
     from webscraping_ray.pipelines import relational as R
@@ -348,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'inlink_anchors': R.inlink_anchors,
         'host_graph': R.host_graph,
         'pagerank': R.pagerank,
+        'hits': R.hits,
         'sample_stratified': R.sample_stratified,
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
@@ -1006,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY h
         """,
         'pagerank': _pagerank_sql(),
+        'hits': _hits_sql(),
         'sample_stratified': """
             SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
             FROM (SELECT doc_id, lang, row_number() OVER (

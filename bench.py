@@ -149,6 +149,7 @@ def run_bench():
         'events_band_join': R.events_band_join,
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
+        'hits': R.hits,
         'redact_pii': R.redact_pii,
     }
     def consume(out) -> int:

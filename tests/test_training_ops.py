@@ -472,6 +472,29 @@ def test_pagerank_tiers_bit_equal_and_sane(ray_session):
     assert a['pagerank'].sum() <= 1.0 + 1e-6
 
 
+def test_hits_tiers_bit_equal_and_sane(ray_session):
+    """HITS distributed tier must reproduce the driver fold
+    bit-for-bit, and the scores must be a sane hubs/authorities
+    shape: each vector sum-normalizes to ~1, leaf pages (q/x/img
+    targets, no outlinks) have hub exactly 0, root pages (no inlinks)
+    have auth exactly 0, and every /d/ page is a hub (links out)."""
+    from webscraping_ray.pipelines.relational import hits
+
+    sf = '/root/testdata/sf0.001'
+    a = hits(sf).to_pandas().sort_values('url').reset_index(drop=True)
+    b = (hits(sf, force_distributed=True).to_pandas()
+         .sort_values('url').reset_index(drop=True))
+    assert a.equals(b)
+    assert abs(a['hub'].sum() - 1.0) < 1e-3
+    assert abs(a['auth'].sum() - 1.0) < 1e-3
+    leaves = a[a['url'].str.contains('/q/|/x/|/img/')]
+    assert len(leaves) and (leaves['hub'] == 0.0).all()
+    roots = a[a['url'].str.match(r'http://src\d\.com/d/[0-7]$')]
+    assert len(roots) == 8 and (roots['auth'] == 0.0).all()
+    dpages = a[a['url'].str.contains('/d/')]
+    assert (dpages['hub'] > 0.0).all()
+
+
 def test_tfidf_join_tier_equals_broadcast_tier(ray_session):
     """The unbounded-vocab join tier must reproduce the broadcast tier
     exactly (same ranking keys, same libm scores)."""

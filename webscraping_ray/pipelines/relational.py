@@ -2133,3 +2133,136 @@ def _pagerank_dataset(eds, iters: int, damping: float,
                                               pa.float64())})
 
     return ranks.map_batches(snap, batch_format='pyarrow')
+
+
+def hits(sf_dir: str, iters: int = 3, force_distributed: bool = False):
+    """HITS hubs-and-authorities over the url link graph (Kleinberg's
+    companion signal to :func:`pagerank`; public algorithm, no
+    reference counterpart — the crawl-graph ranking family's second
+    member).
+
+    Runs ``iters`` *unnormalized* power rounds (auth = sum of inlink
+    hub scores, hub = sum of outlink auth scores) and sum-normalizes
+    each vector ONCE at output time.  Per-round normalization would
+    cost a global O(nodes) reduction per iteration; deferring it is
+    algebraically identical (each round is linear in the previous
+    vector, so a single final scale factor absorbs every per-round
+    one) and keeps the distributed tier's per-round work to two hash
+    joins + one grouped fold.  Bit-exact vs the SQL oracle at any
+    parallelism: per-node sums and both final normalizers are
+    ascending-sorted left folds (:func:`_fold_sorted`).
+
+    Tiered exactly like :func:`pagerank` (page count from the parquet
+    footer picks the tier; the final normalizers and the returned
+    table are O(nodes) — answer-sized for this op in both tiers)."""
+    import pyarrow.parquet as pq
+
+    n_pages = pq.ParquetFile(
+        f'{sf_dir}/documents.parquet').metadata.num_rows
+    eds = _pagerank_edges(sf_dir)
+    if (n_pages * 6 <= PAGERANK_DRIVER_EDGE_LIMIT
+            and not force_distributed):
+        rows = eds.take_all()
+        return _hits_fold([r['src'] for r in rows],
+                          [r['dst'] for r in rows], iters)
+    return _hits_dataset(eds, iters)
+
+
+def _hits_snap(nodes_list, hub, auth) -> pa.Table:
+    nh = _fold_sorted(hub.values())
+    na = _fold_sorted(auth.values())
+    hv = np.array([(hub[u] / nh) if nh else 0.0 for u in nodes_list],
+                  np.float64)
+    av = np.array([(auth[u] / na) if na else 0.0 for u in nodes_list],
+                  np.float64)
+    return pa.table({
+        'url': pa.array(nodes_list, pa.string()),
+        'hub': pa.array(np.rint(hv * 1e6) / 1e6 + 0.0, pa.float64()),
+        'auth': pa.array(np.rint(av * 1e6) / 1e6 + 0.0, pa.float64())})
+
+
+def _hits_fold(src, dst, iters: int) -> pa.Table:
+    nodes = sorted(set(src) | set(dst))
+    inl: dict = {}
+    outl: dict = {}
+    for u, v in zip(src, dst):
+        inl.setdefault(v, []).append(u)
+        outl.setdefault(u, []).append(v)
+    hub = {u: 1.0 for u in nodes}
+    auth = {u: 0.0 for u in nodes}
+    for _ in range(iters):
+        auth = {v: _fold_sorted([hub[u] for u in inl.get(v, ())])
+                for v in nodes}
+        hub = {u: _fold_sorted([auth[v] for v in outl.get(u, ())])
+               for u in nodes}
+    return _hits_snap(nodes, hub, auth)
+
+
+def _hits_dataset(eds, iters: int, num_partitions: int = 8):
+    """Distributed tier: per round, auth = edges ⋈ hub (on src)
+    grouped by dst with a sorted fold, hub = edges ⋈ auth (on dst)
+    grouped by src with a sorted fold; each LEFT-joined back onto the
+    node list so zero-score nodes stay present (their 0.0 entries
+    participate in the next round's folds, mirroring the SQL
+    COALESCE).  Per-round state is two doubles per node."""
+    from ..stages.dedup import _join_safe
+
+    eds = eds.materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({'url': pa.chunked_array(
+            t.column('src').cast(pa.string()).chunks
+            + t.column('dst').cast(pa.string()).chunks)})
+
+    nodes = _join_safe(eds.map_batches(node_rows, batch_format='pyarrow')
+                       .groupby('url').map_groups(
+                           lambda t: t.slice(0, 1),
+                           batch_format='pyarrow')).materialize()
+
+    def const_col(val):
+        return lambda t: pa.table({
+            'url': t['url'],
+            'v': pa.array([val] * t.num_rows, pa.float64())})
+
+    hub = nodes.map_batches(const_col(1.0),
+                            batch_format='pyarrow').materialize()
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            'url': g.column('url').slice(0, 1),
+            's': pa.array([_fold_sorted(
+                g.column('c').to_pylist())], pa.float64())})
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'url': t['url'],
+            'v': pa.array([s or 0.0 for s in t.column('s').to_pylist()],
+                          pa.float64())})
+
+    def one_side(scores, join_key: str, emit_key: str):
+        contribs = (eds.join(scores, 'inner',
+                             num_partitions=num_partitions,
+                             on=(join_key,), right_on=('url',))
+                    .map_batches(
+                        lambda t: pa.table({'url': t[emit_key],
+                                            'c': t['v']}),
+                        batch_format='pyarrow'))
+        folded = _join_safe(contribs.groupby('url').map_groups(
+            fold, batch_format='pyarrow'), num_partitions)
+        return (nodes.join(folded, 'left_outer',
+                           num_partitions=num_partitions,
+                           on=('url',), right_on=('url',))
+                .map_batches(coalesce,
+                             batch_format='pyarrow')).materialize()
+
+    auth = None
+    for _ in range(iters):
+        auth = one_side(hub, 'src', 'dst')
+        hub = one_side(auth, 'dst', 'src')
+
+    # answer-sized pulls: the returned table is O(nodes) either way
+    h_rows = hub.take_all()
+    a_rows = {r['url']: r['v'] for r in auth.take_all()}
+    nodes_list = sorted(r['url'] for r in h_rows)
+    return _hits_snap(nodes_list, {r['url']: r['v'] for r in h_rows},
+                      a_rows)
