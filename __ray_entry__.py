@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
         'unigram_logprob': R.unigram_logprob,
+        'bigram_logprob': R.bigram_logprob,
         'pack_sequences': R.pack_sequences,
         'mixture_weights': R.mixture_weights,
         # training-data cleaning composition
@@ -930,6 +931,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(p.n_tokens, 0) AS n_tokens,
                    round(COALESCE(p.lp, 0.0), 4) AS logprob_per_token
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        """,
+        # order-1 step toward the KenLM filter: mean ln P(w2|w1) with
+        # add-0.1 smoothing over corpus bigram/unigram counts
+        # (ln/sum drift absorbed by round(4), the unigram pattern)
+        'bigram_logprob': """
+            WITH tk AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '\\w+') AS ts
+                        FROM documents),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY w),
+            vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+            bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                   FROM (SELECT doc_id, ts,
+                                unnest(range(1, len(ts))) AS i
+                         FROM tk WHERE len(ts) >= 2)),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                   FROM bg GROUP BY w1, w2),
+            per AS (SELECT g.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_bigrams,
+                           SUM(ln((bc.c2 + 0.1)
+                                  / (u.c + 0.1 * (SELECT v FROM vv))))
+                             / count(*) AS lp
+                    FROM bg g
+                    JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+                    JOIN uni u ON u.w = g.w1
+                    GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   round(COALESCE(p.lp, 0.0), 4) AS bigram_logprob
             FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         # ExactSubstr (Lee et al. 2022) as positional word-16-grams:

@@ -1575,6 +1575,86 @@ def unigram_logprob(sf_dir: str):
         batch_format='pyarrow')
 
 
+def bigram_logprob(sf_dir: str, alpha: float = 0.1):
+    """Bigram-LM document scoring with add-α smoothing — one model
+    order past :func:`unigram_logprob` toward the KenLM 5-gram filter
+    of CCNet: mean ln P(w2|w1) over each doc's adjacent token pairs,
+    P(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V) with c() corpus counts
+    and V the unigram vocabulary size.  Repetitive template text
+    scores high, token soup scores low — and unlike the unigram score
+    it penalizes *implausible orderings*, not just rare words.
+
+    Two count passes (Counter partials → groupby-sum, the shuffle
+    carries (gram, count) rows only), both tables broadcast once via
+    ``ray.put`` (same vocabulary-size caveat and hash-join escape
+    hatch as unigram_logprob — bigram tables run ~10× unigram, so the
+    join tier kicks in earlier at corpus scale).  Docs with < 2
+    tokens score 0.0 with n_bigrams = 0.  Float parity with the SQL
+    oracle rides on round(4) absorbing summation-order ulp drift,
+    the proven unigram pattern."""
+    import collections
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        uni: collections.Counter = collections.Counter()
+        bi: collections.Counter = collections.Counter()
+        for txt in t.column('text').to_pylist():
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        # one keyed stream: unigrams as ('u', w), bigrams as ('b', w1 w2)
+        ks = [('u', w) for w in uni] + [('b', '%s %s' % g) for g in bi]
+        cs = list(uni.values()) + list(bi.values())
+        return pa.table({
+            'kind': pa.array([k for k, _ in ks], pa.string()),
+            'g': pa.array([g for _, g in ks], pa.string()),
+            'c': pa.array(cs, pa.int64())})
+
+    uni_c: dict = {}
+    bi_c: dict = {}
+    for b in (ds.map_batches(gram_partials, batch_format='pyarrow')
+              .groupby(['kind', 'g']).aggregate(Sum('c', alias_name='c'))
+              .iter_batches(batch_format='pyarrow')):
+        for kind, g, c in zip(b.column('kind').to_pylist(),
+                              b.column('g').to_pylist(),
+                              b.column('c').to_pylist()):
+            (uni_c if kind == 'u' else bi_c)[g] = c
+    v = float(len(uni_c))
+    uref = ray.put(uni_c)
+    bref = ray.put(bi_c)
+
+    def score(t: pa.Table) -> pa.Table:
+        uc = ray.get(uref)
+        bc = ray.get(bref)
+        ns, scores = [], []
+        for txt in t.column('text').to_pylist():
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            n = max(0, len(toks) - 1)
+            ns.append(n)
+            if not n:
+                scores.append(0.0)
+                continue
+            s = sum(math.log((bc.get('%s %s' % (w1, w2), 0) + alpha)
+                             / (uc[w1] + alpha * v))
+                    for w1, w2 in zip(toks, toks[1:]))
+            scores.append(s / n)
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'n_bigrams': pa.array(ns, pa.int64()),
+                         'bigram_logprob': pa.array(scores, pa.float64())})
+
+    out = ds.map_batches(score, batch_format='pyarrow')
+    return out.map_batches(
+        lambda t: _snap_round(t, 'bigram_logprob', 4),
+        batch_format='pyarrow')
+
+
 def remove_repeated_spans(sf_dir: str, k: int = 16):
     """Full ExactSubstr cleaning (the second half of Lee et al. 2022):
     drop every token covered by any corpus-repeated ``k``-token span
