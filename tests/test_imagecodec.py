@@ -241,3 +241,63 @@ def test_jpeg_decoder_rejects_garbage_cleanly():
             decode_jpeg_baseline(bytes(data))
         except (UnsupportedJpeg, ValueError, _struct.error, IndexError):
             pass
+
+
+def test_bilinear_resize_kernel():
+    """Analytic cases: constants are invariant, a 1x2 ramp upsampled
+    to 1x4 hits the half-pixel-center weights exactly, downsample of a
+    2x-tiled image equals the base image, grayscale gets a channel
+    axis."""
+    from webscraping_ray.stages.multimodal import bilinear_resize
+
+    const = np.full((7, 5, 3), 200, np.uint8)
+    assert (bilinear_resize(const, 16, 9) == 200).all()
+    assert bilinear_resize(const, 16, 9).shape == (16, 9, 3)
+
+    ramp = np.array([[0, 255]], np.uint8)
+    out = bilinear_resize(ramp, 1, 4)[0, :, 0].tolist()
+    # xs = [-0.25, .25, .75, 1.25] -> weights [0, .25, .75, 1]
+    assert out == [0, 64, 191, 255]
+
+    img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    doubled = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    np.testing.assert_array_equal(bilinear_resize(doubled, 8, 6), img)
+
+    gray = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    assert bilinear_resize(gray, 2, 2).shape == (2, 2, 1)
+
+
+def test_resize_image_stage(ray_session):
+    """ResizeImage actor stage: real PNG inputs resize via the real
+    decode path and the output payload is a decodable 32x32 PNG whose
+    pixels equal bilinear_resize applied directly; non-image payloads
+    take the stub path with real_decode=False but identical output
+    shape."""
+    import pyarrow as pa
+    import ray.data
+    from webscraping_ray.stages.multimodal import (ResizeImage,
+                                                   bilinear_resize)
+
+    imgs = [rng.integers(0, 256, size=(16 + i, 12, 3), dtype=np.uint8)
+            for i in range(4)]
+    payloads = [encode_png(m) for m in imgs] + [b'not an image payload']
+    tbl = pa.table({
+        'media_id': pa.array(range(5), pa.int64()),
+        'kind': pa.array(['image'] * 5, pa.string()),
+        'payload': pa.array(payloads, pa.large_binary()),
+        'meta_width': pa.array([12] * 5, pa.int32()),
+        'meta_height': pa.array([16, 17, 18, 19, 8], pa.int32()),
+        'meta_duration_ms': pa.array([0] * 5, pa.int32()),
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        ResizeImage(out_h=32, out_w=32), batch_format='pyarrow',
+        batch_size=2, concurrency=2).take_all()
+    by_id = {r['media_id']: r for r in out}
+    for i, m in enumerate(imgs):
+        r = by_id[i]
+        assert r['real_decode'] is True
+        assert (r['width'], r['height']) == (32, 32)
+        np.testing.assert_array_equal(decode_image(r['payload']),
+                                      bilinear_resize(m, 32, 32))
+    assert by_id[4]['real_decode'] is False
+    assert decode_image(by_id[4]['payload']).shape == (32, 32, 3)

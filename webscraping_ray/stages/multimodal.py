@@ -120,6 +120,79 @@ class DecodeImage:
         })
 
 
+def bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real bilinear resize, pure numpy, fully vectorized (no Python
+    pixel loops).  Half-pixel-center (align_corners=False) sampling —
+    the convention of PIL/torch/OpenCV default — with edge clamping;
+    uint8 in, uint8 out (round-half-to-even via np.rint)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    fy = np.floor(ys)
+    fx = np.floor(xs)
+    wy = (ys - fy)[:, None, None]
+    wx = (xs - fx)[None, :, None]
+    y0 = np.clip(fy.astype(np.int64), 0, h - 1)
+    y1 = np.clip(fy.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(fx.astype(np.int64), 0, w - 1)
+    x1 = np.clip(fx.astype(np.int64) + 1, 0, w - 1)
+    a = arr[np.ix_(y0, x0)].astype(np.float64)
+    b = arr[np.ix_(y0, x1)].astype(np.float64)
+    c = arr[np.ix_(y1, x0)].astype(np.float64)
+    d = arr[np.ix_(y1, x1)].astype(np.float64)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + c * wy * (1 - wx) + d * wy * wx)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class ResizeImage:
+    """Actor-pool stage: payload → bilinear-resized image, re-encoded
+    as PNG (decode → resize → encode, the full real-kernel transform
+    chain).  PNG/BMP/baseline-JPEG inputs take the real path; stub
+    formats resize the stub array (``real_decode=False``) so the
+    pipeline shape holds for every row.  Output payloads are
+    (out_h × out_w × channels) PNGs — uniform downstream schema
+    regardless of input format."""
+
+    def __init__(self, out_h: int = 32, out_w: int = 32,
+                 strict: bool = False):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .imagecodec import UnsupportedImage, decode_image, encode_png
+
+        ids = batch.column('media_id').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        ws = batch.column('meta_width').to_pylist()
+        hs = batch.column('meta_height').to_pylist()
+        out_payload, real = [], []
+        for p, w, h in zip(payloads, ws, hs):
+            try:
+                arr = decode_image(p)
+                decoded = True
+            except UnsupportedImage:
+                if self.strict:
+                    raise NotImplementedError(
+                        'non-PNG/BMP/baseline-JPEG decode requires '
+                        'PIL/libjpeg — not in this container')
+                arr = _decode_stub(p, w, h)
+                decoded = False
+            out_payload.append(
+                encode_png(bilinear_resize(arr, self.out_h, self.out_w)))
+            real.append(decoded)
+        return pa.table({
+            'media_id': pa.array(ids, pa.int64()),
+            'payload': pa.array(out_payload, pa.large_binary()),
+            'width': pa.array([self.out_w] * len(ids), pa.int32()),
+            'height': pa.array([self.out_h] * len(ids), pa.int32()),
+            'real_decode': pa.array(real, pa.bool_()),
+        })
+
+
 class FrameSample:
     """Actor-pool stage: video payload → k evenly spaced frame hashes.
 
