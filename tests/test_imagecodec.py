@@ -301,3 +301,81 @@ def test_resize_image_stage(ray_session):
                                       bilinear_resize(m, 32, 32))
     assert by_id[4]['real_decode'] is False
     assert decode_image(by_id[4]['payload']).shape == (32, 32, 3)
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav -> decode_wav is exact for mono and stereo int16;
+    non-WAV and compressed payloads raise UnsupportedAudio."""
+    from webscraping_ray.stages.audiocodec import (UnsupportedAudio,
+                                                   decode_wav, encode_wav)
+
+    mono = (np.sin(2 * np.pi * 440 * np.arange(1600) / 16000)
+            * 20000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and s.shape == (1600, 1)
+    np.testing.assert_array_equal(s[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, _ = decode_wav(encode_wav(stereo, 8000))
+    np.testing.assert_array_equal(s2, stereo)
+
+    with pytest.raises(UnsupportedAudio):
+        decode_wav(b'ID3\x03 an mp3, not a wav' * 4)
+
+
+def test_audio_features_sine():
+    """A pure 440 Hz sine: dominant frequency within one FFT bin of
+    440, RMS at the analytic -20*log10(sqrt(2)/amp_ratio) level, zcr
+    at ~2*f/rate."""
+    from webscraping_ray.stages.audiocodec import audio_features
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    amp = 0.5
+    mono = (np.sin(2 * np.pi * 440 * t) * amp * 32767).astype(np.int16)
+    f = audio_features(mono[:, None], rate)
+    assert f['duration_ms'] == 1000
+    assert abs(f['dominant_hz'] - 440) < rate / 2048 + 1e-9
+    expected_rms_dbfs = 20 * np.log10(amp / np.sqrt(2))
+    assert abs(f['rms_dbfs'] - expected_rms_dbfs) < 0.05
+    assert abs(f['zcr'] - 2 * 440 / rate) < 0.005
+    assert f['spectral_centroid_hz'] > 0
+
+
+def test_audio_features_stage(ray_session):
+    """AudioFeatures actor stage: real WAV payloads decode for real
+    (feature parity with the kernel), non-WAV rows take the stub with
+    real_decode=False; strict mode raises."""
+    import pyarrow as pa
+    import ray.data
+    from webscraping_ray.stages.audiocodec import encode_wav
+    from webscraping_ray.stages.multimodal import AudioFeatures
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    clips = [(np.sin(2 * np.pi * (200 + 100 * i) * t)
+              * 16000).astype(np.int16) for i in range(3)]
+    payloads = [encode_wav(c, rate) for c in clips] + [b'OggS compressed']
+    tbl = pa.table({
+        'media_id': pa.array(range(4), pa.int64()),
+        'kind': pa.array(['audio'] * 4, pa.string()),
+        'payload': pa.array(payloads, pa.large_binary()),
+        'meta_width': pa.array([0] * 4, pa.int32()),
+        'meta_height': pa.array([0] * 4, pa.int32()),
+        'meta_duration_ms': pa.array([500, 500, 500, 777], pa.int32()),
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        AudioFeatures(), batch_format='pyarrow', batch_size=2,
+        concurrency=2).take_all()
+    by_id = {r['media_id']: r for r in out}
+    for i in range(3):
+        assert by_id[i]['real_decode'] is True
+        assert by_id[i]['duration_ms'] == 500
+        assert abs(by_id[i]['dominant_hz'] - (200 + 100 * i)) < rate / 2048 + 1e-9
+    stub = by_id[3]
+    assert stub['real_decode'] is False and stub['duration_ms'] == 777
+    assert stub['rms_dbfs'] == -120.0
+
+    with pytest.raises(Exception):
+        ray.data.from_arrow(tbl).map_batches(
+            AudioFeatures(strict=True), batch_format='pyarrow').take_all()

@@ -3,11 +3,14 @@ metadata.
 
 Image decode is REAL for PNG, uncompressed BMP (pure-stdlib codecs in
 :mod:`.imagecodec` — zlib + numpy) and baseline JPEG (pure-numpy
-Huffman + IDCT in :mod:`.jpegcodec`).  Formats that genuinely require
-external codec libraries (progressive JPEG, WebP, audio, video
-frames) remain behind a clearly-marked deterministic stub; the
-Ray-side plumbing — schema, actor-pool signature, batch sizing for
-large binary payloads, output layout — is identical for both paths.
+Huffman + IDCT in :mod:`.jpegcodec`); image resize is a REAL
+vectorized bilinear kernel (:func:`bilinear_resize`); audio decode +
+features are REAL for RIFF/WAVE PCM16 (:mod:`.audiocodec`).  Formats
+that genuinely require external codec libraries (progressive JPEG,
+WebP, compressed audio, video frames) remain behind a clearly-marked
+deterministic stub; the Ray-side plumbing — schema, actor-pool
+signature, batch sizing for large binary payloads, output layout — is
+identical for both paths.
 
 Batch-size guidance: with payloads of B bytes, keep
 ``batch_size * B * concurrency`` under the per-worker heap budget;
@@ -189,6 +192,55 @@ class ResizeImage:
             'payload': pa.array(out_payload, pa.large_binary()),
             'width': pa.array([self.out_w] * len(ids), pa.int32()),
             'height': pa.array([self.out_h] * len(ids), pa.int32()),
+            'real_decode': pa.array(real, pa.bool_()),
+        })
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio payload → per-clip features.
+
+    REAL decode + features for RIFF/WAVE PCM16 (:mod:`.audiocodec` —
+    pure stdlib struct + numpy rfft); compressed formats (mp3/ogg/aac
+    need external codecs) fall back to a deterministic stub row with
+    ``real_decode=False`` (or raise under ``strict=True``), keeping
+    one output schema for every row."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .audiocodec import UnsupportedAudio, audio_features, decode_wav
+
+        ids = batch.column('media_id').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        durs = batch.column('meta_duration_ms').to_pylist()
+        rows, real = [], []
+        for p, d in zip(payloads, durs):
+            try:
+                samples, rate = decode_wav(p)
+                rows.append(audio_features(samples, rate))
+                real.append(True)
+            except UnsupportedAudio:
+                if self.strict:
+                    raise NotImplementedError(
+                        'compressed-audio decode requires external '
+                        'codecs — not in this container')
+                # deterministic stub: metadata duration, silence stats
+                rows.append({'duration_ms': d, 'rms_dbfs': -120.0,
+                             'zcr': 0.0, 'dominant_hz': 0.0,
+                             'spectral_centroid_hz': 0.0})
+                real.append(False)
+        return pa.table({
+            'media_id': pa.array(ids, pa.int64()),
+            'duration_ms': pa.array([r['duration_ms'] for r in rows],
+                                    pa.int32()),
+            'rms_dbfs': pa.array([r['rms_dbfs'] for r in rows],
+                                 pa.float64()),
+            'zcr': pa.array([r['zcr'] for r in rows], pa.float64()),
+            'dominant_hz': pa.array([r['dominant_hz'] for r in rows],
+                                    pa.float64()),
+            'spectral_centroid_hz': pa.array(
+                [r['spectral_centroid_hz'] for r in rows], pa.float64()),
             'real_decode': pa.array(real, pa.bool_()),
         })
 
