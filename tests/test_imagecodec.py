@@ -379,3 +379,69 @@ def test_audio_features_stage(ray_session):
     with pytest.raises(Exception):
         ray.data.from_arrow(tbl).map_batches(
             AudioFeatures(strict=True), batch_format='pyarrow').take_all()
+
+
+def test_mjpeg_avi_roundtrip():
+    """encode_mjpeg_avi -> decode_mjpeg_avi: frame count, fps and dims
+    survive; each frame chunk is a decodable baseline JPEG close to
+    its source (flat-color frames quantize near-exactly)."""
+    from webscraping_ray.stages.jpegcodec import decode_jpeg_baseline
+    from webscraping_ray.stages.videocodec import (UnsupportedVideo,
+                                                   decode_mjpeg_avi,
+                                                   encode_mjpeg_avi)
+
+    frames = [np.full((32, 48, 3), 40 * i + 20, np.uint8)
+              for i in range(5)]
+    avi = encode_mjpeg_avi(frames, fps=12, quality=90)
+    jpegs, fps, (w, h) = decode_mjpeg_avi(avi)
+    assert (len(jpegs), fps, w, h) == (5, 12, 48, 32)
+    for j, src in zip(jpegs, frames):
+        arr = decode_jpeg_baseline(j)
+        assert arr.shape == (32, 48, 3)
+        assert abs(float(arr.mean()) - float(src.mean())) < 3.0
+
+    with pytest.raises(UnsupportedVideo):
+        decode_mjpeg_avi(b'RIFF\x00\x00\x00\x00WAVE')
+    with pytest.raises(UnsupportedVideo):
+        decode_mjpeg_avi(b'\x00\x01\x02\x03' * 16)
+
+
+def test_frame_sample_stage_real_and_stub(ray_session):
+    """FrameSample: an MJPEG AVI row yields k evenly spaced REAL
+    frames (distinct hashes for distinct-color frames, means near the
+    sources); a non-AVI row takes the stub path; strict raises."""
+    import pyarrow as pa
+    import ray.data
+    from webscraping_ray.stages.multimodal import FrameSample
+    from webscraping_ray.stages.videocodec import encode_mjpeg_avi
+
+    frames = [np.full((16, 16, 3), 25 * i + 10, np.uint8)
+              for i in range(10)]
+    avi = encode_mjpeg_avi(frames, fps=5, quality=90)
+    tbl = pa.table({
+        'media_id': pa.array([0, 1], pa.int64()),
+        'kind': pa.array(['video'] * 2, pa.string()),
+        'payload': pa.array([avi, b'not a video payload'],
+                            pa.large_binary()),
+        'meta_width': pa.array([16, 0], pa.int32()),
+        'meta_height': pa.array([16, 0], pa.int32()),
+        'meta_duration_ms': pa.array([2000, 0], pa.int32()),
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        FrameSample(k=4), batch_format='pyarrow', batch_size=1,
+        concurrency=2).take_all()
+    real = sorted((r for r in out if r['media_id'] == 0),
+                  key=lambda r: r['frame_idx'])
+    assert [r['frame_idx'] for r in real] == [0, 2, 5, 7]
+    assert all(r['real_decode'] for r in real)
+    assert len({r['frame_hash'] for r in real}) == 4
+    for r in real:
+        src = frames[r['frame_idx']]
+        assert abs(r['mean_pixel'] - float(src.mean())) < 3.0
+    stub = [r for r in out if r['media_id'] == 1]
+    assert len(stub) == 4 and not any(r['real_decode'] for r in stub)
+
+    with pytest.raises(Exception):
+        ray.data.from_arrow(tbl.slice(1, 1)).map_batches(
+            FrameSample(k=2, strict=True),
+            batch_format='pyarrow').take_all()

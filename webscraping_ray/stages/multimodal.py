@@ -5,12 +5,13 @@ Image decode is REAL for PNG, uncompressed BMP (pure-stdlib codecs in
 :mod:`.imagecodec` — zlib + numpy) and baseline JPEG (pure-numpy
 Huffman + IDCT in :mod:`.jpegcodec`); image resize is a REAL
 vectorized bilinear kernel (:func:`bilinear_resize`); audio decode +
-features are REAL for RIFF/WAVE PCM16 (:mod:`.audiocodec`).  Formats
-that genuinely require external codec libraries (progressive JPEG,
-WebP, compressed audio, video frames) remain behind a clearly-marked
-deterministic stub; the Ray-side plumbing — schema, actor-pool
-signature, batch sizing for large binary payloads, output layout — is
-identical for both paths.
+features are REAL for RIFF/WAVE PCM16 (:mod:`.audiocodec`); video
+frame-sampling is REAL for MJPEG-in-AVI (:mod:`.videocodec`).
+Formats that genuinely require external codec libraries (progressive
+JPEG, WebP, compressed audio, inter-frame video) remain behind a
+clearly-marked deterministic stub; the Ray-side plumbing — schema,
+actor-pool signature, batch sizing for large binary payloads, output
+layout — is identical for both paths.
 
 Batch-size guidance: with payloads of B bytes, keep
 ``batch_size * B * concurrency`` under the per-worker heap budget;
@@ -246,28 +247,59 @@ class AudioFeatures:
 
 
 class FrameSample:
-    """Actor-pool stage: video payload → k evenly spaced frame hashes.
+    """Actor-pool stage: video payload → k evenly spaced frames, each
+    decoded to pixel stats + hash.
 
-    STUB frame extraction (deterministic slices of the payload); the
-    real stage would call ffmpeg/pyav per batch.
+    REAL for MJPEG-in-AVI (:mod:`.videocodec` walks the RIFF
+    container, :mod:`.jpegcodec` decodes ONLY the k sampled frames —
+    the 100-TB point of frame sampling is never touching the frames
+    nobody asked for).  Inter-frame codecs (H.264/VP9/AV1 need
+    external decoders) fall back to the deterministic payload-slice
+    stub with ``real_decode=False`` (or raise under ``strict=True``).
     """
 
-    def __init__(self, k: int = 4):
+    def __init__(self, k: int = 4, strict: bool = False):
         self.k = k
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpegcodec import decode_jpeg_baseline
+        from .videocodec import UnsupportedVideo, decode_mjpeg_avi
+
         ids = batch.column('media_id').to_pylist()
         payloads = batch.column('payload').to_pylist()
-        out_id, out_frame, out_hash = [], [], []
+        out_id, out_frame, out_hash, out_mean, out_real = [], [], [], [], []
         for i, p in zip(ids, payloads):
-            step = max(1, len(p) // self.k)
-            for f in range(self.k):
-                chunk = p[f * step:(f + 1) * step]
-                out_id.append(i)
-                out_frame.append(f)
-                out_hash.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+            try:
+                jpegs, _fps, _dims = decode_mjpeg_avi(p)
+                n = len(jpegs)
+                picks = sorted({(f * n) // self.k for f in range(self.k)})
+                for fi in picks:
+                    arr = decode_jpeg_baseline(jpegs[fi])
+                    out_id.append(i)
+                    out_frame.append(fi)
+                    out_hash.append(hashlib.blake2b(
+                        arr.tobytes(), digest_size=8).hexdigest())
+                    out_mean.append(float(arr.mean()))
+                    out_real.append(True)
+            except UnsupportedVideo:
+                if self.strict:
+                    raise NotImplementedError(
+                        'inter-frame video decode requires ffmpeg/pyav '
+                        '— not in this container')
+                step = max(1, len(p) // self.k)
+                for f in range(self.k):
+                    chunk = p[f * step:(f + 1) * step]
+                    out_id.append(i)
+                    out_frame.append(f)
+                    out_hash.append(hashlib.blake2b(
+                        chunk, digest_size=8).hexdigest())
+                    out_mean.append(0.0)
+                    out_real.append(False)
         return pa.table({
             'media_id': pa.array(out_id, pa.int64()),
             'frame_idx': pa.array(out_frame, pa.int32()),
             'frame_hash': pa.array(out_hash, pa.string()),
+            'mean_pixel': pa.array(out_mean, pa.float64()),
+            'real_decode': pa.array(out_real, pa.bool_()),
         })
