@@ -106,3 +106,54 @@ def test_xpath_engine_never_raises(html):
     doc.search('//a/@href')
     doc.get('/div/span')
     X.get_links(html, url='http://e.com/')
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2 ** 31 - 1))
+def test_wav_roundtrip_property(n, ch, seed):
+    """encode_wav -> decode_wav is exact for any int16 sample block."""
+    import numpy as np
+    from webscraping_ray.stages.audiocodec import decode_wav, encode_wav
+
+    r = np.random.default_rng(seed)
+    samples = r.integers(-32768, 32768, size=(n, min(ch, 2)),
+                         dtype=np.int16)
+    out, rate = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(1, 24),
+       st.integers(1, 24), st.integers(0, 2 ** 31 - 1))
+def test_bilinear_resize_property(h, w, oh, ow, seed):
+    """Resize output is bounded by the input's min/max (convex
+    weights), identity at the same size, constant-preserving."""
+    import numpy as np
+    from webscraping_ray.stages.multimodal import bilinear_resize
+
+    r = np.random.default_rng(seed)
+    img = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = bilinear_resize(img, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    assert out.min() >= img.min() and out.max() <= img.max()
+    np.testing.assert_array_equal(bilinear_resize(img, h, w), img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 5), st.integers(0, 2 ** 31 - 1))
+def test_mjpeg_avi_container_property(n_frames, seed):
+    """The AVI container is lossless around the JPEG payloads: the
+    frame bytes that went in come back out byte-identical, in order."""
+    import numpy as np
+    from webscraping_ray.stages.jpegcodec import encode_jpeg_baseline
+    from webscraping_ray.stages.videocodec import (decode_mjpeg_avi,
+                                                   encode_mjpeg_avi)
+
+    r = np.random.default_rng(seed)
+    frames = [r.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+    avi = encode_mjpeg_avi(frames, fps=7)
+    jpegs, fps, dims = decode_mjpeg_avi(avi)
+    assert fps == 7 and dims == (8, 8)
+    assert jpegs == [encode_jpeg_baseline(f, quality=85) for f in frames]
