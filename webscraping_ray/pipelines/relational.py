@@ -2104,9 +2104,10 @@ def pagerank(sf_dir: str, iters: int = 3, damping: float = 0.85,
     Tiered like stages/clusters.py: at or below
     ``PAGERANK_DRIVER_EDGE_LIMIT`` edges the iteration folds on the
     driver (edge lists are answer-sized); above it each round is an
-    edges ⋈ ranks hash join + a groupby fold + a left join back onto
-    the node list — per-round state is one double per node, never the
-    corpus."""
+    edges ⋈ ranks hash join + a coarse-64-bucket groupby fold
+    (:func:`_bucketed_sorted_fold` — never per-url Ray groups) + a
+    left join back onto the node list — per-round state is one double
+    per node, never the corpus."""
     import pyarrow.parquet as pq
 
     # tier on page count from the parquet footer (free) instead of an
@@ -2147,6 +2148,58 @@ def _pagerank_fold(src, dst, iters: int, damping: float) -> pa.Table:
                              pa.float64())})
 
 
+def _graph_nodes(eds, num_partitions: int):
+    """Distinct node list of an (src, dst) edge Dataset — a hash
+    aggregate (vectorized per block + combine), NOT a per-url
+    group-apply (Ray group-apply costs ~10 ms/group; nodes are
+    corpus-scale)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _join_safe
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({'url': pa.chunked_array(
+            t.column('src').cast(pa.string()).chunks
+            + t.column('dst').cast(pa.string()).chunks)})
+
+    return _join_safe(
+        eds.map_batches(node_rows, batch_format='pyarrow')
+        .groupby('url').aggregate(Count(alias_name='_n'))
+        .map_batches(lambda t: t.select(['url']),
+                     batch_format='pyarrow'),
+        num_partitions).materialize()
+
+
+def _bucketed_sorted_fold(contribs, num_partitions: int):
+    """Per-url ascending-sorted left fold of a (url, c) Dataset via a
+    COARSE 64-bucket group-apply (the tfidf/inlink_anchors pattern —
+    per-url Ray groups are banned in hot paths): inside each bucket a
+    pandas groupby runs the exact :func:`_fold_sorted` per url, so
+    bit-exactness is preserved while Ray sees only 64 groups."""
+    import zlib
+
+    from ..stages.dedup import _join_safe
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        bkt = pa.array([zlib.crc32(u.encode()) & 63
+                        for u in t.column('url').to_pylist()],
+                       pa.int64())
+        return t.append_column('bkt', bkt)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        urls, sums = [], []
+        for u, vals in g.groupby('url')['c']:
+            urls.append(u)
+            sums.append(_fold_sorted(vals.tolist()))
+        return pd.DataFrame({'url': urls, 's': sums})
+
+    return _join_safe(contribs.map_batches(bucketed,
+                                           batch_format='pyarrow')
+                      .groupby('bkt').map_groups(fold_bucket,
+                                                 batch_format='pandas'),
+                      num_partitions)
+
+
 def _pagerank_dataset(eds, iters: int, damping: float,
                       num_partitions: int = 8):
     from ..stages.dedup import _join_safe
@@ -2157,15 +2210,7 @@ def _pagerank_dataset(eds, iters: int, damping: float,
     eds = eds.join(od, 'inner', num_partitions=num_partitions,
                    on=('src',), right_on=('src',)).materialize()
 
-    def node_rows(t: pa.Table) -> pa.Table:
-        return pa.table({'url': pa.chunked_array(
-            t.column('src').cast(pa.string()).chunks
-            + t.column('dst').cast(pa.string()).chunks)})
-
-    nodes = _join_safe(eds.map_batches(node_rows, batch_format='pyarrow')
-                       .groupby('url').map_groups(
-                           lambda t: t.slice(0, 1),
-                           batch_format='pyarrow')).materialize()
+    nodes = _graph_nodes(eds, num_partitions)
     n = float(nodes.count())
     base = (1.0 - damping) / n
 
@@ -2186,14 +2231,7 @@ def _pagerank_dataset(eds, iters: int, damping: float,
                                 t['outdeg'].cast(pa.float64()))}),
                         batch_format='pyarrow'))
 
-        def fold(g: pa.Table) -> pa.Table:
-            return pa.table({
-                'url': g.column('url').slice(0, 1),
-                's': pa.array([_fold_sorted(
-                    g.column('c').to_pylist())], pa.float64())})
-
-        folded = _join_safe(contribs.groupby('url').map_groups(
-            fold, batch_format='pyarrow'), num_partitions)
+        folded = _bucketed_sorted_fold(contribs, num_partitions)
         ranks = (nodes.join(folded, 'left_outer',
                             num_partitions=num_partitions,
                             on=('url',), right_on=('url',))
@@ -2284,20 +2322,11 @@ def _hits_dataset(eds, iters: int, num_partitions: int = 8):
     grouped by src with a sorted fold; each LEFT-joined back onto the
     node list so zero-score nodes stay present (their 0.0 entries
     participate in the next round's folds, mirroring the SQL
-    COALESCE).  Per-round state is two doubles per node."""
-    from ..stages.dedup import _join_safe
-
+    COALESCE).  Per-round state is two doubles per node; the grouped
+    folds run per coarse 64-bucket (:func:`_bucketed_sorted_fold`),
+    never per url."""
     eds = eds.materialize()
-
-    def node_rows(t: pa.Table) -> pa.Table:
-        return pa.table({'url': pa.chunked_array(
-            t.column('src').cast(pa.string()).chunks
-            + t.column('dst').cast(pa.string()).chunks)})
-
-    nodes = _join_safe(eds.map_batches(node_rows, batch_format='pyarrow')
-                       .groupby('url').map_groups(
-                           lambda t: t.slice(0, 1),
-                           batch_format='pyarrow')).materialize()
+    nodes = _graph_nodes(eds, num_partitions)
 
     def const_col(val):
         return lambda t: pa.table({
@@ -2306,12 +2335,6 @@ def _hits_dataset(eds, iters: int, num_partitions: int = 8):
 
     hub = nodes.map_batches(const_col(1.0),
                             batch_format='pyarrow').materialize()
-
-    def fold(g: pa.Table) -> pa.Table:
-        return pa.table({
-            'url': g.column('url').slice(0, 1),
-            's': pa.array([_fold_sorted(
-                g.column('c').to_pylist())], pa.float64())})
 
     def coalesce(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2327,8 +2350,7 @@ def _hits_dataset(eds, iters: int, num_partitions: int = 8):
                         lambda t: pa.table({'url': t[emit_key],
                                             'c': t['v']}),
                         batch_format='pyarrow'))
-        folded = _join_safe(contribs.groupby('url').map_groups(
-            fold, batch_format='pyarrow'), num_partitions)
+        folded = _bucketed_sorted_fold(contribs, num_partitions)
         return (nodes.join(folded, 'left_outer',
                            num_partitions=num_partitions,
                            on=('url',), right_on=('url',))
