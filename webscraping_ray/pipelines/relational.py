@@ -66,6 +66,40 @@ def _read(sf_dir: str, name: str, columns=None):
             .map_batches(_strip_meta, batch_format='pyarrow'))
 
 
+def _per_key_groups(ds, key: str, fn, buckets: int = 64):
+    """``ds.groupby(key).map_groups(fn)`` without per-key Ray groups.
+
+    Ray's group-apply costs ~10 ms per group (measured; see
+    tfidf_top_terms history), so grouping a corpus-cardinality key
+    (user_id, custkey, url) pays O(keys) fixed overhead.  This shuffles
+    by a COARSE bucket of the key (Ray sees ``buckets`` groups) and
+    runs ``fn`` per key inside a pandas groupby within the bucket —
+    identical per-key inputs, identical rows out, 64 group-applies
+    total.  Integer keys bucket by Fibonacci hashing, strings by
+    crc32, so skewless key spaces spread evenly."""
+    import zlib
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        col = t.column(key)
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            bkt = ((v * np.uint64(0x9E3779B97F4A7C15))
+                   >> np.uint64(64 - 6)).astype(np.int64)
+        else:
+            bkt = np.array([zlib.crc32(str(x).encode()) & (buckets - 1)
+                            for x in col.to_pylist()], np.int64)
+        return t.append_column('_bkt', pa.array(bkt, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=['_bkt'])
+        outs = [fn(sub) for _, sub in g.groupby(key, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(bucketed, batch_format='pyarrow')
+            .groupby('_bkt').map_groups(per_bucket,
+                                        batch_format='pandas'))
+
+
 # ---------------------------------------------------------------------------
 # aggregations (reference State counters, download.py:898-917)
 
@@ -138,7 +172,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
         out['session_start'] = out['session_start'].astype('datetime64[us]')
         return out.reset_index(drop=True)
 
-    return ds.groupby('user_id').map_groups(sessionize, batch_format='pandas')
+    return _per_key_groups(ds, 'user_id', sessionize)
 
 
 def distinct_event_types(sf_dir: str):
@@ -208,9 +242,9 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
         g['rank'] = (g.index + 1).astype('int64')
         return g
 
-    return (ds.map_batches(partial_topk, batch_format='pandas')
-            .groupby('o_custkey')
-            .map_groups(final_topk, batch_format='pandas'))
+    return _per_key_groups(
+        ds.map_batches(partial_topk, batch_format='pandas'),
+        'o_custkey', final_topk)
 
 
 def top_ngrams(sf_dir: str, n: int = 3, k: int = 100):
@@ -404,7 +438,7 @@ def asof_latest_event(sf_dir: str):
                              'last_event_id': [last['event_id']],
                              'last_value': [round(last['value'], 2)]})
 
-    return filt.groupby('user_id').map_groups(latest, batch_format='pandas')
+    return _per_key_groups(filt, 'user_id', latest)
 
 
 # ---------------------------------------------------------------------------
@@ -1334,8 +1368,7 @@ def events_band_join(sf_dir: str, band_s: int = 600):
             'n_nearby': (hi - lo - 1).astype('int64'),
             'sum_nearby_value': cum[hi] - cum[lo] - v})
 
-    out = ds.groupby('user_id').map_groups(per_user,
-                                           batch_format='pandas')
+    out = _per_key_groups(ds, 'user_id', per_user)
     return out.map_batches(lambda t: _snap_round(t, 'sum_nearby_value'),
                            batch_format='pyarrow')
 
