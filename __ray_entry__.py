@@ -339,6 +339,37 @@ def _hits_sql(iters: int = 3) -> str:
     """
 
 
+def _robots_filter_sql() -> str:
+    """By-construction robots rules (even hosts disallow /q/ and
+    /img/) applied to the distinct extracted-link set — the SQL mirror
+    of the real urllib.robotparser evaluation in relational.robots_filter."""
+    return """
+      WITH d AS (SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k
+                 FROM documents),
+      ed AS (
+        SELECT 'http://src' || h || '.com/d/' || doc_id AS dst
+        FROM d WHERE k >= 1
+        UNION ALL
+        SELECT 'http://src' || h || '.com/q/' || doc_id || '?a=1&b=2'
+        FROM d
+        UNION ALL
+        SELECT 'http://src' || (h + 1) % 8 || '.com/x/' || doc_id
+        FROM d
+        UNION ALL
+        SELECT 'http://src' || h || '.com/img/' || doc_id || '.png'
+        FROM d),
+      links AS (SELECT DISTINCT dst AS url FROM ed)
+      SELECT url,
+             CAST(NOT (
+               CAST(regexp_extract(url, 'src(\\d)', 1) AS INT) % 2 = 0
+               AND (regexp_extract(url, 'https?://[^/]+(/.*)$', 1)
+                      LIKE '/q/%'
+                    OR regexp_extract(url, 'https?://[^/]+(/.*)$', 1)
+                      LIKE '/img/%')) AS BIGINT) AS allowed
+      FROM links
+    """
+
+
 def entry() -> Any:
     """Flagship: BFS crawl of the documents-derived web at sf0.001."""
     from webscraping_ray.pipelines import relational as R
@@ -406,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'host_graph': R.host_graph,
         'pagerank': R.pagerank,
         'hits': R.hits,
+        'robots_filter': R.robots_filter,
         'sample_stratified': R.sample_stratified,
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
@@ -1096,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         'pagerank': _pagerank_sql(),
         'hits': _hits_sql(),
+        'robots_filter': _robots_filter_sql(),
         'sample_stratified': """
             SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
             FROM (SELECT doc_id, lang, row_number() OVER (

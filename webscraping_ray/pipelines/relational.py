@@ -2114,6 +2114,51 @@ def _pagerank_edges(sf_dir: str):
     return pages.map_batches(edges, batch_format='pyarrow')
 
 
+def robots_filter(sf_dir: str):
+    """Robots-compliance filter over the crawl's candidate link set
+    (reference ``download.py:1022``: ``robots.can_fetch`` per link,
+    here vectorized over the distinct extracted links).
+
+    Rules are by-construction so the oracle can reconstruct them in
+    SQL: even-numbered hosts disallow ``/q/`` and ``/img/`` for all
+    agents, odd hosts allow everything.  The CHECK itself is the real
+    stdlib ``urllib.robotparser`` — 8 parsed rule sets broadcast once
+    via ``ray.put`` (robots tables are per-host and tiny; at corpus
+    scale ship a host→rules dict the same way), evaluated per batch.
+    Returns (url, allowed 0/1) for every distinct extracted link."""
+    from urllib.parse import urlparse
+    from urllib.robotparser import RobotFileParser
+
+    import ray
+
+    eds = _pagerank_edges(sf_dir)
+    links = _graph_nodes(
+        eds.map_batches(lambda t: pa.table({'src': t['dst'],
+                                            'dst': t['dst']}),
+                        batch_format='pyarrow'), 8)
+
+    parsers = {}
+    for h in range(8):
+        rp = RobotFileParser()
+        if h % 2 == 0:
+            rp.parse(['User-agent: *', 'Disallow: /q/',
+                      'Disallow: /img/'])
+        else:
+            rp.parse(['User-agent: *', 'Disallow:'])
+        parsers['src%d.com' % h] = rp
+    pref = ray.put(parsers)
+
+    def check(t: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        urls = t.column('url').to_pylist()
+        allowed = [int(ps[urlparse(u).netloc].can_fetch('*', u))
+                   if urlparse(u).netloc in ps else 1 for u in urls]
+        return pa.table({'url': pa.array(urls, pa.string()),
+                         'allowed': pa.array(allowed, pa.int64())})
+
+    return links.map_batches(check, batch_format='pyarrow')
+
+
 def _fold_sorted(vals) -> float:
     """Ascending-sorted LEFT fold — the one float-sum order both
     engines can reproduce bit-for-bit (DuckDB:
