@@ -150,6 +150,8 @@ def run_bench():
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
         'hits': R.hits,
+        'bigram_logprob': R.bigram_logprob,
+        'robots_filter': R.robots_filter,
         'redact_pii': R.redact_pii,
     }
     def consume(out) -> int:

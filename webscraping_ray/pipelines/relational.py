@@ -79,12 +79,16 @@ def _per_key_groups(ds, key: str, fn, buckets: int = 64):
     crc32, so skewless key spaces spread evenly."""
     import zlib
 
+    if buckets & (buckets - 1):
+        raise ValueError('buckets must be a power of two')
+    shift = 64 - buckets.bit_length() + 1
+
     def bucketed(t: pa.Table) -> pa.Table:
         col = t.column(key)
         if pa.types.is_integer(col.type):
             v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             bkt = ((v * np.uint64(0x9E3779B97F4A7C15))
-                   >> np.uint64(64 - 6)).astype(np.int64)
+                   >> np.uint64(shift)).astype(np.int64)
         else:
             bkt = np.array([zlib.crc32(str(x).encode()) & (buckets - 1)
                             for x in col.to_pylist()], np.int64)
