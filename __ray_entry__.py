@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'pagerank': R.pagerank,
         'hits': R.hits,
         'robots_filter': R.robots_filter,
+        'events_asof_match': R.events_asof_match,
         'sample_stratified': R.sample_stratified,
         'tfidf_top_terms': R.tfidf_top_terms,
         'shuffle_assign': R.shuffle_assign,
@@ -1129,6 +1130,21 @@ def oracle_sql() -> dict[str, str]:
         'pagerank': _pagerank_sql(),
         'hits': _hits_sql(),
         'robots_filter': _robots_filter_sql(),
+        # stream-to-stream as-of (attribution): latest same-user
+        # purchase at or before each click; ties -> max event_id
+        'events_asof_match': """
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'click'),
+            b AS (SELECT event_id, ts, user_id, value FROM events
+                  WHERE event_type = 'purchase')
+            SELECT p.event_id,
+                   COALESCE(m.event_id, -1) AS matched_purchase_id,
+                   COALESCE(m.value, 0.0) AS matched_value
+            FROM p LEFT JOIN LATERAL (
+              SELECT b.event_id, b.value FROM b
+              WHERE b.user_id = p.user_id AND b.ts <= p.ts
+              ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) m ON TRUE
+        """,
         'sample_stratified': """
             SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
             FROM (SELECT doc_id, lang, row_number() OVER (

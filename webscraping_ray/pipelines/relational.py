@@ -2118,6 +2118,47 @@ def _pagerank_edges(sf_dir: str):
     return pages.map_batches(edges, batch_format='pyarrow')
 
 
+def events_asof_match(sf_dir: str):
+    """Stream-to-stream as-of join (the attribution shape): for every
+    ``click`` event, the latest same-user ``purchase`` at or before
+    its timestamp — ties at equal ts count as "before", equal-ts
+    purchases resolve to the largest event_id.
+
+    The scale shape is the classic MERGE as-of, not a lateral scan:
+    both streams filter at the pruned read, union with a probe tag,
+    shuffle once by user through the coarse-bucket group helper, and
+    inside each key a single (ts, tag, event_id) sort + forward-fill
+    matches every probe in O(n log n).  Unmatched probes emit
+    (-1, 0.0) rather than NULLs so the value-hash compare is
+    null-free.  (ffill rides float64: exact for ids < 2^53 — at
+    full corpus scale carry the id as two int32 halves instead.)"""
+    ds = _read(sf_dir, 'events',
+               ['event_id', 'ts', 'user_id', 'event_type', 'value'])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column('event_type')
+        t = t.filter(pc.or_(pc.equal(et, 'click'),
+                            pc.equal(et, 'purchase')))
+        return pa.table({
+            'event_id': t['event_id'], 'ts': t['ts'],
+            'user_id': t['user_id'], 'value': t['value'],
+            'probe': pc.equal(t['event_type'], 'click')})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'probe', 'event_id'])
+        pid = g['event_id'].where(~g['probe']).ffill()
+        pval = g['value'].where(~g['probe']).ffill()
+        m = g['probe'].to_numpy()
+        return pd.DataFrame({
+            'event_id': g['event_id'].to_numpy()[m],
+            'matched_purchase_id':
+                pid.fillna(-1).astype('int64').to_numpy()[m],
+            'matched_value': pval.fillna(0.0).to_numpy()[m]})
+
+    return _per_key_groups(ds.map_batches(tag, batch_format='pyarrow'),
+                           'user_id', merge)
+
+
 def robots_filter(sf_dir: str):
     """Robots-compliance filter over the crawl's candidate link set
     (reference ``download.py:1022``: ``robots.can_fetch`` per link,
