@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'bigram_logprob': R.bigram_logprob,
         'pack_sequences': R.pack_sequences,
         'mixture_weights': R.mixture_weights,
+        'sample_mixture': R.sample_mixture,
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -744,6 +745,32 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(share, 0.5)
                          / SUM(pow(share, 0.5)) OVER (), 6) AS weight
             FROM s
+        """,
+        # mixture-rate subsampling: integer ppm thresholds from the
+        # 6-dp-rounded weights (bit-equal per the mixture_weights
+        # check), md5 keep predicate from sample_hash
+        'sample_mixture': """
+            WITH t AS (
+              SELECT lang,
+                     CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang
+            ), s AS (
+              SELECT lang,
+                     CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+                         AS share
+              FROM t
+            ), thr AS (
+              SELECT lang,
+                     LEAST(1000000,
+                           CAST(round(round(pow(share, 0.5)
+                                / SUM(pow(share, 0.5)) OVER (), 6)
+                                * 1e6, 0) AS BIGINT) * 2) AS keep_ppm
+              FROM s)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
+                    < thr.keep_ppm
         """,
         'quality': """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

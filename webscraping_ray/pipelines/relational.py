@@ -1330,6 +1330,44 @@ def mixture_weights(sf_dir: str, alpha: float = 0.5):
     return _snap_round(out, 'weight', 6)
 
 
+def sample_mixture(sf_dir: str, alpha: float = 0.5, boost: int = 2):
+    """Mixture-rate subsampling — the data-mixing step that applies
+    :func:`mixture_weights` to the corpus: language ``l`` keeps
+    documents at rate ``min(1, boost · weight_l)`` via the
+    deterministic md5 predicate of :func:`sample_hash` (stable across
+    cluster sizes, restarts, repartitioning).
+
+    Float-exactness discipline: the per-lang keep threshold is derived
+    from the ROUNDED (6-dp) weight — already proven bit-equal to the
+    SQL oracle by the ``mixture_weights`` hash check — converted to
+    integer parts-per-million, then scaled in pure integer arithmetic;
+    the keep decision is an integer compare, so no float ever crosses
+    the engine boundary.  Thresholds broadcast once (one row per
+    lang); the sample itself is a single vectorized filter pass."""
+    import hashlib
+
+    import ray
+
+    w = mixture_weights(sf_dir, alpha)
+    thr = {lang: min(1_000_000, int(round(wt * 1e6)) * boost)
+           for lang, wt in zip(w.column('lang').to_pylist(),
+                               w.column('weight').to_pylist())}
+    tref = ray.put(thr)
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang'])
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        mask = [int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[8:],
+                    'little') % 1_000_000 < th.get(lang, 0)
+                for i, lang in zip(t.column('doc_id').to_pylist(),
+                                   t.column('lang').to_pylist())]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format='pyarrow')
+
+
 def embedding_dup_clusters(sf_dir: str, threshold: float = 0.95):
     """Connected components of the embedding-cosine near-dup graph
     (IVF-bucketed pair discovery — the scale path; recall vs the brute
