@@ -152,6 +152,7 @@ def run_bench():
         'hits': R.hits,
         'bigram_logprob': R.bigram_logprob,
         'robots_filter': R.robots_filter,
+        'events_asof_match': R.events_asof_match,
         'redact_pii': R.redact_pii,
     }
     def consume(out) -> int:

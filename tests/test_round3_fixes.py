@@ -438,3 +438,37 @@ def test_snap_round_matches_duckdb_round_exactly():
     assert got == want, list(zip(drifted, got, want))
     # and the headline drift case actually snaps (pc.round would not)
     assert got[0] == 199.42
+
+
+def test_per_key_groups_equals_naive_groupby(ray_session):
+    """_per_key_groups (coarse-bucket shuffle + in-bucket pandas
+    groupby) must emit exactly the rows of the naive per-key
+    ds.groupby(key).map_groups for both int and string keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from webscraping_ray.pipelines.relational import _per_key_groups
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({
+        'k_int': pa.array(rng.integers(0, 137, n), pa.int64()),
+        'k_str': pa.array(['u%d' % v for v in rng.integers(0, 91, n)],
+                          pa.string()),
+        'v': pa.array(rng.normal(size=n), pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    for key in ('k_int', 'k_str'):
+        def per_key(g, key=key):
+            return pd.DataFrame({
+                key: [g[key].iloc[0]],
+                'n': [len(g)],
+                's': [round(float(np.sort(g['v'].to_numpy()).sum()), 9)]})
+
+        a = (_per_key_groups(ds, key, per_key).to_pandas()
+             .sort_values(key).reset_index(drop=True))
+        b = (ds.groupby(key).map_groups(per_key, batch_format='pandas')
+             .to_pandas().sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
