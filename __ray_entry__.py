@@ -339,6 +339,53 @@ def _hits_sql(iters: int = 3) -> str:
     """
 
 
+#: the flagship BFS crawl over the docs-derived web: the
+#: unique-parent B-ary link graph makes depth, visit order, status and
+#: emitted-link counts a recursive CTE (chain visits) plus one
+#: deterministic 404 /q/ visit per non-leaf page.  Visit order: wave
+#: by wave, parents in wave order, emissions in document order
+#: (children m=1..3 then the /q/ link) — (depth, parent host, parent
+#: local index, link idx) is exactly that order.  Module-level so the
+#: crawl-composition oracles can wrap it as a subquery.
+_CRAWL_BFS_SQL = """
+            WITH RECURSIVE bfs AS (
+              SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k,
+                     0 AS depth, doc_id % 8 AS ph,
+                     CAST(0 AS BIGINT) AS pk, 0 AS idx
+              FROM documents WHERE doc_id < 8
+              UNION ALL
+              SELECT d.doc_id, d.doc_id % 8, d.doc_id // 8, b.depth + 1,
+                     b.h, b.k, m.m - 1
+              FROM bfs b
+              JOIN (VALUES (1), (2), (3)) AS m(m) ON true
+              JOIN documents d ON d.doc_id = b.h + 8 * (3 * b.k + m.m)
+              WHERE b.depth < 6
+            ), nd AS (SELECT count(*) AS n FROM documents),
+            allv AS (
+              SELECT 'http://src' || h || '.com/d/' || doc_id AS url,
+                     depth, 200 AS status,
+                     CASE WHEN depth < 6 THEN
+                       LEAST(3, GREATEST(0,
+                         CAST(floor(((SELECT n FROM nd) - 1
+                              - (3*doc_id - 2*h)) / 8.0) AS BIGINT))) + 1
+                     ELSE 0 END AS n_links,
+                     ph, pk, idx
+              FROM bfs
+              UNION ALL
+              SELECT 'http://src' || h || '.com/q/' || doc_id
+                       || '?a=1&b=2',
+                     depth + 1, 404, 0, h, k, 3
+              FROM bfs WHERE depth < 6
+            )
+            SELECT url, CAST(depth AS INT) AS depth,
+                   CAST(row_number() OVER (ORDER BY depth, ph, pk, idx)
+                        - 1 AS BIGINT) AS visit_order,
+                   CAST(status AS INT) AS status,
+                   CAST(n_links AS BIGINT) AS n_links
+            FROM allv
+"""
+
+
 def _robots_filter_sql() -> str:
     """By-construction robots rules (even hosts disallow /q/ and
     /img/) applied to the distinct extracted-link set — the SQL mirror
@@ -449,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'sample_mixture': R.sample_mixture,
         # training-data cleaning composition
         'clean_corpus': R.clean_corpus,
+        'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
         'clean_corpus_decontaminated': R.clean_corpus_decontaminated,
         'clean_corpus_clustered': R.clean_corpus_clustered,
@@ -566,50 +614,20 @@ def oracle_sql() -> dict[str, str]:
                    )) + 3 AS BIGINT) AS n_links
             FROM documents
         """,
-        'crawl_bfs': """
-            -- the flagship BFS crawl over the docs-derived web: the
-            -- unique-parent B-ary link graph makes depth, visit order,
-            -- status and emitted-link counts a recursive CTE (chain
-            -- visits) plus one deterministic 404 /q/ visit per
-            -- non-leaf page.  Visit order: wave by wave, parents in
-            -- wave order, emissions in document order (children m=1..3
-            -- then the /q/ link) — (depth, parent host, parent local
-            -- index, link idx) is exactly that order.
-            WITH RECURSIVE bfs AS (
-              SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k,
-                     0 AS depth, doc_id % 8 AS ph,
-                     CAST(0 AS BIGINT) AS pk, 0 AS idx
-              FROM documents WHERE doc_id < 8
-              UNION ALL
-              SELECT d.doc_id, d.doc_id % 8, d.doc_id // 8, b.depth + 1,
-                     b.h, b.k, m.m - 1
-              FROM bfs b
-              JOIN (VALUES (1), (2), (3)) AS m(m) ON true
-              JOIN documents d ON d.doc_id = b.h + 8 * (3 * b.k + m.m)
-              WHERE b.depth < 6
-            ), nd AS (SELECT count(*) AS n FROM documents),
-            allv AS (
-              SELECT 'http://src' || h || '.com/d/' || doc_id AS url,
-                     depth, 200 AS status,
-                     CASE WHEN depth < 6 THEN
-                       LEAST(3, GREATEST(0,
-                         CAST(floor(((SELECT n FROM nd) - 1
-                              - (3*doc_id - 2*h)) / 8.0) AS BIGINT))) + 1
-                     ELSE 0 END AS n_links,
-                     ph, pk, idx
-              FROM bfs
-              UNION ALL
-              SELECT 'http://src' || h || '.com/q/' || doc_id
-                       || '?a=1&b=2',
-                     depth + 1, 404, 0, h, k, 3
-              FROM bfs WHERE depth < 6
+        'crawl_bfs': _CRAWL_BFS_SQL,
+        # crawl-to-training-corpus: the crawled (status-200) document
+        # set fed through the curation pass — the end-to-end pipeline
+        # a user of the reference would run, as one oracled query
+        'crawl_clean_corpus': f"""
+            WITH crawled AS (
+              SELECT CAST(regexp_extract(url, '/d/(\\d+)$', 1)
+                          AS BIGINT) AS doc_id
+              FROM ( {_CRAWL_BFS_SQL} ) v WHERE v.status = 200
             )
-            SELECT url, CAST(depth AS INT) AS depth,
-                   CAST(row_number() OVER (ORDER BY depth, ph, pk, idx)
-                        - 1 AS BIGINT) AS visit_order,
-                   CAST(status AS INT) AS status,
-                   CAST(n_links AS BIGINT) AS n_links
-            FROM allv
+            SELECT min(d.doc_id) AS doc_id
+            FROM documents d JOIN crawled c USING (doc_id)
+            WHERE len(regexp_extract_all(lower(d.text), '\\w+')) >= 20
+            GROUP BY md5(d.text)
         """,
         'crawl_contacts': """
             -- flagship crawl composed with contact extraction: same

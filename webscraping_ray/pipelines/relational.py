@@ -751,6 +751,48 @@ def clean_corpus(sf_dir: str, min_tokens: int = 20):
             .select_columns(['doc_id']))
 
 
+def crawl_clean_corpus(sf_dir: str, min_tokens: int = 20):
+    """Crawl-to-training-corpus, end to end in one query: BFS-crawl
+    the derived web (politeness, seen-set, budgets — the full
+    flagship), keep the fetched status-200 document pages, then run
+    the curation pass (quality floor + exact content dedup) over the
+    crawled set.  This is the pipeline a user of the reference
+    (crawl → scrape → clean → CSV) would run against 100 TB.
+
+    The crawl's visit table is answer-sized (one row per visit); the
+    fetched doc-id set broadcasts once and the cleaning operators run
+    distributed exactly as :func:`clean_corpus`."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import AddContentHash
+    from ..stages.textstats import _TOKEN_RE
+
+    visits = crawl_documents(sf_dir)
+    fetched = {int(u.rsplit('/', 1)[1])
+               for u, s in zip(visits.column('url').to_pylist(),
+                               visits.column('status').to_pylist())
+               if s == 200}
+    fref = ray.put(fetched)
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def crawled_and_quality(t: pa.Table) -> pa.Table:
+        ids = ray.get(fref)
+        keep = [i in ids
+                and len(_TOKEN_RE.findall((s or '').lower())) >= min_tokens
+                for i, s in zip(t.column('doc_id').to_pylist(),
+                                t.column('text').to_pylist())]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    hashed = (ds.map_batches(crawled_and_quality, batch_format='pyarrow')
+              .map_batches(AddContentHash('text'), batch_format='pyarrow')
+              .select_columns(['content_hash', 'doc_id']))
+    return (hashed.groupby('content_hash')
+            .aggregate(Min('doc_id', alias_name='doc_id'))
+            .select_columns(['doc_id']))
+
+
 def clean_corpus_neardup(sf_dir: str, min_tokens: int = 20,
                          jaccard_threshold: float = 0.8):
     """Full cleaning pipeline: quality filter → exact dedup →
