@@ -507,3 +507,19 @@ def test_tfidf_join_tier_equals_broadcast_tier(ray_session):
     b = (tfidf_top_terms(sf, force_join=True).to_pandas()
          .sort_values(key).reset_index(drop=True)[a.columns])
     assert a.equals(b)
+
+
+def test_bigram_logprob_join_tier_equals_broadcast(ray_session):
+    """The hash-join tier of bigram_logprob (parquet-persisted gram
+    rows + Dataset count joins + hash-aggregate per-doc reduce) must
+    equal the broadcast tier after the 4-dp snap."""
+    from webscraping_ray.pipelines.relational import bigram_logprob
+
+    sf = '/root/testdata/sf0.001'
+    a = (bigram_logprob(sf).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    b = (bigram_logprob(sf, force_join=True).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    assert a.equals(b)
+    assert (a.loc[a['n_bigrams'] == 0, 'bigram_logprob'] == 0.0).all()
+    assert (a.loc[a['n_bigrams'] > 0, 'bigram_logprob'] < 0).all()

@@ -1692,7 +1692,13 @@ def unigram_logprob(sf_dir: str):
         batch_format='pyarrow')
 
 
-def bigram_logprob(sf_dir: str, alpha: float = 0.1):
+#: bigram vocabularies at or below this many entries broadcast via
+#: ray.put; above it the scorer switches to the hash-join tier
+BIGRAM_BROADCAST_LIMIT = 2_000_000
+
+
+def bigram_logprob(sf_dir: str, alpha: float = 0.1,
+                   force_join: bool = False):
     """Bigram-LM document scoring with add-α smoothing — one model
     order past :func:`unigram_logprob` toward the KenLM 5-gram filter
     of CCNet: mean ln P(w2|w1) over each doc's adjacent token pairs,
@@ -1701,14 +1707,17 @@ def bigram_logprob(sf_dir: str, alpha: float = 0.1):
     scores high, token soup scores low — and unlike the unigram score
     it penalizes *implausible orderings*, not just rare words.
 
-    Two count passes (Counter partials → groupby-sum, the shuffle
-    carries (gram, count) rows only), both tables broadcast once via
-    ``ray.put`` (same vocabulary-size caveat and hash-join escape
-    hatch as unigram_logprob — bigram tables run ~10× unigram, so the
-    join tier kicks in earlier at corpus scale).  Docs with < 2
-    tokens score 0.0 with n_bigrams = 0.  Float parity with the SQL
-    oracle rides on round(4) absorbing summation-order ulp drift,
-    the proven unigram pattern."""
+    Tiered like tfidf_top_terms: at or below
+    ``BIGRAM_BROADCAST_LIMIT`` bigram entries the two count tables
+    broadcast once via ``ray.put`` and scoring is a single map pass;
+    above it (web-corpus bigram tables run ~10× unigram vocabularies)
+    the scorer explodes (doc_id, w1, w2) rows to parquet and
+    hash-joins the count tables back on the gram keys, reducing per
+    doc with a vectorized hash aggregate — no O(vocab) structure
+    anywhere (:func:`_bigram_logprob_join`; tiers test-pinned equal).
+    Docs with < 2 tokens score 0.0 with n_bigrams = 0.  Float parity
+    with the SQL oracle rides on round(4) absorbing summation-order
+    ulp drift, the proven unigram pattern."""
     import collections
     import math
 
@@ -1716,6 +1725,9 @@ def bigram_logprob(sf_dir: str, alpha: float = 0.1):
     from ray.data.aggregate import Sum
 
     from ..stages.dedup import _TOKEN_RE
+
+    if force_join:
+        return _bigram_logprob_join(sf_dir, alpha)
 
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
 
@@ -1734,11 +1746,15 @@ def bigram_logprob(sf_dir: str, alpha: float = 0.1):
             'g': pa.array([g for _, g in ks], pa.string()),
             'c': pa.array(cs, pa.int64())})
 
+    counts = (ds.map_batches(gram_partials, batch_format='pyarrow')
+              .groupby(['kind', 'g']).aggregate(Sum('c', alias_name='c'))
+              .materialize())
+    if counts.count() > BIGRAM_BROADCAST_LIMIT:
+        return _bigram_logprob_join(sf_dir, alpha)
+
     uni_c: dict = {}
     bi_c: dict = {}
-    for b in (ds.map_batches(gram_partials, batch_format='pyarrow')
-              .groupby(['kind', 'g']).aggregate(Sum('c', alias_name='c'))
-              .iter_batches(batch_format='pyarrow')):
+    for b in counts.iter_batches(batch_format='pyarrow'):
         for kind, g, c in zip(b.column('kind').to_pylist(),
                               b.column('g').to_pylist(),
                               b.column('c').to_pylist()):
@@ -1768,6 +1784,95 @@ def bigram_logprob(sf_dir: str, alpha: float = 0.1):
 
     out = ds.map_batches(score, batch_format='pyarrow')
     return out.map_batches(
+        lambda t: _snap_round(t, 'bigram_logprob', 4),
+        batch_format='pyarrow')
+
+
+def _bigram_logprob_join(sf_dir: str, alpha: float,
+                         num_partitions: int = 8):
+    """Hash-join tier of :func:`bigram_logprob` — no O(vocab)
+    structure on any single node: (doc_id, w1, w2) rows persist to
+    parquet once (read twice: count pass + scoring join), count
+    tables stay Datasets and join back on the gram keys, and the
+    per-doc reduction is a vectorized hash aggregate (Sum/Count — not
+    a group-apply)."""
+    import math
+    import tempfile
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _TOKEN_RE, _join_safe
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def bg_rows(t: pa.Table) -> pa.Table:
+        ids, w1s, w2s = [], [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            for a, b in zip(toks, toks[1:]):
+                ids.append(i)
+                w1s.append(a)
+                w2s.append(b)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'w1': pa.array(w1s, pa.string()),
+                         'w2': pa.array(w2s, pa.string())})
+
+    bg_path = tempfile.mkdtemp(prefix='wsray_bigram_') + '/bg'
+    ds.map_batches(bg_rows, batch_format='pyarrow').write_parquet(bg_path)
+    bg = ray.data.read_parquet(bg_path).map_batches(
+        _strip_meta, batch_format='pyarrow')
+
+    def uni_partials(t: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(_TOKEN_RE.findall((txt or '').lower()))
+        return pa.table({'w': pa.array(list(c.keys()), pa.string()),
+                         'c1': pa.array(list(c.values()), pa.int64())})
+
+    uni = _join_safe(ds.map_batches(uni_partials, batch_format='pyarrow')
+                     .groupby('w').aggregate(Sum('c1', alias_name='c1')),
+                     num_partitions).materialize()
+    v = float(uni.count())
+    bc = _join_safe(bg.groupby(['w1', 'w2'])
+                    .aggregate(Count(alias_name='c2')), num_partitions)
+
+    joined = (bg.join(bc, 'inner', num_partitions=num_partitions,
+                      on=('w1', 'w2'), right_on=('w1', 'w2'))
+              .join(uni, 'inner', num_partitions=num_partitions,
+                    on=('w1',), right_on=('w',)))
+
+    def term(t: pa.Table) -> pa.Table:
+        c2 = t.column('c2').to_numpy(zero_copy_only=False)
+        c1 = t.column('c1').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': t['doc_id'],
+            'term': pa.array(np.log((c2 + alpha) / (c1 + alpha * v)),
+                             pa.float64())})
+
+    per_doc = _join_safe(
+        joined.map_batches(term, batch_format='pyarrow')
+        .groupby('doc_id').aggregate(Sum('term', alias_name='s'),
+                                     Count(alias_name='n')),
+        num_partitions)
+
+    docs = _read(sf_dir, 'documents', ['doc_id'])
+    out = docs.join(per_doc, 'left_outer', num_partitions=num_partitions,
+                    on=('doc_id',), right_on=('doc_id',))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column('s').to_pylist()
+        n = t.column('n').to_pylist()
+        ns = [int(x) if x is not None else 0 for x in n]
+        lp = [(a / b) if b else 0.0
+              for a, b in zip((x or 0.0 for x in s), ns)]
+        return pa.table({'doc_id': t['doc_id'],
+                         'n_bigrams': pa.array(ns, pa.int64()),
+                         'bigram_logprob': pa.array(lp, pa.float64())})
+
+    return out.map_batches(finish, batch_format='pyarrow').map_batches(
         lambda t: _snap_round(t, 'bigram_logprob', 4),
         batch_format='pyarrow')
 
