@@ -523,3 +523,17 @@ def test_bigram_logprob_join_tier_equals_broadcast(ray_session):
     assert a.equals(b)
     assert (a.loc[a['n_bigrams'] == 0, 'bigram_logprob'] == 0.0).all()
     assert (a.loc[a['n_bigrams'] > 0, 'bigram_logprob'] < 0).all()
+
+
+def test_unigram_logprob_join_tier_equals_broadcast(ray_session):
+    """The unigram hash-join tier (exploded token rows joined to the
+    count Dataset, hash-aggregate per-doc mean) must equal the
+    broadcast tier after the 4-dp snap."""
+    from webscraping_ray.pipelines.relational import unigram_logprob
+
+    sf = '/root/testdata/sf0.001'
+    a = (unigram_logprob(sf).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    b = (unigram_logprob(sf, force_join=True).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    assert a.equals(b)

@@ -1631,7 +1631,7 @@ def write_training_shards(sf_dir: str, out_dir: str, ctx: int = 2048,
         'skipped': pa.array([r['skipped'] for r in stats], pa.bool_())})
 
 
-def unigram_logprob(sf_dir: str):
+def unigram_logprob(sf_dir: str, force_join: bool = False):
     """Unigram-LM document scoring (the KenLM-perplexity proxy used by
     CCNet-style quality filtering, reduced to its order-0 core): mean
     per-token log-probability of each doc under the corpus unigram
@@ -1640,11 +1640,15 @@ def unigram_logprob(sf_dir: str):
     Pass 1 builds the vocabulary counts (per-batch Counter partials →
     groupby-sum — the shuffle carries (token, count) partials); the
     log-prob table broadcasts once via ``ray.put`` (web-corpus
-    vocabularies are ~1e7-1e8 keys — GBs, still broadcastable; beyond
-    that, hash-join the exploded tokens instead).  Pass 2 scores each
-    doc vectorized against the broadcast map.  Returns (doc_id,
-    n_tokens, logprob_per_token rounded to 4) — token-less docs score
-    0.0."""
+    vocabularies are ~1e7-1e8 keys — GBs, still broadcastable).
+    Beyond that, ``force_join`` (or the same auto switch as
+    bigram_logprob at BIGRAM_BROADCAST_LIMIT vocab entries) routes
+    through :func:`_unigram_logprob_join` — exploded token rows
+    hash-join the count Dataset, per-doc hash-aggregate reduce, no
+    O(vocab) structure anywhere; tiers test-pinned equal.  Pass 2
+    scores each doc vectorized against the broadcast map.  Returns
+    (doc_id, n_tokens, logprob_per_token rounded to 4) — token-less
+    docs score 0.0."""
     import collections
     import math
 
@@ -1652,6 +1656,9 @@ def unigram_logprob(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from ..stages.dedup import _TOKEN_RE
+
+    if force_join:
+        return _unigram_logprob_join(sf_dir)
 
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
 
@@ -1662,10 +1669,13 @@ def unigram_logprob(sf_dir: str):
         return pa.table({'w': pa.array(list(c.keys()), pa.string()),
                          'c': pa.array(list(c.values()), pa.int64())})
 
-    vocab = {}
-    for b in (ds.map_batches(vocab_partial, batch_format='pyarrow')
+    counts = (ds.map_batches(vocab_partial, batch_format='pyarrow')
               .groupby('w').aggregate(Sum('c', alias_name='c'))
-              .iter_batches(batch_format='pyarrow')):
+              .materialize())
+    if counts.count() > BIGRAM_BROADCAST_LIMIT:
+        return _unigram_logprob_join(sf_dir)
+    vocab = {}
+    for b in counts.iter_batches(batch_format='pyarrow'):
         vocab.update(zip(b.column('w').to_pylist(),
                          b.column('c').to_pylist()))
     total = sum(vocab.values())
@@ -1785,6 +1795,75 @@ def bigram_logprob(sf_dir: str, alpha: float = 0.1,
     out = ds.map_batches(score, batch_format='pyarrow')
     return out.map_batches(
         lambda t: _snap_round(t, 'bigram_logprob', 4),
+        batch_format='pyarrow')
+
+
+def _unigram_logprob_join(sf_dir: str, num_partitions: int = 8):
+    """Hash-join tier of :func:`unigram_logprob`: counts stay a
+    Dataset (Counter partials → groupby-sum), exploded (doc_id, w)
+    token rows join it on the token, and the per-doc mean is a
+    vectorized hash aggregate — no O(vocab) structure on any node."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _TOKEN_RE, _join_safe
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def uni_partials(t: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(_TOKEN_RE.findall((txt or '').lower()))
+        return pa.table({'w': pa.array(list(c.keys()), pa.string()),
+                         'c': pa.array(list(c.values()), pa.int64())})
+
+    uni = _join_safe(ds.map_batches(uni_partials, batch_format='pyarrow')
+                     .groupby('w').aggregate(Sum('c', alias_name='c')),
+                     num_partitions).materialize()
+    total = float(uni.aggregate(Sum('c'))['sum(c)'])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            for w in _TOKEN_RE.findall((txt or '').lower()):
+                ids.append(i)
+                ws.append(w)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'w': pa.array(ws, pa.string())})
+
+    joined = (ds.map_batches(tok_rows, batch_format='pyarrow')
+              .join(uni, 'inner', num_partitions=num_partitions,
+                    on=('w',), right_on=('w',)))
+
+    def term(t: pa.Table) -> pa.Table:
+        c = t.column('c').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': t['doc_id'],
+            'term': pa.array(np.log(c / total), pa.float64())})
+
+    per_doc = _join_safe(
+        joined.map_batches(term, batch_format='pyarrow')
+        .groupby('doc_id').aggregate(Sum('term', alias_name='s'),
+                                     Count(alias_name='n')),
+        num_partitions)
+
+    docs = _read(sf_dir, 'documents', ['doc_id'])
+    out = docs.join(per_doc, 'left_outer', num_partitions=num_partitions,
+                    on=('doc_id',), right_on=('doc_id',))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column('s').to_pylist()
+        n = t.column('n').to_pylist()
+        ns = [int(x) if x is not None else 0 for x in n]
+        lp = [(a / b) if b else 0.0
+              for a, b in zip((x or 0.0 for x in s), ns)]
+        return pa.table({'doc_id': t['doc_id'],
+                         'n_tokens': pa.array(ns, pa.int64()),
+                         'logprob_per_token': pa.array(lp, pa.float64())})
+
+    return out.map_batches(finish, batch_format='pyarrow').map_batches(
+        lambda t: _snap_round(t, 'logprob_per_token', 4),
         batch_format='pyarrow')
 
 
