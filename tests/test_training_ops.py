@@ -537,3 +537,18 @@ def test_unigram_logprob_join_tier_equals_broadcast(ray_session):
     b = (unigram_logprob(sf, force_join=True).to_pandas()
          .sort_values('doc_id').reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_remove_repeated_spans_join_tier_equals_broadcast(ray_session):
+    """The ExactSubstr rewrite's distributed tier (flags stay a
+    Dataset, interval lists compact per doc and hash-join the
+    documents) must equal the driver-broadcast tier row for row."""
+    from webscraping_ray.pipelines.relational import remove_repeated_spans
+
+    sf = '/root/testdata/sf0.001'
+    a = (remove_repeated_spans(sf).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    b = (remove_repeated_spans(sf, force_join=True).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    assert a.equals(b)
+    assert (a['n_tokens_removed'] > 0).any()

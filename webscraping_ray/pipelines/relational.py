@@ -1457,7 +1457,7 @@ def events_band_join(sf_dir: str, band_s: int = 600):
                            batch_format='pyarrow')
 
 
-def repeated_spans(sf_dir: str, k: int = 16):
+def repeated_spans(sf_dir: str, k: int = 16, as_dataset: bool = False):
     """Exact-substring repeated-span detection — the ExactSubstr pass
     of Lee et al., "Deduplicating Training Data Makes Language Models
     Better" (ACL 2022), re-expressed as hashed positional word
@@ -1473,7 +1473,10 @@ def repeated_spans(sf_dir: str, k: int = 16):
     answer-scale for realistic dup rates — broadcast once via
     ``ray.put`` under ``BROADCAST_KEY_LIMIT``, else hash-joined (two
     int64 key columns) against the re-exploded spans; pass 2 keeps
-    flagged positions.  Returns (doc_id, pos, n_occurrences).
+    flagged positions.  Returns (doc_id, pos, n_occurrences) — as a
+    Dataset when ``as_dataset`` (for distributed compositions like
+    the remove_repeated_spans join tier), else collected (the query
+    answer).
     """
     import hashlib
 
@@ -1515,6 +1518,8 @@ def repeated_spans(sf_dir: str, k: int = 16):
     schema = pa.schema([('doc_id', pa.int64()), ('pos', pa.int64()),
                         ('n_occurrences', pa.int64())])
     if n_dup == 0:
+        if as_dataset:
+            return ray.data.from_arrow(schema.empty_table())
         return schema.empty_table()
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1555,6 +1560,8 @@ def repeated_spans(sf_dir: str, k: int = 16):
                              'n_occurrences': pa.array(occ, pa.int64())})
 
         out = ds.map_batches(flag, batch_format='pyarrow')
+        if as_dataset:
+            return out
         batches = [b for b in out.iter_batches(batch_format='pyarrow')
                    if b.num_rows]
         return (pa.concat_tables(batches) if batches
@@ -1567,6 +1574,8 @@ def repeated_spans(sf_dir: str, k: int = 16):
               .join(_join_safe(dup), 'inner', num_partitions=8,
                     on=('h1', 'h2'), right_on=('h1', 'h2'))
               .select_columns(['doc_id', 'pos', 'n_occurrences']))
+    if as_dataset:
+        return joined
     batches = [b for b in joined.iter_batches(batch_format='pyarrow')
                if b.num_rows]
     return (pa.concat_tables(batches) if batches
@@ -1956,7 +1965,8 @@ def _bigram_logprob_join(sf_dir: str, alpha: float,
         batch_format='pyarrow')
 
 
-def remove_repeated_spans(sf_dir: str, k: int = 16):
+def remove_repeated_spans(sf_dir: str, k: int = 16,
+                          force_join: bool = False):
     """Full ExactSubstr cleaning (the second half of Lee et al. 2022):
     drop every token covered by any corpus-repeated ``k``-token span
     (all copies — the conservative variant) and re-emit the cleaned
@@ -1967,13 +1977,19 @@ def remove_repeated_spans(sf_dir: str, k: int = 16):
 
     Composition: :func:`repeated_spans` supplies the flagged
     positions (answer-scale for realistic dup rates — same argument
-    as the dedup dup-key broadcast; at extreme dup rates ship them as
-    a Dataset join on doc_id instead); positions merge into covering
+    as the dedup dup-key broadcast); positions merge into covering
     intervals per doc on the driver (O(flags)) and broadcast once;
-    each batch then drops covered tokens vectorized."""
+    each batch then drops covered tokens vectorized.  At extreme dup
+    rates — O(flags) ~ O(corpus) — ``force_join`` routes through
+    :func:`_remove_repeated_spans_join`: flags stay a Dataset,
+    compact to one interval-list row per flagged doc, and hash-join
+    the documents; tiers test-pinned equal."""
     import ray
 
     from ..stages.dedup import _TOKEN_RE
+
+    if force_join:
+        return _remove_repeated_spans_join(sf_dir, k)
 
     flags = repeated_spans(sf_dir, k)
     by_doc: dict = {}
@@ -2019,6 +2035,65 @@ def remove_repeated_spans(sf_dir: str, k: int = 16):
 
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
     return ds.map_batches(rewrite, batch_format='pyarrow')
+
+
+def _remove_repeated_spans_join(sf_dir: str, k: int = 16,
+                                num_partitions: int = 8):
+    """Distributed tier of :func:`remove_repeated_spans` — no O(flags)
+    structure on the driver: the flagged positions stay a Dataset,
+    compact to ONE row per flagged doc (sorted merged intervals as
+    list columns, built per coarse doc bucket), and left-join the
+    documents on doc_id; the rewrite then runs per batch exactly as
+    the broadcast tier."""
+    from ..stages.dedup import _TOKEN_RE
+
+    flags = repeated_spans(sf_dir, k, as_dataset=True)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        merged = []
+        for p in np.sort(g['pos'].to_numpy()):
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], int(p) + k)
+            else:
+                merged.append([int(p), int(p) + k])
+        # Acero joins reject list payload columns — carry the merged
+        # intervals as a compact "lo:hi,lo:hi" string instead
+        iv = ','.join('%d:%d' % (a, b) for a, b in merged)
+        return pd.DataFrame({'doc_id': [g['doc_id'].iloc[0]],
+                             'iv': [iv]})
+
+    per = _per_key_groups(flags.select_columns(['doc_id', 'pos']),
+                          'doc_id', per_doc)
+
+    docs = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    joined = docs.join(per, 'left_outer', num_partitions=num_partitions,
+                       on=('doc_id',), right_on=('doc_id',))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        kept_n, rem_n, clean = [], [], []
+        for txt, iv in zip(t.column('text').to_pylist(),
+                           t.column('iv').to_pylist()):
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            if not iv:
+                kept_n.append(len(toks))
+                rem_n.append(0)
+                clean.append(' '.join(toks))
+                continue
+            mask = np.ones(len(toks), dtype=bool)
+            for pair in iv.split(','):
+                s, e = pair.split(':')
+                mask[int(s):int(e)] = False
+            kept = [w for w, m in zip(toks, mask) if m]
+            kept_n.append(len(kept))
+            rem_n.append(len(toks) - len(kept))
+            clean.append(' '.join(kept))
+        return pa.table({
+            'doc_id': t.column('doc_id'),
+            'n_tokens_kept': pa.array(kept_n, pa.int64()),
+            'n_tokens_removed': pa.array(rem_n, pa.int64()),
+            'text_clean': pa.array(clean, pa.string())})
+
+    return joined.map_batches(rewrite, batch_format='pyarrow')
 
 
 def redact_pii(sf_dir: str):
