@@ -552,3 +552,18 @@ def test_remove_repeated_spans_join_tier_equals_broadcast(ray_session):
          .sort_values('doc_id').reset_index(drop=True))
     assert a.equals(b)
     assert (a['n_tokens_removed'] > 0).any()
+
+
+def test_band_join_time_bucket_tier_equals_per_key(ray_session):
+    """The hot-key time-bucket tier of events_band_join (3-way row
+    replication into adjacent band buckets, same searchsorted kernel,
+    home-row emission) must equal the per-key tier row for row."""
+    from webscraping_ray.pipelines.relational import events_band_join
+
+    sf = '/root/testdata/sf0.001'
+    a = (events_band_join(sf).to_pandas()
+         .sort_values('event_id').reset_index(drop=True))
+    b = (events_band_join(sf, method='time_bucket').to_pandas()
+         .sort_values('event_id').reset_index(drop=True))
+    assert a.equals(b)
+    assert (a['n_nearby'] > 0).any()

@@ -1424,7 +1424,8 @@ def embedding_dup_clusters(sf_dir: str, threshold: float = 0.95):
     return connected_components(pairs)
 
 
-def events_band_join(sf_dir: str, band_s: int = 600):
+def events_band_join(sf_dir: str, band_s: int = 600,
+                     method: str = 'per_key'):
     """Band (interval) self-join: for every event, the count and value
     sum of OTHER events by the same user within ±band_s seconds.
 
@@ -1433,12 +1434,16 @@ def events_band_join(sf_dir: str, band_s: int = 600):
     ``searchsorted`` over the ts-sorted group with prefix-sum window
     sums — O(n log n) per key instead of the O(n²) nested-loop a naive
     cross join would do.  For equality keys too hot to fit one group,
-    the documented alternative is time-bucketing at band width and
-    replicating each row into its 3 adjacent buckets (same kernel per
-    bucket).  Timestamps compare in integer microseconds — no float
-    time math."""
+    ``method='time_bucket'`` splits every user by band-width time
+    buckets, replicating each row into its 3 adjacent (user, bucket)
+    groups so every ±band window is complete within one group — the
+    same searchsorted kernel, emitting only each row's home copy
+    (:func:`_events_band_join_time_bucket`; tiers test-pinned equal).
+    Timestamps compare in integer microseconds — no float time math."""
     ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
     band_us = band_s * 1_000_000
+    if method == 'time_bucket':
+        return _events_band_join_time_bucket(ds, band_us)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values('ts')
@@ -1453,6 +1458,62 @@ def events_band_join(sf_dir: str, band_s: int = 600):
             'sum_nearby_value': cum[hi] - cum[lo] - v})
 
     out = _per_key_groups(ds, 'user_id', per_user)
+    return out.map_batches(lambda t: _snap_round(t, 'sum_nearby_value'),
+                           batch_format='pyarrow')
+
+
+def _events_band_join_time_bucket(ds, band_us: int):
+    """Hot-key tier of :func:`events_band_join`: each row replicates
+    into its own and both adjacent band-width time buckets keyed
+    (user, bucket), so a hot user's groups are bounded by per-band
+    row counts instead of total row count; each group runs the same
+    searchsorted kernel and emits only its home rows (every original
+    row is home in exactly one group)."""
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ts = t.column('ts').cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = t.column('user_id').to_numpy(zero_copy_only=False)
+        eid = t.column('event_id').to_numpy(zero_copy_only=False)
+        val = t.column('value').to_numpy(zero_copy_only=False)
+        bkt = ts // band_us
+        out = {'gkey': [], 'event_id': [], 'ts': [], 'value': [],
+               'home': []}
+        for delta in (-1, 0, 1):
+            out['gkey'].append(np.char.add(
+                np.char.add(uid.astype('U'), ':'),
+                (bkt + delta).astype('U')))
+            out['event_id'].append(eid)
+            out['ts'].append(ts)
+            out['value'].append(val)
+            out['home'].append(np.full(len(eid), delta == 0, bool))
+        return pa.table({
+            'gkey': pa.array(np.concatenate(out['gkey']), pa.string()),
+            'event_id': pa.array(np.concatenate(out['event_id']),
+                                 pa.int64()),
+            'ts': pa.array(np.concatenate(out['ts']), pa.int64()),
+            'value': pa.array(np.concatenate(out['value']),
+                              pa.float64()),
+            'home': pa.array(np.concatenate(out['home']), pa.bool_())})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('ts')
+        ts = g['ts'].to_numpy()
+        v = g['value'].to_numpy()
+        home = g['home'].to_numpy()
+        lo = np.searchsorted(ts, ts - band_us, side='left')
+        hi = np.searchsorted(ts, ts + band_us, side='right')
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        n = (hi - lo - 1).astype('int64')
+        s = cum[hi] - cum[lo] - v
+        return pd.DataFrame({
+            'event_id': g['event_id'].to_numpy()[home],
+            'n_nearby': n[home],
+            'sum_nearby_value': s[home]})
+
+    out = _per_key_groups(ds.map_batches(replicate,
+                                         batch_format='pyarrow'),
+                          'gkey', per_group)
     return out.map_batches(lambda t: _snap_round(t, 'sum_nearby_value'),
                            batch_format='pyarrow')
 
