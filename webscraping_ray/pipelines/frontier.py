@@ -395,16 +395,35 @@ def write_csv_unique(ds, out_dir: str, unique_by=None, order_col=None):
     wins, "first" defined by ``order_col`` ascending (or input order of
     the min order value when given).  Returns the output directory.
     """
+    import zlib
+
     import pandas as pd
+    import pyarrow as pa
 
     cols = ds.schema().names
     keys = list(unique_by) if unique_by else list(cols)
 
+    # shuffle by a COARSE 64-bucket hash of the key tuple (per-key Ray
+    # groups cost ~10 ms each; unique keys are corpus-cardinality) and
+    # dedup per key inside the bucket with one vectorized pandas pass
+    def bucketed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        h = [0] * n
+        for c in keys:
+            vals = t.column(c).to_pylist()
+            h = [(a * 1000003) ^ zlib.crc32(str(v).encode())
+                 for a, v in zip(h, vals)]
+        return t.append_column(
+            '_bkt', pa.array([x & 63 for x in h], pa.int64()))
+
     def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=['_bkt'])
         if order_col:
             g = g.sort_values(order_col)
-        return g.head(1)
+        return g.groupby(keys, sort=False, as_index=False).head(1)
 
-    deduped = ds.groupby(keys).map_groups(first_per_key, batch_format='pandas')
+    deduped = (ds.map_batches(bucketed, batch_format='pyarrow')
+               .groupby('_bkt').map_groups(first_per_key,
+                                           batch_format='pandas'))
     deduped.write_csv(out_dir)
     return out_dir
