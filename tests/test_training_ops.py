@@ -567,3 +567,110 @@ def test_band_join_time_bucket_tier_equals_per_key(ray_session):
          .sort_values('event_id').reset_index(drop=True))
     assert a.equals(b)
     assert (a['n_nearby'] > 0).any()
+
+
+def test_band_join_matches_bruteforce_random(ray_session):
+    """Both band-join tiers must match an O(n²) brute force on random
+    events with engineered exact-boundary timestamps (ts multiples of
+    band/4 land rows exactly at ±band edges, which are inclusive)."""
+    import pandas as pd
+    import ray.data
+
+    from webscraping_ray.pipelines.relational import (
+        _events_band_join_time_bucket, _per_key_groups, _snap_round)
+
+    band_us = 600 * 1_000_000
+    rng = np.random.default_rng(11)
+    n = 1500
+    t = pa.table({
+        'event_id': pa.array(range(n), pa.int64()),
+        'user_id': pa.array(rng.integers(0, 13, n), pa.int64()),
+        'ts': pa.array(rng.integers(0, 40, n) * (band_us // 4),
+                       pa.int64()),
+        # multiples of 0.25 are binary-exact, so window sums are
+        # order-independent and the 2-dp snap can't sit on a boundary
+        'value': pa.array(rng.integers(-20, 21, n) * 0.25,
+                          pa.float64())})
+    df = t.to_pandas()
+
+    # brute force
+    rows = []
+    for _, g in df.groupby('user_id'):
+        for _, r in g.iterrows():
+            near = g[(g['ts'] >= r['ts'] - band_us)
+                     & (g['ts'] <= r['ts'] + band_us)]
+            rows.append((r['event_id'], len(near) - 1,
+                         round(near['value'].sum() - r['value'], 2)))
+    want = (pd.DataFrame(rows, columns=['event_id', 'n_nearby',
+                                        'sum_nearby_value'])
+            .sort_values('event_id').reset_index(drop=True))
+
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('ts')
+        ts = g['ts'].to_numpy()
+        v = g['value'].to_numpy()
+        lo = np.searchsorted(ts, ts - band_us, side='left')
+        hi = np.searchsorted(ts, ts + band_us, side='right')
+        cum = np.concatenate([[0.0], np.cumsum(v)])
+        return pd.DataFrame({'event_id': g['event_id'].to_numpy(),
+                             'n_nearby': (hi - lo - 1).astype('int64'),
+                             'sum_nearby_value': cum[hi] - cum[lo] - v})
+
+    a = (_per_key_groups(ds, 'user_id', per_user)
+         .map_batches(lambda t: _snap_round(t, 'sum_nearby_value'),
+                      batch_format='pyarrow')
+         .to_pandas().sort_values('event_id').reset_index(drop=True))
+    b = (_events_band_join_time_bucket(ds, band_us)
+         .to_pandas().sort_values('event_id').reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, want, check_dtype=False)
+    pd.testing.assert_frame_equal(b, want, check_dtype=False)
+
+
+def test_asof_match_matches_bruteforce_random(ray_session):
+    """The merge as-of kernel must match an O(n²) brute force on
+    random click/purchase streams with engineered ts ties (ties count
+    as 'before'; equal-ts purchases resolve to max event_id)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    n = 800
+    ev = pd.DataFrame({
+        'event_id': np.arange(n, dtype=np.int64),
+        'user_id': rng.integers(0, 9, n),
+        'ts': rng.integers(0, 50, n),   # small range -> many ties
+        'event_type': rng.choice(['click', 'purchase'], n),
+        'value': np.round(rng.normal(size=n), 3)})
+
+    want_rows = []
+    for _, r in ev[ev['event_type'] == 'click'].iterrows():
+        cand = ev[(ev['event_type'] == 'purchase')
+                  & (ev['user_id'] == r['user_id'])
+                  & (ev['ts'] <= r['ts'])]
+        if len(cand):
+            m = cand.sort_values(['ts', 'event_id']).iloc[-1]
+            want_rows.append((r['event_id'], m['event_id'], m['value']))
+        else:
+            want_rows.append((r['event_id'], -1, 0.0))
+    want = (pd.DataFrame(want_rows, columns=[
+        'event_id', 'matched_purchase_id', 'matched_value'])
+        .sort_values('event_id').reset_index(drop=True))
+
+    # the production kernel, driven directly on the same frame
+    g_all = []
+    for _, g in ev[ev['event_type'].isin(['click', 'purchase'])]\
+            .assign(probe=lambda d: d['event_type'] == 'click')\
+            .groupby('user_id'):
+        g = g.sort_values(['ts', 'probe', 'event_id'])
+        pid = g['event_id'].where(~g['probe']).ffill()
+        pval = g['value'].where(~g['probe']).ffill()
+        m = g['probe'].to_numpy()
+        g_all.append(pd.DataFrame({
+            'event_id': g['event_id'].to_numpy()[m],
+            'matched_purchase_id':
+                pid.fillna(-1).astype('int64').to_numpy()[m],
+            'matched_value': pval.fillna(0.0).to_numpy()[m]}))
+    got = (pd.concat(g_all).sort_values('event_id')
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
