@@ -115,15 +115,21 @@ def _cc_dataset(edges, num_partitions: int = 8):
         nbr_min = _join_safe(
             msgs.groupby('node').aggregate(Min('cand', alias_name='nm')),
             num_partitions)
-        stepped = (own.join(nbr_min, 'inner',
-                            num_partitions=num_partitions,
-                            on=('node',), right_on=('node',))
-                   .map_batches(
-                       lambda t: pa.table({
-                           'node': t['node'],
-                           'lbl': pc.min_element_wise(t['cand'],
-                                                      t['nm'])}),
-                       batch_format='pyarrow'))
+        # _join_safe: the join emits schemaless empty blocks for empty
+        # partitions (Ray 2.49); feeding them into the next join makes
+        # Acero fail with "no match for FieldRef(lbl)" — rebuild the
+        # blocks before stepped is joined again
+        stepped = _join_safe(
+            own.join(nbr_min, 'inner',
+                     num_partitions=num_partitions,
+                     on=('node',), right_on=('node',))
+            .map_batches(
+                lambda t: pa.table({
+                    'node': t['node'],
+                    'lbl': pc.min_element_wise(t['cand'],
+                                               t['nm'])}),
+                batch_format='pyarrow'),
+            num_partitions)
         # pointer jump: lbl <- lbl(lbl).  Every lbl is a node id that
         # appears in `labels` (labels only ever take existing ids), so
         # the inner self-join is total.
