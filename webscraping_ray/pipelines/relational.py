@@ -1988,10 +1988,15 @@ def _bigram_logprob_join(sf_dir: str, alpha: float,
     bc = _join_safe(bg.groupby(['w1', 'w2'])
                     .aggregate(Count(alias_name='c2')), num_partitions)
 
-    joined = (bg.join(bc, 'inner', num_partitions=num_partitions,
-                      on=('w1', 'w2'), right_on=('w1', 'w2'))
-              .join(uni, 'inner', num_partitions=num_partitions,
-                    on=('w1',), right_on=('w',)))
+    # _join_safe between the chained joins (schemaless empty blocks
+    # from the first join break the second intermittently — see
+    # clusters._cc_dataset)
+    joined = _join_safe(
+        bg.join(bc, 'inner', num_partitions=num_partitions,
+                on=('w1', 'w2'), right_on=('w1', 'w2')),
+        num_partitions).join(uni, 'inner',
+                             num_partitions=num_partitions,
+                             on=('w1',), right_on=('w',))
 
     def term(t: pa.Table) -> pa.Table:
         c2 = t.column('c2').to_numpy(zero_copy_only=False)

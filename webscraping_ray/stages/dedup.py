@@ -448,10 +448,16 @@ def minhash_dup_pairs(ds, threshold: float = 0.8, num_hashes: int = 128,
                                  'text_%s' % side: t[text_col]})
             return f
 
-        j = cand.join(cand_docs.map_batches(rename('a'),
+        # _join_safe between the chained joins: a join emits
+        # schemaless empty blocks for empty partitions (Ray 2.49)
+        # which make the NEXT Acero join fail intermittently with
+        # "no match for FieldRef" (see clusters._cc_dataset)
+        j = _join_safe(
+            cand.join(cand_docs.map_batches(rename('a'),
                                             batch_format='pyarrow'),
                       'inner', num_partitions=num_partitions,
-                      on=('id_a',), right_on=('ja_id',))
+                      on=('id_a',), right_on=('ja_id',)),
+            num_partitions)
         j = j.join(cand_docs.map_batches(rename('b'),
                                          batch_format='pyarrow'),
                    'inner', num_partitions=num_partitions,
