@@ -186,7 +186,7 @@ def test_distributed_wave_resolve_identical(ray_session, tmp_path):
     assert v_dist.select(cols).to_pylist() == v_driver.select(cols).to_pylist()
     # the middle (metadata-fold) tier must be identical too
     c_meta = Crawler(cs, resolve_distributed_threshold=20, **kw)
-    assert c_meta.resolve_metadata_limit > 0
+    assert c_meta._resolve_limit() > 0
     v_meta = c_meta.run(seeds)
     assert v_meta.select(cols).to_pylist() == v_driver.select(cols).to_pylist()
     # distributed waves write text to parquet instead of returning it

@@ -184,3 +184,22 @@ def test_form():
     assert f['a'] == '1'
     assert f['b'] == '2'
     assert f['c'] == 'y'
+
+
+def test_tree_wrapper_matches_reference_import_guard():
+    """xpath.Tree (reference xpath.py:427-467): with lxml installed it
+    wraps lxml.html; without (this container), constructing one raises
+    ImportError — byte-for-byte the reference's fallback behavior."""
+    from webscraping_ray.kernels.xpath import Tree
+
+    try:
+        import lxml.html  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError, match='lxml not installed'):
+            Tree('<p>hi</p>')
+    else:
+        t = Tree('<div><p>hi</p> there</div>')
+        assert t.search('//p') == ['hi']
+        assert t.get('//div') == 'hi there' or 'hi' in t.get('//div')

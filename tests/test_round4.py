@@ -1,0 +1,243 @@
+"""Round-4 additions: Dataset-returning graph-ranker surface pinned
+equal to the table surface, IVF training-sample order determinism,
+and the ADVICE r3 regression fixes (null group keys, exact Int64
+as-of ffill, bigram tier threshold counting only bigram rows)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from webscraping_ray.pipelines import relational as R
+
+SF = '/root/testdata/sf0.001'
+
+
+def _canon(obj) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        obj = obj.to_pandas()
+    elif isinstance(obj, pa.Table):
+        obj = obj.to_pandas()
+    df = obj[sorted(obj.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dataset-returning ranker surface == table surface
+
+def test_pagerank_ds_matches_table(ray_session):
+    table = _canon(R.pagerank(SF))
+    ds = _canon(R.pagerank(SF, as_dataset=True))
+    pd.testing.assert_frame_equal(ds, table, check_dtype=False)
+
+
+def test_hits_ds_matches_table(ray_session):
+    table = _canon(R.hits(SF))
+    ds = _canon(R.hits(SF, as_dataset=True))
+    pd.testing.assert_frame_equal(ds, table, check_dtype=False)
+
+
+def test_inlink_anchors_ds_round_trip(ray_session, tmp_path):
+    direct = _canon(R.inlink_anchors(SF))
+    via_parquet = _canon(R.inlink_anchors_ds(SF, str(tmp_path / 'out')))
+    pd.testing.assert_frame_equal(via_parquet, direct, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF: training sample (and therefore centroids) independent of block
+# layout — the k-means means sum floats in sample-row order, so the
+# sample must arrive sorted by reservoir key, not by block arrival
+
+def test_ivf_centroids_layout_independent(ray_session):
+    from webscraping_ray.pipelines.relational import _read
+    from webscraping_ray.stages.similarity import ivf_build
+
+    ds = _read(SF, 'embeddings', ['vec_id', 'embedding'])
+    c1, _ = ivf_build(ds, n_clusters=8)
+    c2, _ = ivf_build(ds.repartition(7), n_clusters=8)
+    c3, _ = ivf_build(ds.repartition(3), n_clusters=8)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(c1, c3)
+
+
+def test_knn_ivf_recall_gate_passes(ray_session):
+    t = R.knn_ivf_recall(SF)
+    assert t.column('recall_ok').to_pylist() == [1] * 8
+
+
+# ---------------------------------------------------------------------------
+# sketch quality gates (the oracle-parametrized test also covers these
+# at sf0.001; assert the semantic core here explicitly)
+
+def test_heavy_hitter_tokens_equal_exact(ray_session):
+    import collections
+    import re
+
+    got = {(tok, n) for tok, n in
+           zip(R.heavy_hitter_tokens(SF).column('token').to_pylist(),
+               R.heavy_hitter_tokens(SF).column('n').to_pylist())}
+    tokre = re.compile(r'\w+', re.UNICODE)
+    c: collections.Counter = collections.Counter()
+    for txt in pq.read_table(f'{SF}/documents.parquet',
+                             columns=['text']).column('text').to_pylist():
+        c.update(tokre.findall((txt or '').lower()))
+    total = sum(c.values())
+    want = {(t_, n) for t_, n in c.items() if n * 50 > total}
+    assert got == want and got
+
+
+def test_hll_user_counts_within_bound(ray_session):
+    t = R.hll_user_counts(SF)
+    assert t.num_rows > 0
+    assert set(t.column('within_bound').to_pylist()) == {1}
+
+
+def test_kll_token_quantiles_within_bound(ray_session):
+    t = R.kll_token_quantiles(SF)
+    assert t.column('within_bound').to_pylist() == [1] * 5
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 regression fixes
+
+def test_per_key_groups_keeps_null_keys(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({
+        'k': pa.array(['a', None, 'a', None], pa.string()),
+        'v': pa.array([1, 2, 3, 4], pa.int64())}))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'n': [len(g)], 's': [int(g['v'].sum())]})
+
+    out = R._per_key_groups(ds, 'k', agg).to_pandas()
+    # both the 'a' group AND the null-key group must appear
+    assert sorted(zip(out['n'], out['s'])) == [(2, 4), (2, 6)]
+
+
+def test_write_csv_unique_keeps_null_keys(ray_session, tmp_path):
+    import ray
+
+    from webscraping_ray.pipelines.frontier import write_csv_unique
+
+    ds = ray.data.from_arrow(pa.table({
+        'k': pa.array(['a', None, 'a', None], pa.string()),
+        'v': pa.array([1, 2, 3, 4], pa.int64())}))
+    out_dir = write_csv_unique(ds, str(tmp_path / 'csv'),
+                               unique_by=['k'], order_col='v')
+    import glob
+
+    rows = pd.concat([pd.read_csv(f, keep_default_na=False,
+                                  na_values=[])
+                      for f in glob.glob(out_dir + '/*.csv')])
+    # one row per key VALUE including the null key (first by v)
+    assert len(rows) == 2
+    assert sorted(rows['v'].tolist()) == [1, 2]
+
+
+def test_events_asof_ffill_exact_above_2_53(ray_session, tmp_path):
+    """Purchase ids above 2^53 must survive the as-of forward-fill
+    exactly (a float64 ffill would round them)."""
+    big = (1 << 53) + 1
+    sf = tmp_path / 'sf'
+    sf.mkdir()
+    t = pa.table({
+        'event_id': pa.array([big, big + 2], pa.int64()),
+        'ts': pa.array(
+            pd.to_datetime(['2024-01-01 00:00:00',
+                            '2024-01-01 01:00:00']).astype('datetime64[us]')),
+        'user_id': pa.array([7, 7], pa.int64()),
+        'event_type': pa.array(['purchase', 'click'], pa.string()),
+        'value': pa.array([5.0, 1.0], pa.float64())})
+    pq.write_table(t, f'{sf}/events.parquet')
+    out = R.events_asof_match(str(sf)).to_pandas()
+    assert out['matched_purchase_id'].tolist() == [big]
+
+
+def test_bigram_tier_counts_only_bigram_rows(ray_session, monkeypatch):
+    """The broadcast/join auto-switch is documented as a limit on
+    BIGRAM entries: with the limit set between the bigram count and
+    the combined uni+bigram count, the broadcast tier must be chosen
+    (the old code compared the combined count and flipped early)."""
+    import duckdb
+
+    n_b, n_u = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(text), '\\w+') AS ts
+          FROM '{SF}/documents.parquet'),
+        bi AS (SELECT DISTINCT unnest(list_transform(
+                 range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS g
+               FROM toks WHERE len(ts) >= 2),
+        uni AS (SELECT DISTINCT unnest(ts) AS g FROM toks)
+        SELECT (SELECT count(*) FROM bi), (SELECT count(*) FROM uni)
+    """).fetchone()
+    assert n_b > 0 and n_u > 0
+    monkeypatch.setattr(R, 'BIGRAM_BROADCAST_LIMIT', n_b + n_u // 2)
+
+    def boom(*a, **k):
+        raise AssertionError('join tier chosen below the bigram limit')
+
+    monkeypatch.setattr(R, '_bigram_logprob_join', boom)
+    out = R.bigram_logprob(SF).to_pandas()
+    assert len(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# cluster-aware resolve tier + mega-wave link-pull split
+
+def test_resolve_limit_auto_and_override(ray_session):
+    from webscraping_ray.pipelines import crawl as C
+
+    c = C.Crawler({})
+    auto = c._resolve_limit()
+    import ray
+
+    ncpus = int(ray.cluster_resources().get('CPU', 8))
+    assert auto == min(C.RESOLVE_METADATA_MEM_CAP,
+                       C.RESOLVE_METADATA_WORK // ncpus)
+    c.resolve_metadata_limit = 0
+    assert c._resolve_limit() == 0
+    c.resolve_metadata_limit = 123
+    assert c._resolve_limit() == 123
+
+
+def test_metadata_fold_link_split_identical(ray_session, tmp_path,
+                                            monkeypatch):
+    """Forcing the mega-wave path (winner links fetched by broadcast-
+    hash filter instead of riding the serial pull) must keep visits,
+    frontier and edges byte-identical to the inline-link pull."""
+    from webscraping_ray.pipelines import crawl as C
+    from webscraping_ray.pipelines.crawl import Crawler
+    from webscraping_ray.sources import corpus, store
+
+    root = str(tmp_path / 'corpus')
+    ds = corpus.pages_dataset(1500, n_hosts=8, seed=11, weight=1,
+                              override_num_blocks=4)
+    store.write_corpus(ds, root, num_buckets=4)
+    cs = store.CorpusStore(root)
+    cumw = corpus.host_cumweights(8)
+    seeds, seen_h = [], set()
+    for i in range(1500):
+        h = corpus.page_host_id(i, 11, cumw)
+        if h not in seen_h:
+            seen_h.add(h)
+            seeds.append(corpus.page_url(h, i))
+    kw = dict(max_depth=3, max_links=100, num_seen_shards=4,
+              resolve_distributed_threshold=20)
+    cols = ['url', 'depth', 'visit_order', 'status', 'scheduled_ts']
+    v_inline = Crawler(cs, **kw).run(seeds)
+    monkeypatch.setattr(C, 'RESOLVE_LINK_PULL_INLINE', 0)
+    v_split = Crawler(cs, **kw).run(seeds)
+    assert (v_split.select(cols).to_pylist()
+            == v_inline.select(cols).to_pylist())

@@ -1,0 +1,169 @@
+"""Host-clustered store layout (round 4): same lookup/crawl results as
+the url-hash layout, with row-group pruning that makes big-wave fetch
+decode wave-proportional instead of bucket-proportional."""
+
+import os
+import sys
+
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from webscraping_ray.sources import corpus, store
+
+N_PAGES = 600
+N_HOSTS = 10
+
+
+@pytest.fixture(scope='module')
+def two_layouts(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp('layouts')
+    roots = {}
+    for layout in ('url', 'host'):
+        root = str(base / layout)
+        ds = corpus.pages_dataset(N_PAGES, n_hosts=N_HOSTS, seed=7,
+                                  override_num_blocks=4)
+        store.write_corpus(ds, root, num_buckets=4, layout=layout)
+        roots[layout] = root
+    return roots
+
+
+def _wave_urls():
+    """A mixed wave: every page of hosts 0-2 that exists, by id."""
+    cumw = corpus.host_cumweights(N_HOSTS)
+    urls = []
+    for i in range(N_PAGES):
+        h = corpus.page_host_id(i, 7, cumw)
+        if h in (0, 1, 2):
+            urls.append(corpus.page_url(h, i))
+    return urls
+
+
+def test_layout_metadata(two_layouts):
+    assert store.CorpusStore(two_layouts['url']).layout == 'url'
+    cs = store.CorpusStore(two_layouts['host'])
+    assert cs.layout == 'host'
+    # one host's pages all live in one bucket under the host layout
+    t = cs.lookup_table([u for u in _wave_urls()
+                         if u.startswith('http://site1.com')])
+    assert t.num_rows > 0
+
+
+def test_lookup_table_parity(two_layouts):
+    urls = _wave_urls()
+    a = store.CorpusStore(two_layouts['url']).lookup_table(urls)
+    b = store.CorpusStore(two_layouts['host']).lookup_table(urls)
+    key = lambda t: sorted(zip(t.column('url').to_pylist(),
+                               t.column('text').to_pylist()))
+    assert key(a) == key(b)
+    assert a.num_rows == len(urls)
+
+
+def test_lookup_ds_pruned_path_parity(two_layouts):
+    """Force the big-wave (pruned distributed point read) tier on both
+    layouts and check it equals the small-wave scan-filter tier."""
+    urls = _wave_urls()
+    rows = {}
+    for layout, root in two_layouts.items():
+        cs = store.CorpusStore(root)
+        small = cs.lookup_ds(urls, columns=['url', 'text'])
+        cs2 = store.CorpusStore(root)
+        cs2.BROADCAST_FILTER_THRESHOLD = 0     # force the pruned tier
+        big = cs2.lookup_ds(urls, columns=['url', 'text'])
+        k = lambda ds: sorted((r['url'], r['text'])
+                              for r in ds.take_all())
+        assert k(small) == k(big), layout
+        rows[layout] = k(small)
+    assert rows['url'] == rows['host']
+
+
+def test_host_layout_prunes_decode(two_layouts):
+    """The amplification metric: for a wave touching 3 of 10 hosts,
+    the host layout must decode close to only the rows it keeps,
+    while the url layout decodes every touched bucket."""
+    urls = _wave_urls()
+    kept = len(urls)
+    dec_host = store.CorpusStore(
+        two_layouts['host']).pruned_decode_rows(urls)
+    dec_url = store.CorpusStore(
+        two_layouts['url']).pruned_decode_rows(urls)
+    # url-hash layout: wave spread over all buckets/groups -> decodes
+    # (nearly) the whole corpus
+    assert dec_url > 0.8 * N_PAGES
+    # host layout: bounded by the wave's hosts' total pages plus one
+    # boundary row group per host/bucket edge
+    assert dec_host < 2 * kept, (dec_host, kept)
+
+
+def test_crawl_identical_across_layouts(ray_session, two_layouts):
+    from webscraping_ray.pipelines.crawl import Crawler
+
+    cumw = corpus.host_cumweights(N_HOSTS)
+    seeds, seen = [], set()
+    for i in range(N_PAGES):
+        h = corpus.page_host_id(i, 7, cumw)
+        if h not in seen:
+            seen.add(h)
+            seeds.append(corpus.page_url(h, i))
+    outs = {}
+    cols = ['url', 'depth', 'visit_order', 'status', 'scheduled_ts']
+    for layout, root in two_layouts.items():
+        cs = store.CorpusStore(root)
+        v = Crawler(cs, max_depth=3, max_links=50,
+                    num_seen_shards=4).run(seeds)
+        outs[layout] = v.select(cols).to_pylist()
+    assert outs['url'] == outs['host']
+
+
+def test_crawl_big_wave_tier_identical_on_host_layout(ray_session,
+                                                      two_layouts):
+    """The distributed (lookup_ds) fetch tier over a host-layout store
+    must produce the same visits as the driver tier."""
+    from webscraping_ray.pipelines.crawl import Crawler
+
+    cs = store.CorpusStore(two_layouts['host'])
+    cumw = corpus.host_cumweights(N_HOSTS)
+    seeds, seen = [], set()
+    for i in range(N_PAGES):
+        h = corpus.page_host_id(i, 7, cumw)
+        if h not in seen:
+            seen.add(h)
+            seeds.append(corpus.page_url(h, i))
+    kw = dict(max_depth=3, max_links=50, num_seen_shards=4)
+    cols = ['url', 'depth', 'visit_order', 'status', 'scheduled_ts']
+    v_driver = Crawler(cs, table_threshold=10**9, **kw).run(seeds)
+    c = Crawler(cs, resolve_distributed_threshold=20, **kw)
+    v_dist = c.run(seeds)
+    assert (v_dist.select(cols).to_pylist()
+            == v_driver.select(cols).to_pylist())
+
+
+def test_skewed_host_point_read_fans_out(ray_session, tmp_path):
+    """Zipf-extreme skew: one host holds 50% of the corpus.  Under
+    layout='host' that host is one bucket — the build-time file
+    manifest must split its point read into bounded row-group chunks
+    so no single task decodes the whole hot bucket (straggler)."""
+    import ray
+
+    n, hot = 2000, 1000
+    urls = (['http://hot.com/p/%d' % i for i in range(hot)]
+            + ['http://site%d.com/p/%d' % (i % 9, i)
+               for i in range(n - hot)])
+    t = pa.table({'url': pa.array(urls, pa.string()),
+                  'payload': pa.array(['x' * 50] * n, pa.string())})
+    root = str(tmp_path / 'skew')
+    store.write_corpus(ray.data.from_arrow(t), root, num_buckets=4,
+                       layout='host', row_group_size=64)
+    cs = store.CorpusStore(root)
+    assert cs.file_groups, 'build-time file manifest missing'
+    cs.BROADCAST_FILTER_THRESHOLD = 0      # force the point-read tier
+    cs.POINT_READ_GROUPS_PER_TASK = 4      # 4 x 64 = 256 rows/task cap
+    wave = urls[::2]                       # half of every host
+    ds = cs.lookup_ds(wave, columns=['url'])
+    sizes = [ray.get(r).num_rows for r in ds.to_arrow_refs()]
+    assert sum(sizes) == len(wave)
+    # the hot host fans out: no task decodes more than the chunk cap
+    # (4 groups x 64 rows), so no straggler holds the wave hostage
+    assert max(sizes) <= 4 * 64, sizes
+    assert len([s for s in sizes if s]) >= 6

@@ -321,3 +321,57 @@ def get_links(html, url=None, local=True, external=True):
             if link and link not in links:
                 links.append(link)
     return links
+
+
+# ---------------------------------------------------------------------------
+# lxml-backed Tree wrapper (reference xpath.py:427-467) — the alternate
+# engine a user may pass around instead of the regex Doc.  NON-CANONICAL
+# for byte-identity (SURVEY §2.2: the crawl contract pins the regex
+# pipeline above); provided for API parity.  Mirrors the reference's
+# import guard exactly: without lxml installed (this container),
+# constructing a Tree raises ImportError, same as the reference would.
+
+try:
+    import lxml.etree
+    import lxml.html
+except ImportError:
+    class Tree:
+        """lxml is not installed — reference xpath.py:428-432 behavior."""
+
+        def __init__(self, *args, **kwargs):
+            raise ImportError('lxml not installed')
+else:
+    class Tree:
+        """Thin lxml wrapper (reference xpath.py:434-467): same
+        get/search surface as the module functions, returning node
+        inner-HTML strings."""
+
+        def __init__(self, html, **kwargs):
+            if isinstance(html, lxml.html.HtmlElement):
+                self.doc = html
+            else:
+                try:
+                    self.doc = lxml.html.fromstring(html)
+                except lxml.etree.LxmlError:
+                    self.doc = None
+
+        def xpath(self, path):
+            return [] if self.doc is None else self.doc.xpath(path)
+
+        def get(self, path):
+            es = self.xpath(path)
+            return self.tostring(es[0]) if es else ''
+
+        def search(self, path):
+            return [self.tostring(e) for e in self.xpath(path)]
+
+        def tostring(self, node):
+            try:
+                parts = ([node.text]
+                         + [c if isinstance(c, str)
+                            else lxml.etree.tostring(c, encoding='unicode')
+                            for c in node]
+                         + [node.tail])
+                return ''.join(p for p in parts if p) or str(node)
+            except AttributeError:
+                return str(node)

@@ -169,6 +169,23 @@ def _atomic_write_dir(tmp_dir: str, final_dir: str):
 #: driver-side marker: the next frontier lives in the spill queue
 _SPILLED = '__frontier_in_queue__'
 
+#: metadata-fold tier auto budget (resolve_metadata_limit=None).  The
+#: fold is the wave loop's only driver-serial fraction, so its budget
+#: scales INVERSELY with cluster width: candidates_limit =
+#: min(MEM_CAP, WORK // cluster_cpus).  WORK is calibrated so the
+#: fold's serial seconds stay under ~5 % of a mega wave's parallel
+#: seconds at that width (measured on the 1M-page stress, BASELINE.md
+#: round 4); MEM_CAP bounds transient driver memory (~25 B/candidate
+#: numeric after the link-pull split ⇒ 24M ≈ 600 MB).
+RESOLVE_METADATA_WORK = 192_000_000
+RESOLVE_METADATA_MEM_CAP = 24_000_000
+#: below this many candidates the metadata fold pulls link strings
+#: inline with the hashes (one pass, lowest latency); above it links
+#: stay distributed and only the WINNERS' strings come back via a
+#: broadcast-hash filter — the pull is the fold's serial bandwidth,
+#: and link strings are ~10x the numeric columns.
+RESOLVE_LINK_PULL_INLINE = 262_144
+
 
 class StopCrawl(Exception):
     """Raise from a ``cb`` to halt the crawl (reference
@@ -303,15 +320,21 @@ class Crawler:
         # middle resolve tier (within the distributed wave path): when
         # the wave's TOTAL candidate count fits this budget, the
         # resolution runs as the exact sequential fold over candidate
-        # METADATA pulled to the driver (url/link/hash/valid — never
-        # page text, which stays in the distributed pages output).
-        # ~50 B/candidate ⇒ the default 5M ≈ 300 MB transient driver
-        # memory, and it replaces 4-5 hash-shuffle jobs whose fixed
-        # latency dominates resolution up to ~10^6-row waves (measured:
-        # 85 s → ~5 s on a 274k-row wave, BASELINE.md round 3).  Waves
-        # beyond the budget take the fully distributed groupby-min
-        # resolve.  Set to 0 to force the distributed resolve always.
-        self.resolve_metadata_limit = 5_000_000
+        # METADATA pulled to the driver (url/hash/valid — never page
+        # text or, above RESOLVE_LINK_PULL_INLINE candidates, link
+        # strings: winner links come back via a broadcast-hash
+        # distributed filter, so the serial pull is ~25 B/candidate).
+        # It replaces 4-5 hash-shuffle jobs whose fixed latency
+        # dominates resolution up to ~10^6-row waves (measured: 85 s →
+        # ~5 s on a 274k-row wave, BASELINE.md round 3).  Waves beyond
+        # the budget take the fully distributed groupby-min resolve.
+        # None = AUTO, derived from cluster width at first use (see
+        # _resolve_limit): the fold is the wave's only serial fraction,
+        # so its budget must SHRINK as the cluster widens — a constant
+        # tuned on one node silently becomes the scaling ceiling on 256.
+        # Set to 0 to force the distributed resolve always, or to a
+        # count to pin the tier boundary.
+        self.resolve_metadata_limit = None
         # spill frontier (reference pdict.Queue, pdict.py:402-497):
         # waves larger than the threshold live in the durable on-disk
         # queue instead of a driver Python list — depth rides encoded
@@ -1025,6 +1048,24 @@ class Crawler:
 
         return max(8, int(ray.cluster_resources().get('CPU', 8)))
 
+    def _resolve_limit(self) -> int:
+        """Effective metadata-fold candidate budget.  An explicit
+        ``resolve_metadata_limit`` wins; None derives the cluster-aware
+        default: the fold is driver-serial, so its share of a wave must
+        shrink as the cluster widens — budget = min(driver-memory cap,
+        WORK / cluster CPUs).  On one 8-cpu node that is the memory
+        cap; on a 256-node x 32-cpu cluster it is ~23k candidates, i.e.
+        mega waves go fully distributed exactly where the serial fold
+        would have become the scaling ceiling."""
+        if self.resolve_metadata_limit is not None:
+            return self.resolve_metadata_limit
+        import ray
+
+        ncpus = int(ray.cluster_resources().get('CPU', 8)) \
+            if ray.is_initialized() else 8
+        return min(RESOLVE_METADATA_MEM_CAP,
+                   RESOLVE_METADATA_WORK // max(1, ncpus))
+
     def _visits_from_meta(self, urls, depth_hints, visit_orders, scheduled,
                           status_of):
         """Metadata-only visits table (distributed tier: text/links live
@@ -1185,7 +1226,7 @@ class Crawler:
             batch_format='pyarrow').sum('n') or 0
         if n_cand_total == 0:
             return finish_no_candidates()
-        if n_cand_total <= self.resolve_metadata_limit:
+        if n_cand_total <= self._resolve_limit():
             return self._resolve_wave_metadata(
                 rec, urls, depth_hints, visit_orders, scheduled, hosts,
                 n_cand_total, stage_secs)
@@ -1373,9 +1414,15 @@ class Crawler:
         parent_chunks, j_chunks, lh_chunks, valid_chunks, link_chunks = \
             [], [], [], [], []
         status_of = {}
-        for b in rec.select_columns(
-                ['url', 'status', 'cand_link', 'cand_hash', 'cand_valid']
-        ).iter_batches(batch_size=65536, batch_format='pyarrow'):
+        # mega waves: link STRINGS are ~10x the numeric candidate
+        # columns and only the winners' strings are ever needed — leave
+        # them distributed and fetch winners after the fold (see
+        # RESOLVE_LINK_PULL_INLINE)
+        pull_links = n_cand_total <= RESOLVE_LINK_PULL_INLINE
+        pull_cols = ['url', 'status', 'cand_hash', 'cand_valid'] + \
+            (['cand_link'] if pull_links else [])
+        for b in rec.select_columns(pull_cols).iter_batches(
+                batch_size=65536, batch_format='pyarrow'):
             b_urls = b.column('url').to_pylist()
             for u, s in zip(b_urls, b.column('status').to_pylist()):
                 if s is not None:
@@ -1398,7 +1445,8 @@ class Crawler:
                             - np.repeat(starts, lens))
             flat_h = pc.list_flatten(b.column('cand_hash'))
             flat_v = pc.list_flatten(b.column('cand_valid'))
-            flat_l = pc.list_flatten(b.column('cand_link'))
+            flat_l = pc.list_flatten(b.column('cand_link')) \
+                if pull_links else None
             keep = None
             if len(flat_h) != total:
                 # rows were masked (leaf parents): rebuild a take mask
@@ -1412,21 +1460,24 @@ class Crawler:
                     if total else np.empty(0, dtype=np.int64)
                 flat_h = flat_h.take(pa.array(keep))
                 flat_v = flat_v.take(pa.array(keep))
-                flat_l = flat_l.take(pa.array(keep))
+                if pull_links:
+                    flat_l = flat_l.take(pa.array(keep))
             lh_chunks.append(flat_h.combine_chunks()
                              .to_numpy(zero_copy_only=False)
                              .astype(np.int64))
             valid_chunks.append(flat_v.combine_chunks()
                                 .to_numpy(zero_copy_only=False)
                                 .astype(bool))
-            link_chunks.append(flat_l.combine_chunks())
+            if pull_links:
+                link_chunks.append(flat_l.combine_chunks())
         if parent_chunks:
             parent = np.concatenate(parent_chunks)
             jj = np.concatenate(j_chunks)
             lh = np.concatenate(lh_chunks)
             valid = np.concatenate(valid_chunks)
             links_arr = pa.concat_arrays(
-                [c.cast(pa.string()) for c in link_chunks])
+                [c.cast(pa.string()) for c in link_chunks]) \
+                if pull_links else None
         else:
             parent = jj = lh = np.empty(0, dtype=np.int64)
             valid = np.empty(0, dtype=bool)
@@ -1485,8 +1536,11 @@ class Crawler:
         stage_secs['seen_commit'] = _time.time() - t0
 
         # emitted links materialize to Python only here (answer-sized)
-        take = pa.array(sort_idx[emit_idx], pa.int64())
-        e_links = links_arr.take(take).to_pylist()
+        if links_arr is not None:
+            take = pa.array(sort_idx[emit_idx], pa.int64())
+            e_links = links_arr.take(take).to_pylist()
+        else:
+            e_links = self._fetch_winner_links(rec, lh[emit_idx])
         e_parents = parent[emit_idx]
         e_depths = (depth_arr[e_parents] + 1).tolist()
         e_pv = [visit_orders[p] for p in e_parents]
@@ -1522,6 +1576,52 @@ class Crawler:
         self._record_distributed_wave(visits, hosts, n_cand_total,
                                       n_new, stage_secs)
         return visits
+
+    def _fetch_winner_links(self, rec, emit_hashes: np.ndarray):
+        """Winner link STRINGS for the metadata-fold tier's mega-wave
+        path: the candidate hash set of the emitted winners broadcasts
+        once (8 B/winner, zero-copy in every task), each task flattens
+        its pages' candidate lists, keeps rows whose hash is in the
+        set (sorted searchsorted — vectorized), dedups per batch, and
+        the driver assembles hash→string from the answer-sized pull.
+        One url string per distinct hash by construction (url_hash64
+        keys the whole engine), so any occurrence serves."""
+        import ray
+
+        if not len(emit_hashes):
+            return []
+        wanted = np.sort(emit_hashes.astype(np.int64))
+        wref = ray.put(wanted)
+
+        def winner_rows(t: pa.Table) -> pa.Table:
+            w = ray.get(wref)
+            flat_h = pc.list_flatten(t.column('cand_hash')) \
+                .combine_chunks().to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            flat_l = pc.list_flatten(t.column('cand_link')).combine_chunks()
+            idx = np.searchsorted(w, flat_h)
+            idx[idx == len(w)] = 0
+            mask = w[idx] == flat_h
+            sel = np.flatnonzero(mask)
+            if not len(sel):
+                return pa.table({'lh': pa.array([], pa.int64()),
+                                 'link': pa.array([], pa.string())})
+            hs = flat_h[sel]
+            uniq, first = np.unique(hs, return_index=True)
+            keep = sel[first]
+            return pa.table({
+                'lh': pa.array(uniq, pa.int64()),
+                'link': flat_l.take(pa.array(keep, pa.int64()))
+                        .cast(pa.string())})
+
+        link_of = {}
+        for b in rec.select_columns(['cand_hash', 'cand_link']) \
+                .map_batches(winner_rows, batch_format='pyarrow') \
+                .iter_batches(batch_format='pyarrow'):
+            for h, l in zip(b.column('lh').to_pylist(),
+                            b.column('link').to_pylist()):
+                link_of.setdefault(h, l)
+        return [link_of[int(h)] for h in emit_hashes]
 
     def _latest_snapshot_distributed(self, rec, urls):
         """Latest-per-url resolution for the distributed wave tier

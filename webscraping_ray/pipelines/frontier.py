@@ -420,7 +420,11 @@ def write_csv_unique(ds, out_dir: str, unique_by=None, order_col=None):
         g = g.drop(columns=['_bkt'])
         if order_col:
             g = g.sort_values(order_col)
-        return g.groupby(keys, sort=False, as_index=False).head(1)
+        # dropna=False: a null key is a value for uniqueness purposes
+        # (the reference's UnicodeWriter keys on the raw cell), not a
+        # signal to drop the row
+        return g.groupby(keys, sort=False, as_index=False,
+                         dropna=False).head(1)
 
     deduped = (ds.map_batches(bucketed, batch_format='pyarrow')
                .groupby('_bkt').map_groups(first_per_key,

@@ -96,7 +96,10 @@ def _per_key_groups(ds, key: str, fn, buckets: int = 64):
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=['_bkt'])
-        outs = [fn(sub) for _, sub in g.groupby(key, sort=False)]
+        # dropna=False: null keys form a group like ds.groupby did,
+        # instead of pandas' default silent row drop
+        outs = [fn(sub)
+                for _, sub in g.groupby(key, sort=False, dropna=False)]
         return pd.concat(outs, ignore_index=True)
 
     return (ds.map_batches(bucketed, batch_format='pyarrow')
@@ -1829,7 +1832,15 @@ def bigram_logprob(sf_dir: str, alpha: float = 0.1,
     counts = (ds.map_batches(gram_partials, batch_format='pyarrow')
               .groupby(['kind', 'g']).aggregate(Sum('c', alias_name='c'))
               .materialize())
-    if counts.count() > BIGRAM_BROADCAST_LIMIT:
+    # the documented limit is on BIGRAM entries — count only kind='b'
+    # rows toward it, not the unigram vocabulary riding in the same
+    # keyed stream
+    n_bigram_entries = counts.map_batches(
+        lambda t: pa.table({'n': pa.array(
+            [t.filter(pc.equal(t.column('kind'), 'b')).num_rows],
+            pa.int64())}),
+        batch_format='pyarrow').sum('n') or 0
+    if n_bigram_entries > BIGRAM_BROADCAST_LIMIT:
         return _bigram_logprob_join(sf_dir, alpha)
 
     uni_c: dict = {}
@@ -2128,8 +2139,15 @@ def _remove_repeated_spans_join(sf_dir: str, k: int = 16,
         return pd.DataFrame({'doc_id': [g['doc_id'].iloc[0]],
                              'iv': [iv]})
 
-    per = _per_key_groups(flags.select_columns(['doc_id', 'pos']),
-                          'doc_id', per_doc)
+    from ..stages.dedup import _join_safe
+
+    # _join_safe: the group-apply output carries schemaless empty
+    # blocks (Ray 2.49 defect) that make the Acero join below fail
+    # intermittently — rebuild blocks first
+    per = _join_safe(_per_key_groups(flags.select_columns(['doc_id',
+                                                           'pos']),
+                                     'doc_id', per_doc),
+                     num_partitions)
 
     docs = _read(sf_dir, 'documents', ['doc_id', 'text'])
     joined = docs.join(per, 'left_outer', num_partitions=num_partitions,
@@ -2535,8 +2553,9 @@ def events_asof_match(sf_dir: str):
     inside each key a single (ts, tag, event_id) sort + forward-fill
     matches every probe in O(n log n).  Unmatched probes emit
     (-1, 0.0) rather than NULLs so the value-hash compare is
-    null-free.  (ffill rides float64: exact for ids < 2^53 — at
-    full corpus scale carry the id as two int32 halves instead.)"""
+    null-free.  The id forward-fill rides pandas' nullable Int64, so
+    matched ids stay exact at any magnitude (a float64 ffill would
+    silently corrupt ids above 2^53)."""
     ds = _read(sf_dir, 'events',
                ['event_id', 'ts', 'user_id', 'event_type', 'value'])
 
@@ -2551,7 +2570,9 @@ def events_asof_match(sf_dir: str):
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(['ts', 'probe', 'event_id'])
-        pid = g['event_id'].where(~g['probe']).ffill()
+        # nullable Int64 keeps the carried id exact at any magnitude
+        # (a float64 ffill would corrupt ids above 2^53)
+        pid = g['event_id'].astype('Int64').where(~g['probe']).ffill()
         pval = g['value'].where(~g['probe']).ffill()
         m = g['probe'].to_numpy()
         return pd.DataFrame({
@@ -2620,7 +2641,7 @@ def _fold_sorted(vals) -> float:
 
 
 def pagerank(sf_dir: str, iters: int = 3, damping: float = 0.85,
-             force_distributed: bool = False):
+             force_distributed: bool = False, as_dataset: bool = False):
     """Damped PageRank power iteration over the url link graph (the
     crawl-graph ranking signal; dangling mass is not redistributed —
     sinks leak, the documented simple variant).  Deterministic at any
@@ -2645,6 +2666,11 @@ def pagerank(sf_dir: str, iters: int = 3, damping: float = 0.85,
     n_pages = pq.ParquetFile(
         f'{sf_dir}/documents.parquet').metadata.num_rows
     eds = _pagerank_edges(sf_dir)
+    if as_dataset:
+        # corpus-scale surface: always the distributed tier, returned
+        # as a Dataset — no O(nodes) list ever forms on the driver;
+        # consume with write_parquet/iter_batches
+        return _pagerank_dataset(eds, iters, damping)
     if (n_pages * 6 <= PAGERANK_DRIVER_EDGE_LIMIT
             and not force_distributed):
         rows = eds.take_all()
@@ -2760,17 +2786,23 @@ def _pagerank_dataset(eds, iters: int, damping: float,
                         batch_format='pyarrow'))
 
         folded = _bucketed_sorted_fold(contribs, num_partitions)
-        ranks = (nodes.join(folded, 'left_outer',
-                            num_partitions=num_partitions,
-                            on=('url',), right_on=('url',))
-                 .map_batches(
-                     lambda t: pa.table({
-                         'url': t['url'],
-                         'r': pa.array(
-                             [base + damping * (s or 0.0)
-                              for s in t.column('s').to_pylist()],
-                             pa.float64())}),
-                     batch_format='pyarrow')).materialize()
+        # _join_safe before materialize: this round's ranks are a join
+        # output that feeds next round's eds.join — rebuild blocks so
+        # schemaless empty partitions (Ray 2.49 defect) never enter a
+        # downstream Acero join
+        ranks = _join_safe(
+            nodes.join(folded, 'left_outer',
+                       num_partitions=num_partitions,
+                       on=('url',), right_on=('url',))
+            .map_batches(
+                lambda t: pa.table({
+                    'url': t['url'],
+                    'r': pa.array(
+                        [base + damping * (s or 0.0)
+                         for s in t.column('s').to_pylist()],
+                        pa.float64())}),
+                batch_format='pyarrow'),
+            num_partitions).materialize()
 
     def snap(t: pa.Table) -> pa.Table:
         v = t.column('r').to_numpy(zero_copy_only=False)
@@ -2781,7 +2813,8 @@ def _pagerank_dataset(eds, iters: int, damping: float,
     return ranks.map_batches(snap, batch_format='pyarrow')
 
 
-def hits(sf_dir: str, iters: int = 3, force_distributed: bool = False):
+def hits(sf_dir: str, iters: int = 3, force_distributed: bool = False,
+         as_dataset: bool = False):
     """HITS hubs-and-authorities over the url link graph (Kleinberg's
     companion signal to :func:`pagerank`; public algorithm, no
     reference counterpart — the crawl-graph ranking family's second
@@ -2806,6 +2839,12 @@ def hits(sf_dir: str, iters: int = 3, force_distributed: bool = False):
     n_pages = pq.ParquetFile(
         f'{sf_dir}/documents.parquet').metadata.num_rows
     eds = _pagerank_edges(sf_dir)
+    if as_dataset:
+        # corpus-scale surface: distributed tier returning a Dataset —
+        # the two normalizers reduce through a 64-bucket two-level
+        # sorted fold (64 partial doubles to the driver, never the
+        # O(nodes) vector); see _hits_dataset
+        return _hits_dataset(eds, iters, as_dataset=True)
     if (n_pages * 6 <= PAGERANK_DRIVER_EDGE_LIMIT
             and not force_distributed):
         rows = eds.take_all()
@@ -2844,7 +2883,36 @@ def _hits_fold(src, dst, iters: int) -> pa.Table:
     return _hits_snap(nodes, hub, auth)
 
 
-def _hits_dataset(eds, iters: int, num_partitions: int = 8):
+def _bucket_fold_scalar(scores, num_partitions: int = 8) -> float:
+    """Global sum of a (url, v) Dataset's ``v`` as a two-level
+    deterministic fold: per coarse url-crc32 bucket an ascending
+    sorted left fold (:func:`_fold_sorted`), then a sorted fold of
+    the <= 64 bucket partials on the driver.  Layout-independent
+    (buckets key on the url hash, never block boundaries) and O(64)
+    driver state — the Dataset-surface replacement for pulling the
+    O(nodes) vector to fold flat.  Differs from the flat fold only in
+    sub-ulp association order; outputs rounded at 1e-6 are pinned
+    equal in tests."""
+    import zlib
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        bkt = pa.array([zlib.crc32(u.encode()) & 63
+                        for u in t.column('url').to_pylist()],
+                       pa.int64())
+        return pa.table({'bkt': bkt, 'v': t['v']})
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'s': [_fold_sorted(g['v'].tolist())]})
+
+    partials = (scores.map_batches(bucketed, batch_format='pyarrow')
+                .groupby('bkt').map_groups(fold_bucket,
+                                           batch_format='pandas')
+                .take_all())
+    return _fold_sorted([r['s'] for r in partials])
+
+
+def _hits_dataset(eds, iters: int, num_partitions: int = 8,
+                  as_dataset: bool = False):
     """Distributed tier: per round, auth = edges ⋈ hub (on src)
     grouped by dst with a sorted fold, hub = edges ⋈ auth (on dst)
     grouped by src with a sorted fold; each LEFT-joined back onto the
@@ -2853,6 +2921,8 @@ def _hits_dataset(eds, iters: int, num_partitions: int = 8):
     COALESCE).  Per-round state is two doubles per node; the grouped
     folds run per coarse 64-bucket (:func:`_bucketed_sorted_fold`),
     never per url."""
+    from ..stages.dedup import _join_safe
+
     eds = eds.materialize()
     nodes = _graph_nodes(eds, num_partitions)
 
@@ -2879,16 +2949,50 @@ def _hits_dataset(eds, iters: int, num_partitions: int = 8):
                                             'c': t['v']}),
                         batch_format='pyarrow'))
         folded = _bucketed_sorted_fold(contribs, num_partitions)
-        return (nodes.join(folded, 'left_outer',
-                           num_partitions=num_partitions,
-                           on=('url',), right_on=('url',))
-                .map_batches(coalesce,
-                             batch_format='pyarrow')).materialize()
+        # _join_safe: each side's scores re-enter eds.join next round —
+        # rebuild blocks so schemaless empties never reach that join
+        return _join_safe(
+            nodes.join(folded, 'left_outer',
+                       num_partitions=num_partitions,
+                       on=('url',), right_on=('url',))
+            .map_batches(coalesce, batch_format='pyarrow'),
+            num_partitions).materialize()
 
     auth = None
     for _ in range(iters):
         auth = one_side(hub, 'src', 'dst')
         hub = one_side(auth, 'dst', 'src')
+
+    if as_dataset:
+        # normalize distributed: two scalar folds (64 partials each to
+        # the driver), then one hash join hub ⋈ auth and a vectorized
+        # snap — the result never forms a driver list
+        nh = _bucket_fold_scalar(hub, num_partitions)
+        na = _bucket_fold_scalar(auth, num_partitions)
+
+        def rename(key):
+            return lambda t: pa.table({'url': t['url'], key: t['v']})
+
+        h = hub.map_batches(rename('h'), batch_format='pyarrow')
+        a = auth.map_batches(rename('a'), batch_format='pyarrow')
+        joined = _join_safe(h, num_partitions).join(
+            _join_safe(a, num_partitions), 'inner',
+            num_partitions=num_partitions,
+            on=('url',), right_on=('url',))
+
+        def snap(t: pa.Table) -> pa.Table:
+            hv = t.column('h').to_numpy(zero_copy_only=False)
+            av = t.column('a').to_numpy(zero_copy_only=False)
+            hv = hv / nh if nh else np.zeros_like(hv)
+            av = av / na if na else np.zeros_like(av)
+            return pa.table({
+                'url': t['url'],
+                'hub': pa.array(np.rint(hv * 1e6) / 1e6 + 0.0,
+                                pa.float64()),
+                'auth': pa.array(np.rint(av * 1e6) / 1e6 + 0.0,
+                                 pa.float64())})
+
+        return joined.map_batches(snap, batch_format='pyarrow')
 
     # answer-sized pulls: the returned table is O(nodes) either way
     h_rows = hub.take_all()
@@ -2896,3 +3000,292 @@ def _hits_dataset(eds, iters: int, num_partitions: int = 8):
     nodes_list = sorted(r['url'] for r in h_rows)
     return _hits_snap(nodes_list, {r['url']: r['v'] for r in h_rows},
                       a_rows)
+
+
+# ---------------------------------------------------------------------------
+# round-4: Dataset-returning graph-ranker surface + driver-visible
+# quality gates for the approximate family.
+#
+# The *_ds queries exercise the corpus-scale return path (distributed
+# tier, result stays a Dataset / partitioned parquet — no O(nodes)
+# driver list); their values are pinned equal to the table-returning
+# counterparts, so they share those oracles.
+#
+# The quality-gate queries MEASURE an approximate structure (IVF
+# index, HLL / Misra-Gries / KLL sketch) against the exact computation
+# — both sides computed distributed — and emit integer pass-evidence
+# the SQL oracle states exactly, so a quality regression flips the
+# driver's hash compare to red instead of hiding in repo-only tests.
+
+def pagerank_ds(sf_dir: str):
+    """:func:`pagerank` through the Dataset-returning corpus-scale
+    surface (``as_dataset=True`` → always the distributed tier; the
+    per-url rank table never forms a driver list)."""
+    return pagerank(sf_dir, as_dataset=True)
+
+
+def hits_ds(sf_dir: str):
+    """:func:`hits` through the Dataset-returning corpus-scale surface
+    (distributed tier + two-level-fold normalizers; see
+    :func:`_bucket_fold_scalar`)."""
+    return hits(sf_dir, as_dataset=True)
+
+
+def inlink_anchors_ds(sf_dir: str, out_dir: str | None = None):
+    """:func:`inlink_anchors` consumed the corpus-scale way: the
+    result Dataset writes PARTITIONED parquet (one directory of files,
+    resumable/skippable per shard — never one giant file or a driver
+    table) and the return value is the read-back Dataset.  Pinned
+    equal to the direct Dataset in tests; shares its oracle."""
+    import tempfile
+
+    import ray
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix='inlink_anchors_',
+                                   dir='/tmp')
+    inlink_anchors(sf_dir).write_parquet(out_dir)
+    return ray.data.read_parquet(out_dir)
+
+
+def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 8,
+                   n_clusters: int = 16, nprobe: int = 6):
+    """Driver-visible ANN quality gate: recall@k of the IVF index at
+    its DEFAULT sub-exhaustive ``nprobe`` (the BASELINE.md scale
+    setting) against the exact brute-force top-k, per query.  Emits
+    (query_id, recall_ok) with recall_ok = 1 iff recall@k >= 0.9 (the
+    measured band at default nprobe is 0.9-1.0 per query — BASELINE
+    documents 1.00 averaged at sf0.1); the oracle states recall_ok =
+    1 for every query, so an index regression (centroid training,
+    bucketing, probe merge) goes driver-red."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_brute, knn_ivf
+
+    qids = list(range(n_queries))
+    q = pq.read_table(f'{sf_dir}/embeddings.parquet',
+                      filters=[('vec_id', '<', n_queries)],
+                      columns=['vec_id', 'embedding'])
+    order = pc.sort_indices(q.column('vec_id'))
+    Q = np.array(q.take(order).column('embedding').to_pylist(),
+                 dtype=np.float64)
+
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    exact = knn_brute(ds, Q, k=k, query_ids=qids)
+    approx = knn_ivf(ds, Q, k=k, n_clusters=n_clusters, nprobe=nprobe,
+                     query_ids=qids)
+
+    def ids_by_q(t: pa.Table) -> dict:
+        out: dict = {}
+        for qi, vid in zip(t.column('query_id').to_pylist(),
+                           t.column('vec_id').to_pylist()):
+            out.setdefault(qi, set()).add(vid)
+        return out
+
+    ex, ap = ids_by_q(exact), ids_by_q(approx)
+    hits_n = [len(ex.get(qi, set()) & ap.get(qi, set())) for qi in qids]
+    return pa.table({
+        'query_id': pa.array(qids, pa.int64()),
+        'recall_ok': pa.array([int(h >= 0.9 * k) for h in hits_n],
+                              pa.int64())})
+
+
+def hll_user_counts(sf_dir: str, p: int = 14, rel_bound: float = 0.03):
+    """Driver-visible HLL quality gate: per event_type, the
+    HyperLogLog distinct-user estimate vs the exact COUNT(DISTINCT
+    user_id) — the estimate must land within ``rel_bound`` (3% =
+    3.7 standard errors at p=14).  Both sides run distributed: the
+    sketch side folds each block to one 16 KB register row per
+    event_type (shuffle carries sketches, never user ids); the exact
+    side is the two-phase distinct aggregate.  Emits
+    (event_type, n_exact, within_bound=1)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sketch import HyperLogLog
+
+    ds = _read(sf_dir, 'events', ['event_type', 'user_id'])
+
+    def fold(t: pa.Table) -> pa.Table:
+        by_type: dict = {}
+        for et, uid in zip(t.column('event_type').to_pylist(),
+                           t.column('user_id').to_pylist()):
+            by_type.setdefault(et, []).append(str(uid))
+        hs = {et: HyperLogLog(p) for et in by_type}
+        for et, uids in by_type.items():
+            hs[et].add_strings(uids)
+        return pa.table({
+            'event_type': pa.array(list(hs), pa.string()),
+            'regs': pa.array([h.to_bytes() for h in hs.values()],
+                             pa.binary())})
+
+    acc: dict = {}
+    for b in ds.map_batches(fold, batch_format='pyarrow').iter_batches(
+            batch_format='pyarrow'):
+        for et, blob in zip(b.column('event_type').to_pylist(),
+                            b.column('regs').to_pylist()):
+            h = HyperLogLog.from_bytes(blob, p)
+            acc[et] = h if et not in acc else acc[et].merge(h)
+
+    # exact distinct: per-block distinct pairs → pair aggregate →
+    # per-type count (the standard two-phase COUNT DISTINCT shape)
+    def pairs(t: pa.Table) -> pa.Table:
+        seen = {(et, u) for et, u in
+                zip(t.column('event_type').to_pylist(),
+                    t.column('user_id').to_pylist())}
+        return pa.table({
+            'event_type': pa.array([a for a, _ in seen], pa.string()),
+            'user_id': pa.array([b_ for _, b_ in seen], pa.int64())})
+
+    exact_rows = (ds.map_batches(pairs, batch_format='pyarrow')
+                  .groupby(['event_type', 'user_id'])
+                  .aggregate(Count(alias_name='_n'))
+                  .map_batches(lambda t: t.select(['event_type']),
+                               batch_format='pyarrow')
+                  .groupby('event_type')
+                  .aggregate(Count(alias_name='n_exact'))).take_all()
+    exact = {r['event_type']: r['n_exact'] for r in exact_rows}
+
+    ets = sorted(exact)
+    ok = [int(abs(acc[et].estimate() - exact[et])
+              <= rel_bound * exact[et]) for et in ets]
+    return pa.table({
+        'event_type': pa.array(ets, pa.string()),
+        'n_exact': pa.array([exact[et] for et in ets], pa.int64()),
+        'within_bound': pa.array(ok, pa.int64())})
+
+
+def heavy_hitter_tokens(sf_dir: str, denom: int = 50,
+                        capacity: int = 2048):
+    """Driver-visible Misra-Gries quality gate: exact corpus heavy
+    hitters (word tokens with count*denom > total tokens) recovered
+    through the sketch's candidate-then-verify shape.  Pass 1 folds
+    each block to a ``capacity``-bounded MG summary (shuffled state is
+    O(blocks x capacity) — never the vocabulary); the merged summary
+    is GUARANTEED to contain every token above total/(capacity+1), a
+    superset of the total/denom hitters.  Pass 2 exact-counts only the
+    broadcast candidate set and keeps the true hitters — so the
+    result equals the exact SQL HAVING clause, and a sketch bug that
+    drops a guaranteed candidate goes driver-red.  Emits (token, n)."""
+    import collections
+
+    import ray
+
+    from ..stages.sketch import MisraGries
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def fold(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(_TOKEN_RE.findall((txt or '').lower()))
+        n_toks = sum(c.values())
+        mg = MisraGries(capacity)
+        mg.add_counter(c)
+        toks = list(mg.counts)
+        return pa.table({
+            'tok': pa.array(toks, pa.string()),
+            'c': pa.array([mg.counts[k] for k in toks], pa.int64()),
+            'err': pa.array([mg.err] * len(toks), pa.int64()),
+            'n_block': pa.array([n_toks] * len(toks), pa.int64())})
+
+    acc = MisraGries(capacity)
+    total = 0
+    # one summary per BLOCK (to_arrow_refs, not iter_batches): a
+    # rebatcher splicing two summaries into one table would double the
+    # per-summary err/n_block scalars
+    for ref in ds.map_batches(fold,
+                              batch_format='pyarrow').to_arrow_refs():
+        b = ray.get(ref)
+        if not b.num_rows:
+            continue
+        part = MisraGries(capacity)
+        part.counts = dict(zip(b.column('tok').to_pylist(),
+                               b.column('c').to_pylist()))
+        part.err = b.column('err')[0].as_py()
+        total += b.column('n_block')[0].as_py()
+        acc.merge(part)
+
+    cands = sorted(acc.counts)
+    cref = ray.put(set(cands))
+
+    def exact_count(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        c: collections.Counter = collections.Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(w for w in _TOKEN_RE.findall((txt or '').lower())
+                     if w in cs)
+        ks = list(c)
+        return pa.table({'tok': pa.array(ks, pa.string()),
+                         'c': pa.array([c[k] for k in ks], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    counted = (ds.map_batches(exact_count, batch_format='pyarrow')
+               .groupby('tok').aggregate(Sum('c', alias_name='n'))
+               ).take_all()
+    out = sorted((r['tok'], r['n']) for r in counted
+                 if r['n'] * denom > total)
+    return pa.table({
+        'token': pa.array([t_ for t_, _ in out], pa.string()),
+        'n': pa.array([n for _, n in out], pa.int64())})
+
+
+def kll_token_quantiles(sf_dir: str, k: int = 200,
+                        eps: float = 0.05):
+    """Driver-visible KLL quality gate: the sketch's quantile
+    estimates of per-document token counts, rank-checked against the
+    exact distribution.  The sketch side folds each block to a bounded
+    KLL summary; the exact side is the same distributed value
+    histogram :func:`token_quantiles` uses (O(distinct lengths) rows).
+    For each q the estimate's TRUE rank interval
+    [count(<est)/n, count(<=est)/n] must overlap [q-eps, q+eps];
+    emits (q_label, within_bound=1) per quantile."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sketch import KLLQuantiles
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({'n_tokens': pa.array(
+            [len(_TOKEN_RE.findall((s or '').lower()))
+             for s in t.column('text').to_pylist()], pa.int64())})
+
+    toks = ds.map_batches(tok, batch_format='pyarrow').materialize()
+
+    def fold(t: pa.Table) -> pa.Table:
+        h = KLLQuantiles(k)
+        h.add(t.column('n_tokens').to_numpy(zero_copy_only=False))
+        return h.to_table()
+
+    import ray
+
+    acc = KLLQuantiles(k)
+    # one summary per BLOCK: merge whole blocks so a rebatcher can
+    # never splice two summaries into one table
+    for ref in toks.map_batches(
+            fold, batch_format='pyarrow').to_arrow_refs():
+        acc.merge(KLLQuantiles.from_table(ray.get(ref), k))
+
+    hist = (toks.groupby('n_tokens')
+            .aggregate(Count(alias_name='cnt'))).take_all()
+    vals = np.array(sorted(r['n_tokens'] for r in hist), np.float64)
+    cnts = {r['n_tokens']: r['cnt'] for r in hist}
+    cum = np.cumsum([cnts[int(v)] for v in vals])
+    n = int(cum[-1])
+
+    qs = [(0.1, 'p10'), (0.25, 'p25'), (0.5, 'p50'),
+          (0.75, 'p75'), (0.9, 'p90')]
+    labels, ok = [], []
+    for q, label in qs:
+        est = acc.quantile(q)
+        below = int(cum[np.searchsorted(vals, est, side='left') - 1]
+                    ) if est > vals[0] else 0
+        at_or_below = int(cum[np.searchsorted(vals, est, side='right')
+                              - 1]) if est >= vals[0] else 0
+        lo, hi = below / n, at_or_below / n
+        labels.append(label)
+        ok.append(int(lo - eps <= q <= hi + eps))
+    return pa.table({'q_label': pa.array(labels, pa.string()),
+                     'within_bound': pa.array(ok, pa.int64())})

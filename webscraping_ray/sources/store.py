@@ -35,37 +35,87 @@ from ..kernels.urls import url_hash64
 META_NAME = '_corpus_meta.json'
 
 
-def bucket_of(url: str, num_buckets: int) -> int:
+def host_of(url: str) -> str:
+    """Host (netloc) of a canonical url — the clustering key of the
+    ``layout='host'`` store and the politeness frontier's shard key."""
+    import urllib.parse
+
+    return urllib.parse.urlsplit(url).netloc
+
+
+def host_hash64(url: str) -> int:
+    """Stable 64-bit hash of the url's host (same blake2b family as
+    :func:`~webscraping_ray.kernels.urls.url_hash64`)."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.blake2b(host_of(url).encode('utf-8', 'surrogatepass'),
+                        digest_size=8).digest(), 'little')
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of(url: str, num_buckets: int, layout: str = 'url') -> int:
+    if layout == 'host':
+        return host_hash64(url) % num_buckets
     return url_hash64(url) % num_buckets
 
 
 class AddBucket:
     """map_batches stage: append the store's bucket column."""
 
-    def __init__(self, num_buckets: int):
+    def __init__(self, num_buckets: int, layout: str = 'url'):
         self.num_buckets = num_buckets
+        self.layout = layout
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        buckets = [url_hash64(u) % self.num_buckets
+        buckets = [bucket_of(u, self.num_buckets, self.layout)
                    for u in batch.column('url').to_pylist()]
         return batch.append_column('bucket', pa.array(buckets, pa.int32()))
 
 
 def write_corpus(pages_ds, root: str, num_buckets: int = 16,
-                 row_group_size: int | None = None):
+                 row_group_size: int | None = None,
+                 layout: str = 'url'):
     """Write a pages Dataset as a hash-bucketed corpus store.
 
     ``pages_ds`` is a ``ray.data.Dataset`` with at least a ``url``
     column.  Output is partitioned by bucket so later fetch-joins prune
     at the directory level (resumable too: finished buckets can be
     skipped on re-run).
+
+    layout:
+        ``'url'`` (default) buckets by url hash — bucket sizes are
+        bounded by the hash regardless of host skew, the safe default
+        for arbitrary corpora.  ``'host'`` buckets by HOST hash with
+        urls sorted within the bucket, so one host's pages sit in one
+        bucket in one contiguous url range: a frontier wave's per-host
+        locality becomes row-group pruning (``lookup_ds`` /
+        ``lookup_table`` read only the groups covering the wave's
+        hosts) instead of a full scan of every touched bucket — the
+        fix for mega-wave fetch amplification (BASELINE.md "Known
+        scale bound").  A single pathological host can make its bucket
+        large, but reads stay wave-proportional because of the
+        row-group pruning; politeness-frontier shards (host-keyed)
+        align 1:1 with store buckets in this layout.
     """
+    if layout not in ('url', 'host'):
+        raise ValueError(f'unknown layout {layout!r}')
+    if layout == 'host' and row_group_size is None:
+        # host pruning is only as granular as the row groups: pyarrow's
+        # default (~1M rows) would make a whole bucket one group and
+        # the min/max pruning a no-op.  8k rows/group keeps footer
+        # metadata tiny (a few hundred spans per GB-scale bucket) while
+        # letting a wave skip every host it doesn't touch.
+        row_group_size = 8192
     os.makedirs(root, exist_ok=True)
-    ds = pages_ds.map_batches(AddBucket(num_buckets), batch_format='pyarrow')
+    ds = pages_ds.map_batches(AddBucket(num_buckets, layout),
+                              batch_format='pyarrow')
     # sort by (bucket, url): each output block lands in 1-2 partition
     # dirs (O(blocks) files, not O(blocks x buckets)), and within-file
     # row groups get tight url min/max stats so frontier isin lookups
-    # prune at the row-group level, not just the directory level
+    # prune at the row-group level, not just the directory level.
+    # Under layout='host' the url sort also clusters each host's pages
+    # contiguously (urls of one host share the scheme://host prefix).
     ds = ds.sort(['bucket', 'url'])
     # optional small row groups: a frontier wave's urls are sparse
     # within a bucket's sorted url range, so row-group min/max stats
@@ -78,9 +128,46 @@ def write_corpus(pages_ds, root: str, num_buckets: int = 16,
     ds.write_parquet(root, partition_cols=['bucket'], **kw)
     with open(os.path.join(root, META_NAME), 'w') as f:
         json.dump({'num_buckets': num_buckets,
+                   'layout': layout,
+                   'file_groups': _collect_file_groups(root, num_buckets),
                    'multi_snapshot': _detect_multi_snapshot(root, num_buckets)},
                   f)
     return root
+
+
+def _collect_file_groups(root: str, num_buckets: int) -> dict:
+    """{relative path: [num_row_groups, num_rows]} for every store
+    file — the build-time manifest that lets big-wave point reads
+    split a file into bounded row-group chunks WITHOUT any driver-side
+    footer reads at query time.  A skewed host (one bucket holding
+    half the corpus under layout='host') then fans out over
+    rows/chunk tasks instead of becoming one straggler read task.
+    Collected with one Ray task per bucket at build time."""
+    import glob
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def bucket_file_groups(files):
+        import pyarrow.parquet as pq
+
+        out = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            out[f] = [md.num_row_groups, md.num_rows]
+        return out
+
+    futs = []
+    for b in range(num_buckets):
+        files = sorted(glob.glob(os.path.join(root, 'bucket=%d' % b,
+                                              '*.parquet')))
+        if files:
+            futs.append(bucket_file_groups.remote(files))
+    merged = {}
+    for d in ray.get(futs):
+        for f, v in d.items():
+            merged[os.path.relpath(f, root)] = v
+    return merged
 
 
 def _detect_multi_snapshot(root: str, num_buckets: int) -> bool:
@@ -120,10 +207,20 @@ class CorpusStore:
         with open(os.path.join(root, META_NAME)) as f:
             meta = json.load(f)
         self.num_buckets = meta['num_buckets']
+        # stores written before the layout option existed are url-hash
+        # bucketed
+        self.layout = meta.get('layout', 'url')
+        # build-time file manifest {relpath: [n_row_groups, n_rows]}
+        # (absent on stores written before round 4: point reads fall
+        # back to one task per file)
+        self.file_groups = meta.get('file_groups', {})
         # stores written before multi_snapshot detection existed default
         # to True — the safe direction (resolution runs, costing one
         # extra pruned (url, warc_ts) lookup per distributed wave)
         self.multi_snapshot = bool(meta.get('multi_snapshot', True))
+
+    def _bucket_of(self, url: str) -> int:
+        return bucket_of(url, self.num_buckets, self.layout)
 
     def _available_columns(self, sample_file, columns):
         """Intersect requested columns with the store schema (callers may
@@ -157,15 +254,20 @@ class CorpusStore:
 
         Partition-pruned (only the buckets of the given urls are read);
         the isin row filter is pushed to the Parquet scanner for small
-        waves and applied as a broadcast post-read filter for big ones
-        (see BROADCAST_FILTER_THRESHOLD).
+        waves and applied after a ROW-GROUP-PRUNED distributed point
+        read for big ones (each read task opens only its file's footer,
+        keeps the row groups whose url min/max range intersects the
+        wanted urls, and filters the decoded batch against the
+        broadcast url set).  Under ``layout='host'`` a wave's per-host
+        url locality makes that pruning sharp — big-wave fetches decode
+        close to only the rows they keep instead of the whole bucket.
         """
         import ray
         import ray.data
 
         by_bucket = {}
         for u in urls:
-            by_bucket.setdefault(bucket_of(u, self.num_buckets), []).append(u)
+            by_bucket.setdefault(self._bucket_of(u), []).append(u)
         if not by_bucket:
             return None
         files = self._bucket_files(by_bucket)
@@ -176,13 +278,87 @@ class CorpusStore:
         if len(want) <= self.BROADCAST_FILTER_THRESHOLD:
             flt = pc.field('url').isin(want)
             return ray.data.read_parquet(files, columns=columns, filter=flt)
+        return self._pruned_point_read(files, want, columns)
+
+    #: target row-group count per point-read task: with the default
+    #: 8192-row host-layout groups this is ~128k rows/task, so a
+    #: skewed host (one huge bucket file) fans out instead of becoming
+    #: one straggler read+decode task.
+    POINT_READ_GROUPS_PER_TASK = 16
+
+    def _pruned_point_read(self, files, want: pa.Array, columns):
+        """Distributed row-group-pruned point read: one Ray task per
+        row-group CHUNK (the build-time ``file_groups`` manifest splits
+        each file into POINT_READ_GROUPS_PER_TASK-group ranges with no
+        driver-side footer reads); each task reads its file's footer,
+        selects only the in-range groups whose url min/max intersects
+        the (broadcast, zero-copy) sorted wanted-url array, decodes
+        those groups, and isin-filters.  Driver state is O(tasks)
+        paths+ranges."""
+        import ray
+        import ray.data
+
+        import pyarrow.parquet as pq
+
         want_ref = ray.put(want)
+        schema = pq.read_schema(files[0])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns
+                                if c in schema.names])
+        cols = list(schema.names) if columns else None
 
-        def filter_urls(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t['url'], value_set=ray.get(want_ref)))
+        def read_pruned(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(want_ref)     # zero-copy shared memory
+            wl = wanted.to_pylist()
+            out = []
+            for path, lo, hi in zip(batch.column('path').to_pylist(),
+                                    batch.column('lo').to_pylist(),
+                                    batch.column('hi').to_pylist()):
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                span = range(lo, md.num_row_groups if hi < 0
+                             else min(hi, md.num_row_groups))
+                try:
+                    ci = next(i for i in range(md.num_columns)
+                              if md.schema.column(i).name == 'url')
+                    groups = []
+                    for rg in span:
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            groups = list(span)
+                            break
+                        import bisect
 
-        return (ray.data.read_parquet(files, columns=columns)
-                .map_batches(filter_urls, batch_format='pyarrow'))
+                        i = bisect.bisect_left(wl, st.min)
+                        if i < len(wl) and wl[i] <= st.max:
+                            groups.append(rg)
+                except StopIteration:
+                    groups = list(span)
+                if not groups:
+                    continue
+                t = pf.read_row_groups(groups, columns=cols)
+                t = t.filter(pc.is_in(t['url'], value_set=wanted))
+                if t.num_rows:
+                    out.append(t.select(schema.names))
+            if not out:
+                return schema.empty_table()
+            return pa.concat_tables(out)
+
+        step = self.POINT_READ_GROUPS_PER_TASK
+        items = []
+        for f in files:
+            ng = self.file_groups.get(os.path.relpath(f, self.root),
+                                      [None])[0]
+            if ng is None:
+                # pre-manifest store: one task reads the whole file
+                items.append({'path': f, 'lo': 0, 'hi': -1})
+            else:
+                for lo in range(0, ng, step):
+                    items.append({'path': f, 'lo': lo,
+                                  'hi': min(lo + step, ng)})
+        return (ray.data.from_items(items,
+                                    override_num_blocks=len(items))
+                .map_batches(read_pruned, batch_format='pyarrow'))
 
     def _rg_spans(self, path):
         """Cached per-row-group (min_url, max_url) stats of one file.
@@ -226,7 +402,7 @@ class CorpusStore:
         """
         by_bucket = {}
         for u in urls:
-            by_bucket.setdefault(bucket_of(u, self.num_buckets), []).append(u)
+            by_bucket.setdefault(self._bucket_of(u), []).append(u)
         if not by_bucket:
             return None
         tables = []
@@ -278,6 +454,32 @@ class CorpusStore:
         if not tables:
             return None
         return pa.concat_tables(tables)
+
+    def pruned_decode_rows(self, urls) -> int:
+        """Rows the pruned point read decodes for this url set — the
+        fetch-amplification numerator (BASELINE.md "Known scale
+        bound"; decoded/kept ~9x on url-hash mega waves, the host
+        layout's row-group pruning is the fix).  Footer metadata only
+        (no data pages read); same group selection as
+        ``_pruned_point_read`` / ``lookup_table``."""
+        import bisect
+
+        by_bucket = {}
+        for u in urls:
+            by_bucket.setdefault(self._bucket_of(u), []).append(u)
+        wl = sorted(set(urls))
+        decoded = 0
+        for f in self._bucket_files(by_bucket):
+            pf, spans = self._rg_spans(f)
+            md = pf.metadata
+            if spans is None:
+                decoded += md.num_rows
+                continue
+            for rg, (lo, hi) in enumerate(spans):
+                i = bisect.bisect_left(wl, lo)
+                if i < len(wl) and wl[i] <= hi:
+                    decoded += md.row_group(rg).num_rows
+        return decoded
 
     def read_all(self, columns=None):
         """Full-corpus Dataset (for whole-corpus extraction pipelines)."""

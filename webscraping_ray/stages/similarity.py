@@ -167,6 +167,14 @@ def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
         if len(keys) > sample_size:
             keep = np.argsort(keys, kind='stable')[:sample_size]
             keys, X = keys[keep], X[keep]
+    if X is not None:
+        # sort by reservoir key: the sample SET is layout-independent,
+        # but its arrival order is not — k-means' centroid means sum
+        # floats in row order, so an unsorted sample makes the trained
+        # centroids (and thus sub-exhaustive-nprobe recall) vary run
+        # to run.  Key order is unique (splitmix64 of distinct ids).
+        order = np.argsort(keys, kind='stable')
+        keys, X = keys[order], X[order]
     X = _normalize(X if X is not None else np.zeros((1, 1)))
     C = _kmeans(X, n_clusters, seed=seed)
     cref = ray.put(C)
