@@ -167,3 +167,35 @@ def test_skewed_host_point_read_fans_out(ray_session, tmp_path):
     # (4 groups x 64 rows), so no straggler holds the wave hostage
     assert max(sizes) <= 4 * 64, sizes
     assert len([s for s in sizes if s]) >= 6
+
+
+def test_resident_tier_matches_parquet_tiers(ray_session, two_layouts):
+    """The resident corpus-cache fetch tier (round 4) must produce
+    byte-identical visits to the parquet tiers, and the shared fleet
+    must be reused across crawlers with the same config."""
+    from webscraping_ray.pipelines import crawl as C
+    from webscraping_ray.pipelines.crawl import Crawler, warm_corpus_cache
+
+    cs = store.CorpusStore(two_layouts['url'])
+    cumw = corpus.host_cumweights(N_HOSTS)
+    seeds, seen = [], set()
+    for i in range(N_PAGES):
+        h = corpus.page_host_id(i, 7, cumw)
+        if h not in seen:
+            seen.add(h)
+            seeds.append(corpus.page_url(h, i))
+    kw = dict(max_depth=3, max_links=50, num_seen_shards=4)
+    cols = ['url', 'depth', 'visit_order', 'status', 'scheduled_ts',
+            'text', 'links']
+    v_off = Crawler(cs, resident_corpus=False, **kw).run(seeds)
+    assert warm_corpus_cache(cs)
+    c_on = Crawler(cs, resident_corpus=True, **kw)
+    v_on = c_on.run(seeds)
+    assert v_on.select(cols).to_pylist() == v_off.select(cols).to_pylist()
+    # fleet is shared: a second crawler attaches to the same actors
+    sig = (cs.root, False, False, '', '^$', False)
+    assert sig in C._CACHE_FLEETS
+    fleet_actors = C._CACHE_FLEETS[sig]['actors']
+    c2 = Crawler(cs, resident_corpus=True, **kw)
+    c2._cache_pool()
+    assert c2._resident[0] is fleet_actors

@@ -132,6 +132,59 @@ class ExtractWorker:
         return self.prep(self.extract(tbl))
 
 
+class CorpusCacheShard(ExtractWorker):
+    """Resident-corpus shard actor (the "cache what fits" fetch tier).
+
+    Loads its assigned buckets' (url, html[, warc_ts]) columns ONCE at
+    construction, url-sorted, and serves each wave's fetch as a
+    vectorized searchsorted point lookup — optionally running the
+    extraction kernels in place (``take_extract``), so a wave costs one
+    RPC per shard and page html never crosses the wire.  The reference
+    semantics this implements is ``pdict.PersistentDict`` as the page
+    cache (reference pdict.py:42-259): the corpus IS the cache, held in
+    worker heaps while it fits the cluster memory gate
+    (RESIDENT_OBJECT_STORE_FRACTION).  Multi-snapshot urls keep all
+    their rows; the caller's latest-per-url merge resolves them."""
+
+    def __init__(self, files, columns, with_contacts: bool,
+                 with_excerpt: bool, allowed_urls: str, banned_urls: str,
+                 robots=None, with_redirect: bool = False):
+        super().__init__(with_contacts, with_excerpt, allowed_urls,
+                         banned_urls, robots, with_redirect)
+        import pyarrow.dataset as pads
+
+        if files:
+            t = pads.dataset(files, format='parquet').to_table(
+                columns=columns)
+            self.tbl = t.sort_by('url')
+        else:
+            self.tbl = pa.table({c: pa.array([], pa.string())
+                                 for c in (columns or ['url'])})
+        self._urls = np.asarray(self.tbl.column('url').to_pylist(),
+                                dtype=object)
+
+    def ping(self) -> bool:
+        """Readiness probe: returns once __init__'s load finished."""
+        return True
+
+    def take(self, urls, columns=None) -> pa.Table:
+        """All rows (every snapshot) whose url is in ``urls``."""
+        want = np.asarray(sorted(set(urls)), dtype=object)
+        lo = np.searchsorted(self._urls, want, side='left')
+        hi = np.searchsorted(self._urls, want, side='right')
+        spans = [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+        idx = (np.concatenate(spans) if spans
+               else np.empty(0, dtype=np.int64))
+        out = self.tbl.take(pa.array(idx, pa.int64()))
+        if columns:
+            out = out.select([c for c in columns
+                              if c in out.column_names])
+        return out
+
+    def take_extract(self, urls) -> pa.Table:
+        return self.process(self.take(urls))
+
+
 def _ts_us(ts) -> int:
     """Normalize a warc_ts value (int us, datetime, or None) to int us."""
     if ts is None:
@@ -185,6 +238,132 @@ RESOLVE_METADATA_MEM_CAP = 24_000_000
 #: broadcast-hash filter — the pull is the fold's serial bandwidth,
 #: and link strings are ~10x the numeric columns.
 RESOLVE_LINK_PULL_INLINE = 262_144
+#: resident-corpus gate: when the store's total file bytes fit within
+#: this fraction of the cluster's object store, the crawler
+#: materializes (url, html, warc_ts) ONCE and serves every wave's
+#: fetch as an in-memory Arrow isin filter — each BFS wave otherwise
+#: pays a full parquet decode of every touched bucket, which at bench
+#: scale is the whole corpus per wave.  At 100 TB against a multi-TB
+#: object store the gate is off and the pruned point read runs; this
+#: is "cache what fits", decided from cluster resources, not a flag.
+RESIDENT_OBJECT_STORE_FRACTION = 0.25
+
+#: session-level resident-cache registry: {signature: (actors, assign)}.
+#: The corpus cache is the engine's page cache (reference
+#: pdict.PersistentDict persists ACROSS crawls — pdict.py:42-259), so
+#: the shard fleet outlives one Crawler and is reused by every crawler
+#: with the same store + extraction config; spawning 32 actor
+#: processes costs seconds (dominated by per-process interpreter +
+#: package import) and must not be paid per crawl.
+_CACHE_FLEETS: dict = {}
+#: at most this many shared fleets stay alive; the least recently used
+#: is torn down when a new store's fleet is built (test sessions churn
+#: through many small tmp stores)
+_CACHE_FLEETS_MAX = 4
+
+
+def _cache_fits(corpus) -> bool:
+    """Memory gate for the resident tier."""
+    import ray
+
+    osm = ray.cluster_resources().get('object_store_memory', 0)
+    return bool(osm) and corpus.total_bytes() <= \
+        RESIDENT_OBJECT_STORE_FRACTION * osm
+
+
+def _build_cache_fleet(corpus, with_contacts, with_excerpt,
+                       allowed_urls, banned_urls, robots, with_redirect):
+    """Spawn the shard actors for ``corpus``; returns the registry
+    entry {'actors', 'assign', 'cols', 'ready'} or None (empty store).
+    """
+    import ray
+
+    per_bucket = [corpus._bucket_files([b])
+                  for b in range(corpus.num_buckets)]
+    first = next((fs[0] for fs in per_bucket if fs), None)
+    if first is None:
+        return None
+    cols = corpus._available_columns(first, ['url', 'html', 'warc_ts'])
+    avail = int(ray.cluster_resources().get('CPU', 8))
+    # one shard per bucket when the cluster is at least that wide:
+    # balanced extraction load (a k that doesn't divide the bucket
+    # count gives some actors 2x the pages — a measured straggler)
+    k = max(1, min(avail, corpus.num_buckets))
+    groups = [[] for _ in range(k)]
+    assign = {}
+    for b, fs in enumerate(per_bucket):
+        assign[b] = b % k
+        groups[b % k].extend(fs)
+    cls = ray.remote(num_cpus=0)(CorpusCacheShard)  # see ExtractWorker
+    actors = [cls.remote(groups[i], cols, with_contacts, with_excerpt,
+                         allowed_urls, banned_urls, robots,
+                         with_redirect)
+              for i in range(k)]
+    return {'actors': actors, 'assign': assign, 'cols': cols,
+            'ready': [a.ping.remote() for a in actors]}
+
+
+def _register_fleet(sig, entry):
+    """Insert into the shared registry, evicting LRU beyond the cap."""
+    import ray
+
+    _CACHE_FLEETS[sig] = entry
+    while len(_CACHE_FLEETS) > _CACHE_FLEETS_MAX:
+        old_sig = next(iter(_CACHE_FLEETS))
+        old = _CACHE_FLEETS.pop(old_sig)
+        for a in old['actors']:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+
+
+def _touch_fleet(sig):
+    """Mark ``sig`` most-recently-used (dict order is the LRU order)."""
+    _CACHE_FLEETS[sig] = _CACHE_FLEETS.pop(sig)
+
+
+def warm_corpus_cache(corpus, with_contacts: bool = False,
+                      with_excerpt: bool = False, allowed_urls: str = '',
+                      banned_urls: str = '^$',
+                      with_redirect: bool = False) -> bool:
+    """Build (and block until loaded) the shared resident cache fleet
+    for ``corpus`` — idempotent; returns False when the memory gate
+    keeps the tier off.  Call once per session before latency-sensitive
+    crawls; crawlers with a matching config then attach instantly."""
+    if not _cache_fits(corpus):
+        return False
+    sig = (corpus.root, with_contacts, with_excerpt, allowed_urls,
+           banned_urls, with_redirect)
+    entry = _CACHE_FLEETS.get(sig)
+    if entry is None:
+        entry = _build_cache_fleet(corpus, with_contacts, with_excerpt,
+                                   allowed_urls, banned_urls, None,
+                                   with_redirect)
+        if entry is None:
+            return False
+        _register_fleet(sig, entry)
+    else:
+        _touch_fleet(sig)
+    if entry['ready']:
+        import ray
+
+        ray.get(entry['ready'])
+        entry['ready'] = None
+    return True
+
+
+def close_corpus_caches():
+    """Kill every shared cache fleet (tests / session teardown)."""
+    import ray
+
+    for entry in _CACHE_FLEETS.values():
+        for a in entry['actors']:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+    _CACHE_FLEETS.clear()
 
 
 class StopCrawl(Exception):
@@ -276,7 +455,8 @@ class Crawler:
                  max_errors: int | None = None,
                  now_ts: int | None = None, max_age_us: int | None = None,
                  mega_wave_chunk: int | None = 1_000_000,
-                 politeness_clock: str = 'frozen'):
+                 politeness_clock: str = 'frozen',
+                 resident_corpus: bool | None = None):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html.
 
         cb: per-page callback ``cb(url, page) -> iterable of urls``
@@ -365,6 +545,13 @@ class Crawler:
         if politeness_clock not in ('frozen', 'continuous'):
             raise ValueError('politeness_clock must be frozen|continuous')
         self.politeness_clock = politeness_clock
+        # resident-corpus fetch tier: None = auto (on iff the store
+        # fits RESIDENT_OBJECT_STORE_FRACTION of the cluster object
+        # store), True/False force.  See _resident_ds.
+        self.resident_corpus = resident_corpus
+        self._resident = None
+        self._resident_cols = None
+        self._cache_entry = None
         self._wave_start = 0.0
         self.cb = cb
         self.max_urls = max_urls
@@ -555,8 +742,31 @@ class Crawler:
             else:
                 batches = [_apply(tbl)]
         else:  # CorpusStore — tiered by wave size
+            import ray
+
             n = len(unique_urls)
-            if n <= self.inline_threshold:
+            pool = self._cache_pool()
+            if (pool is not None and n <= self.inline_threshold
+                    and not self._cache_ready()):
+                # shards still spawning/loading: serve this tiny wave
+                # from the inline parquet tier below (identical output
+                # by construction) instead of blocking on the cold
+                # start; bigger waves are worth the wait
+                pool = None
+            if pool is not None:
+                # resident tier: ONE RPC round per wave — each cache
+                # shard holds its buckets in memory and runs the
+                # extraction kernels in place, so no parquet decode and
+                # no Ray Data job latency per wave.  cb crawls fetch
+                # raw and run the callback stage inline (the cb is a
+                # driver-side user object).
+                refs = self._cache_refs(unique_urls,
+                                        extract=self.cb is None)
+                if self.cb is None:
+                    batches = ray.get(refs)
+                else:
+                    batches = [_apply(t) for t in ray.get(refs)]
+            elif n <= self.inline_threshold:
                 # tiny wave: driver-side pyarrow scan + inline kernels
                 # (a Ray job's fixed latency dwarfs the work here)
                 tbl = self.corpus.lookup_table(
@@ -582,10 +792,11 @@ class Crawler:
                         for j in range(k) if j * chunk < tbl.num_rows]
                 batches = ray.get(futs)
             else:
-                # big wave: fully distributed partition-pruned read;
+                # big wave: fully distributed partition-pruned read (or
+                # the resident in-memory filter when that tier is on);
                 # warc_ts rides along so the records merge below keeps
                 # the latest snapshot per url
-                ds = self.corpus.lookup_ds(
+                ds = self._lookup_wave_ds(
                     list(unique_urls), columns=['url', 'html', 'warc_ts'])
                 if ds is None:
                     return {}
@@ -617,6 +828,105 @@ class Crawler:
                         _ts_us(prev.get('warc_ts')) <= _ts_us(ts):
                     records[r['url']] = r
         return records
+
+    # ------------------------------------------------------------------
+    # resident-corpus fetch tier (cache-what-fits actor pool)
+
+    def _cache_pool(self):
+        """Resident-corpus shard actors, or None when the tier is off.
+
+        Decided ONCE per crawler from cluster resources: on iff the
+        store's bytes fit RESIDENT_OBJECT_STORE_FRACTION of the
+        object store (or forced via ``resident_corpus``).  Each actor
+        loads its assigned buckets' (url, html[, warc_ts]) columns
+        once; every wave's fetch is then ONE RPC per shard
+        (searchsorted point lookup + in-place extraction) instead of a
+        parquet re-decode of every touched bucket — a BFS wave over a
+        hash-bucketed store otherwise re-reads near the whole corpus
+        per wave, and a Ray Data job carries ~1 s fixed latency that
+        dominates small waves.  At 100-TB corpus scale the memory gate
+        turns the tier off and the pruned point read runs instead."""
+        if self._resident is not None:
+            return self._resident or None
+        if (self.resident_corpus is False
+                or not isinstance(self.corpus, CorpusStore)
+                or not self.use_ray):
+            self._resident = False
+            return None
+        if self.resident_corpus is None and not _cache_fits(self.corpus):
+            self._resident = False
+            return None
+        # shared registry: the fleet persists across crawlers with the
+        # same store + extraction config (the page cache OUTLIVES one
+        # crawl, reference pdict.py:42-259) — spawning 32 actor
+        # processes costs seconds and must not be paid per crawl.  A
+        # crawler with a robots object gets a private fleet (robots
+        # identity can't key the registry).
+        sig = (self.corpus.root, self.with_contacts, self.with_excerpt,
+               self.allowed_urls, self.banned_urls,
+               self.num_redirects > 0)
+        entry = _CACHE_FLEETS.get(sig) if self.robots is None else None
+        if entry is None:
+            entry = _build_cache_fleet(
+                self.corpus, self.with_contacts, self.with_excerpt,
+                self.allowed_urls, self.banned_urls, self.robots,
+                self.num_redirects > 0)
+            if entry is None:
+                self._resident = False
+                return None
+            if self.robots is None:
+                _register_fleet(sig, entry)
+                self._resident_shared = True
+            else:
+                self._resident_shared = False
+        else:
+            _touch_fleet(sig)
+            self._resident_shared = True
+        self._resident_cols = entry['cols']
+        self._resident = (entry['actors'], entry['assign'])
+        self._cache_entry = entry
+        return self._resident
+
+    def _cache_ready(self) -> bool:
+        """Non-blocking: True once every cache shard finished loading.
+
+        Early waves fall back to the parquet tiers while the fleet is
+        still spawning/loading (actor cold start is seconds; a 64-url
+        wave 0 must not block on it)."""
+        entry = getattr(self, '_cache_entry', None)
+        if entry is None or not entry['ready']:
+            return True
+        import ray
+
+        _, pending = ray.wait(entry['ready'],
+                              num_returns=len(entry['ready']),
+                              timeout=0)
+        if pending:
+            return False
+        entry['ready'] = None
+        return True
+
+    def _cache_refs(self, urls, columns=None, extract=False):
+        """Route urls to their cache shards; one RPC ref per shard."""
+        actors, assign = self._cache_pool()
+        by_actor: dict = {}
+        for u in urls:
+            a = assign[self.corpus._bucket_of(u)]
+            by_actor.setdefault(a, []).append(u)
+        return [actors[a].take_extract.remote(us) if extract
+                else actors[a].take.remote(us, columns)
+                for a, us in sorted(by_actor.items())]
+
+    def _lookup_wave_ds(self, urls, columns):
+        """Wave fetch as a Dataset: resident cache shards when the
+        tier is on (blocks = shard results, zero parquet decode), else
+        the store's pruned lookup_ds."""
+        if self._cache_pool() is None:
+            return self.corpus.lookup_ds(list(urls), columns=columns)
+        import ray.data
+
+        return ray.data.from_arrow_refs(
+            self._cache_refs(urls, columns=columns, extract=False))
 
     # ------------------------------------------------------------------
     # spill frontier (pdict.Queue as the disk-backed deque,
@@ -693,7 +1003,10 @@ class Crawler:
         """
         frontier = [(u, 0) for u in seeds]  # (url, depth_hint)
         if isinstance(self.corpus, CorpusStore) and self.use_ray:
-            self._extract_pool()  # prewarm: actors spawn during early waves
+            # prewarm: actors spawn/load during early waves.  The
+            # resident cache pool replaces the extract pool wholesale.
+            if self._cache_pool() is None:
+                self._extract_pool()
         return self._crawl_loop(frontier, max_waves, stop_after_wave,
                                 seed_iter)
 
@@ -738,18 +1051,36 @@ class Crawler:
             if stop_after_wave is not None and self.wave > stop_after_wave:
                 break
         self.close_pool()
+        self._close_cache()
         if all_visits:
             return pa.concat_tables(all_visits, promote_options='default')
         return _empty_visits()
 
     def close_pool(self):
-        """Release the persistent extraction actors (recreated lazily)."""
+        """Release the persistent extraction actors (recreated lazily).
+
+        Does NOT touch the resident cache shards — close_pool runs
+        before distributed waves to free pool CPUs, and those waves
+        still fetch through the cache."""
         if self._pool is not None:
             import ray
 
             for a in self._pool:
                 ray.kill(a)
             self._pool = None
+
+    def _close_cache(self):
+        """Detach from the resident cache (end of crawl).  Shared
+        (registry) fleets stay alive for the next crawler — only a
+        private (robots-bearing) fleet is killed here; use
+        :func:`close_corpus_caches` to tear the shared ones down."""
+        if self._resident and not getattr(self, '_resident_shared', True):
+            import ray
+
+            for a in self._resident[0]:
+                ray.kill(a)
+        self._resident = None
+        self._cache_entry = None
 
     def _run_wave(self, frontier):
         import time as _time
@@ -1112,7 +1443,7 @@ class Crawler:
                                with_contacts=self.with_contacts,
                                with_excerpt=self.with_excerpt)
         prep = PrepCandidates(self.allowed_urls, self.banned_urls, self.robots)
-        rec = self.corpus.lookup_ds(urls, columns=['url', 'html', 'warc_ts'])
+        rec = self._lookup_wave_ds(urls, columns=['url', 'html', 'warc_ts'])
         if rec is None:
             # nothing resolvable: every visit is a 404 leaf
             stage_secs['fetch_extract'] = _time.time() - t0
@@ -1641,7 +1972,10 @@ class Crawler:
         distinct warc_ts)."""
         import ray
 
-        tiny = self.corpus.lookup_ds(urls, columns=['url', 'warc_ts'])
+        if (self._cache_pool() is not None
+                and 'warc_ts' not in (self._resident_cols or ())):
+            return rec
+        tiny = self._lookup_wave_ds(urls, columns=['url', 'warc_ts'])
         if tiny is None or 'warc_ts' not in tiny.schema().names:
             return rec
         mx = {}

@@ -455,6 +455,17 @@ class CorpusStore:
             return None
         return pa.concat_tables(tables)
 
+    def total_bytes(self) -> int:
+        """Total store file bytes (cheap: one os.stat per file, cached)
+        — the input to the crawler's resident-corpus memory gate."""
+        if not hasattr(self, '_total_bytes'):
+            import glob
+
+            self._total_bytes = sum(
+                os.path.getsize(f) for f in glob.glob(
+                    os.path.join(self.root, 'bucket=*', '*.parquet')))
+        return self._total_bytes
+
     def pruned_decode_rows(self, urls) -> int:
         """Rows the pruned point read decodes for this url set — the
         fetch-amplification numerator (BASELINE.md "Known scale
