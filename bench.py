@@ -269,11 +269,16 @@ def run_crawl_stress(chunked: bool = False):
     from webscraping_ray.pipelines.crawl import Crawler
     from webscraping_ray.sources import corpus, store
 
-    root, _ = ensure_corpus()
+    # GRAFT_STRESS_STORE points the stress at an alternate store build
+    # (e.g. the host-clustered layout) of the same corpus
+    root = os.environ.get('GRAFT_STRESS_STORE')
+    if not root:
+        root, _ = ensure_corpus()
     cs = store.CorpusStore(root)
     cs.read_all(columns=['url']).count()    # warm page cache (untimed)
-    from webscraping_ray.pipelines.crawl import warm_corpus_cache
-    warm_corpus_cache(cs)                   # resident fleet (untimed)
+    if os.environ.get('GRAFT_RESIDENT') != '0':
+        from webscraping_ray.pipelines.crawl import warm_corpus_cache
+        warm_corpus_cache(cs)               # resident fleet (untimed)
     cumw = corpus.host_cumweights(N_HOSTS)
     seeds, seen_hosts = [], set()
     for i in range(N_PAGES):
@@ -283,6 +288,10 @@ def run_crawl_stress(chunked: bool = False):
             seeds.append(corpus.page_url(h, i))
     kw = dict(max_depth=10**9, max_links=100, num_seen_shards=8,
               batch_size=int(os.environ.get('GRAFT_STRESS_BATCH', '256')))
+    # GRAFT_RESIDENT=0/1 forces the resident corpus-cache tier off/on
+    # (default: the cluster-memory auto gate)
+    if os.environ.get('GRAFT_RESIDENT') in ('0', '1'):
+        kw['resident_corpus'] = os.environ['GRAFT_RESIDENT'] == '1'
     scratch = None
     if chunked:
         scratch = tempfile.mkdtemp(prefix='graft_stress_fq_')

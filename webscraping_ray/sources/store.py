@@ -107,6 +107,16 @@ def write_corpus(pages_ds, root: str, num_buckets: int = 16,
         # metadata tiny (a few hundred spans per GB-scale bucket) while
         # letting a wave skip every host it doesn't touch.
         row_group_size = 8192
+    # a bucket tree without the meta file is a KILLED PARTIAL BUILD —
+    # writing again on top would duplicate rows (the meta file is the
+    # build's commit marker; it is written last).  Clear the partial.
+    if (not os.path.exists(os.path.join(root, META_NAME))
+            and os.path.isdir(root)):
+        import glob
+        import shutil
+
+        for d in glob.glob(os.path.join(root, 'bucket=*')):
+            shutil.rmtree(d, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     ds = pages_ds.map_batches(AddBucket(num_buckets, layout),
                               batch_format='pyarrow')
