@@ -1495,71 +1495,47 @@ class Crawler:
                                             'wave_%05d_pages' % self.wave))
         stage_secs['pages_output'] = _time.time() - t0
 
-        # candidate explode with parent visit metadata attached from a
-        # BROADCAST (the driver already holds the wave's parent list —
-        # O(wave), the same budget as the urls list — so shipping a
-        # sorted parent-hash -> (depth, visit) triple of numpy arrays
-        # via ray.put replaces what used to be a full hash-join shuffle
-        # of every candidate against a parent-metadata Dataset; the
-        # join was one of the two all-to-all exchanges per wave)
+        # candidate explode (flat columns only — joinable), then attach
+        # parent visit metadata via a hash join on url.  (A round-4
+        # experiment replaced this join with a broadcast parent-hash
+        # lookup inside explode; measured 2x SLOWER in the downstream
+        # groupby-min loop — the join's hash-partitioned output feeds
+        # the winners shuffle better than raw fetch-shaped blocks — so
+        # the join stays.)
         t0 = _time.time()
-        combo_base = min(visit_orders)
-        nonleaf = [i for i, d in enumerate(depth_hints)
-                   if d != self.max_depth]
-        n_nonleaf = len(nonleaf)
-        ph_sorted = np.argsort(np.array(
-            [U.url_hash64(urls[i]) for i in nonleaf], dtype=np.int64),
-            kind='stable') if nonleaf else np.empty(0, np.int64)
-        p_hash = np.array([U.url_hash64(urls[i]) for i in nonleaf],
-                          dtype=np.int64)[ph_sorted] \
-            if nonleaf else np.empty(0, np.int64)
-        p_depth = np.array([depth_hints[i] for i in nonleaf],
-                           dtype=np.int32)[ph_sorted] \
-            if nonleaf else np.empty(0, np.int32)
-        p_visit = np.array([visit_orders[i] for i in nonleaf],
-                           dtype=np.int64)[ph_sorted] \
-            if nonleaf else np.empty(0, np.int64)
-        pmref = ray.put((p_hash, p_depth, p_visit))
-        max_depth_ = self.max_depth
 
         def explode(t: pa.Table) -> pa.Table:
-            phs, pds, pvs = ray.get(pmref)   # zero-copy numpy
             us = t.column('url').to_pylist()
             cl = t.column('cand_link').to_pylist()
             ch = t.column('cand_hash').to_pylist()
             cv = t.column('cand_valid').to_pylist()
-            uh = np.array([U.url_hash64(u) for u in us], dtype=np.int64)
-            pos = np.searchsorted(phs, uh) if len(phs) else \
-                np.zeros(len(uh), np.int64)
-            pos = np.clip(pos, 0, max(0, len(phs) - 1))
-            is_parent = (phs[pos] == uh) if len(phs) else \
-                np.zeros(len(uh), bool)
-            o_j, o_link, o_lh, o_valid = [], [], [], []
-            o_combo, o_ld, o_pv = [], [], []
-            for i, (links, hashes, valids) in enumerate(zip(cl, ch, cv)):
-                if hashes is None or not is_parent[i]:
-                    continue  # leaf parent: never registers candidates
-                d = int(pds[pos[i]])
-                v = int(pvs[pos[i]])
-                base = (v - combo_base) << 32
-                for j, (lk, lh, va) in enumerate(zip(links, hashes,
-                                                     valids)):
+            o_u, o_j, o_link, o_lh, o_valid = [], [], [], [], []
+            for u, links, hashes, valids in zip(us, cl, ch, cv):
+                if hashes is None:
+                    continue
+                for j, (lk, lh, va) in enumerate(zip(links, hashes, valids)):
+                    o_u.append(u)
                     o_j.append(j)
                     o_link.append(lk)
                     o_lh.append(lh)
                     o_valid.append(va)
-                    o_combo.append(base | j)
-                    o_ld.append(d + 1)
-                    o_pv.append(v)
             return pa.table({
+                'curl': pa.array(o_u, pa.string()),
                 'j': pa.array(o_j, pa.int32()),
                 'link': pa.array(o_link, pa.string()),
                 'lh': pa.array(o_lh, pa.int64()),
                 'valid': pa.array(o_valid, pa.bool_()),
-                'combo': pa.array(o_combo, pa.int64()),
-                'ldepth': pa.array(o_ld, pa.int32()),
-                'pvisit': pa.array(o_pv, pa.int64()),
             })
+
+        # parent metadata: only non-leaf parents emit candidates
+        # (max_depth leaf check, reference download.py:1029-1031)
+        meta = pa.table({
+            'purl': pa.array(urls, pa.string()),
+            'pdepth': pa.array(depth_hints, pa.int32()),
+            'pvisit': pa.array(visit_orders, pa.int64()),
+        }).filter(pc.not_equal(
+            pa.array(depth_hints, pa.int32()),
+            pa.scalar(self.max_depth, pa.int32())))
 
         def finish_no_candidates(n_candidates=0):
             # nothing to resolve this wave: empty next frontier, visits
@@ -1575,7 +1551,7 @@ class Crawler:
                                           stage_secs)
             return visits
 
-        if n_nonleaf == 0:
+        if meta.num_rows == 0:
             # every parent is a max-depth leaf: no candidate processing
             return finish_no_candidates()
         # all-leaf-page wave (every fetched page has zero links): the
@@ -1593,6 +1569,14 @@ class Crawler:
             return self._resolve_wave_metadata(
                 rec, urls, depth_hints, visit_orders, scheduled, hosts,
                 n_cand_total, stage_secs)
+        chunk = 65536
+        meta_ds = ray.data.from_arrow(
+            [meta.slice(i, chunk) for i in range(0, meta.num_rows, chunk)])
+
+        cand = (rec.map_batches(explode, batch_format='pyarrow')
+                .join(meta_ds, 'inner', num_partitions=P,
+                      on=('curl',), right_on=('purl',)))
+
         # combo packs (parent order, link idx) into one int64 for the
         # groupby-min first-seen resolution.  pvisit is rebased to the
         # wave-local index (visit orders are contiguous per wave) so the
@@ -1601,7 +1585,17 @@ class Crawler:
         # (it is a driver-held list), and j is int32 by schema.  All
         # combos within a wave shift by the same constant, so min-order
         # and the emission sort are unchanged.
-        cand = rec.map_batches(explode, batch_format='pyarrow')
+        combo_base = min(visit_orders)
+
+        def with_combo(t: pa.Table) -> pa.Table:
+            combo = pc.bit_wise_or(
+                pc.shift_left(
+                    pc.subtract(t['pvisit'], pa.scalar(combo_base, pa.int64())),
+                    pa.scalar(32, pa.int64())),
+                pc.cast(t['j'], pa.int64()))
+            t = t.append_column('combo', combo)
+            return t.append_column(
+                'ldepth', pc.add(t['pdepth'], pa.scalar(1, pa.int32())))
 
         seen = self.seen  # actor handles: picklable, shared by tasks
 
@@ -1611,8 +1605,9 @@ class Crawler:
             keys = np.asarray(t.column('lh'), dtype=np.int64).astype(np.uint64)
             return t.filter(pa.array(~seen.contains_batch(keys)))
 
-        fresh = (cand.map_batches(drop_preseen, batch_format='pyarrow',
-                                  batch_size=65536)
+        fresh = (cand.map_batches(with_combo, batch_format='pyarrow')
+                 .map_batches(drop_preseen, batch_format='pyarrow',
+                              batch_size=65536)
                  .materialize())
         n_candidates = fresh.count()
         stage_secs['seen_probe'] = _time.time() - t0
