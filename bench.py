@@ -292,6 +292,11 @@ def run_crawl_stress(chunked: bool = False):
     # (default: the cluster-memory auto gate)
     if os.environ.get('GRAFT_RESIDENT') in ('0', '1'):
         kw['resident_corpus'] = os.environ['GRAFT_RESIDENT'] == '1'
+    # GRAFT_STRESS_RESOLVE_LIMIT overrides the cluster-aware metadata-
+    # fold candidate budget (tier A/B experiments; default: auto)
+    if os.environ.get('GRAFT_STRESS_RESOLVE_LIMIT'):
+        kw['resolve_metadata_limit'] = \
+            int(os.environ['GRAFT_STRESS_RESOLVE_LIMIT'])
     scratch = None
     if chunked:
         scratch = tempfile.mkdtemp(prefix='graft_stress_fq_')

@@ -225,12 +225,16 @@ _SPILLED = '__frontier_in_queue__'
 #: metadata-fold tier auto budget (resolve_metadata_limit=None).  The
 #: fold is the wave loop's only driver-serial fraction, so its budget
 #: scales INVERSELY with cluster width: candidates_limit =
-#: min(MEM_CAP, WORK // cluster_cpus).  WORK is calibrated so the
-#: fold's serial seconds stay under ~5 % of a mega wave's parallel
-#: seconds at that width (measured on the 1M-page stress, BASELINE.md
-#: round 4); MEM_CAP bounds transient driver memory (~25 B/candidate
-#: numeric after the link-pull split ⇒ 24M ≈ 600 MB).
-RESOLVE_METADATA_WORK = 3_200_000
+#: min(MEM_CAP, WORK // cluster_cpus).  WORK is calibrated from the
+#: measured serial cost per candidate (~0.8 µs with the distributed
+#: explode pull — numeric columns only, lexsort+probe on the driver;
+#: BASELINE.md round 4) against the distributed tier's ~3-5 s of fixed
+#: per-wave shuffle latency: at 32 cpus the budget is 4M candidates
+#: (~3 s serial ≈ the distributed tier's fixed cost), at 256×32 cpus
+#: ~16k (any serial fold would dominate the wave).  MEM_CAP bounds
+#: transient driver memory (~25 B/candidate numeric after the
+#: link-pull split ⇒ 24M ≈ 600 MB).
+RESOLVE_METADATA_WORK = 128_000_000
 RESOLVE_METADATA_MEM_CAP = 24_000_000
 #: below this many candidates the metadata fold pulls link strings
 #: inline with the hashes (one pass, lowest latency); above it links
@@ -238,6 +242,9 @@ RESOLVE_METADATA_MEM_CAP = 24_000_000
 #: broadcast-hash filter — the pull is the fold's serial bandwidth,
 #: and link strings are ~10x the numeric columns.
 RESOLVE_LINK_PULL_INLINE = 262_144
+#: status-marker sentinel in the distributed candidate pull (a page
+#: whose status column is null — never a real HTTP status)
+_NO_STATUS = -(1 << 31)
 #: resident-corpus gate: when the store's total file bytes fit within
 #: this fraction of the cluster's object store, the crawler
 #: materializes (url, html, warc_ts) ONCE and serves every wave's
@@ -456,7 +463,8 @@ class Crawler:
                  now_ts: int | None = None, max_age_us: int | None = None,
                  mega_wave_chunk: int | None = 1_000_000,
                  politeness_clock: str = 'frozen',
-                 resident_corpus: bool | None = None):
+                 resident_corpus: bool | None = None,
+                 resolve_metadata_limit: int | None = None):
         """corpus: CorpusStore, or pyarrow.Table (tests), or dict url->html.
 
         cb: per-page callback ``cb(url, page) -> iterable of urls``
@@ -514,7 +522,7 @@ class Crawler:
         # tuned on one node silently becomes the scaling ceiling on 256.
         # Set to 0 to force the distributed resolve always, or to a
         # count to pin the tier boundary.
-        self.resolve_metadata_limit = None
+        self.resolve_metadata_limit = resolve_metadata_limit
         # spill frontier (reference pdict.Queue, pdict.py:402-497):
         # waves larger than the threshold live in the durable on-disk
         # queue instead of a driver Python list — depth rides encoded
@@ -1756,10 +1764,22 @@ class Crawler:
         # mega waves: link STRINGS are ~10x the numeric candidate
         # columns and only the winners' strings are ever needed — leave
         # them distributed and fetch winners after the fold (see
-        # RESOLVE_LINK_PULL_INLINE)
+        # RESOLVE_LINK_PULL_INLINE); past the same threshold the
+        # explode/flatten itself runs distributed and only 4 numeric
+        # columns (~25 B/candidate) cross to the driver — the per-batch
+        # driver flatten was the fold tier's serial bandwidth ceiling
+        # (~10 s per 274k-row wave, BASELINE.md round 4)
         pull_links = n_cand_total <= RESOLVE_LINK_PULL_INLINE
-        pull_cols = ['url', 'status', 'cand_hash', 'cand_valid'] + \
-            (['cand_link'] if pull_links else [])
+        if not pull_links:
+            parent, jj, lh, valid, status_of = \
+                self._pull_candidates_distributed(rec, urls, depth_arr)
+            links_arr = None
+            stage_secs['meta_pull'] = _time.time() - t0
+            return self._fold_candidates(
+                rec, urls, depth_hints, visit_orders, scheduled, hosts,
+                n_cand_total, stage_secs, parent, jj, lh, valid,
+                links_arr, status_of)
+        pull_cols = ['url', 'status', 'cand_hash', 'cand_valid', 'cand_link']
         for b in rec.select_columns(pull_cols).iter_batches(
                 batch_size=65536, batch_format='pyarrow'):
             b_urls = b.column('url').to_pylist()
@@ -1815,13 +1835,123 @@ class Crawler:
             lh = np.concatenate(lh_chunks)
             valid = np.concatenate(valid_chunks)
             links_arr = pa.concat_arrays(
-                [c.cast(pa.string()) for c in link_chunks]) \
-                if pull_links else None
+                [c.cast(pa.string()) for c in link_chunks])
         else:
             parent = jj = lh = np.empty(0, dtype=np.int64)
             valid = np.empty(0, dtype=bool)
             links_arr = pa.array([], pa.string())
         stage_secs['meta_pull'] = _time.time() - t0
+        return self._fold_candidates(
+            rec, urls, depth_hints, visit_orders, scheduled, hosts,
+            n_cand_total, stage_secs, parent, jj, lh, valid, links_arr,
+            status_of)
+
+    def _pull_candidates_distributed(self, rec, urls, depth_arr):
+        """Mega-wave candidate pull: the explode/flatten runs as a
+        ``map_batches`` stage and only four numeric columns
+        (parent wave index, link idx, link hash, validity) plus one
+        status marker row per page cross to the driver.  Parent rows
+        map to wave indices through a broadcast sorted url-hash triple
+        (zero-copy numpy in every task) — the driver never decodes the
+        wave's list columns, so the fold tier's serial fraction is the
+        numpy sort/probe, not pull bandwidth.
+
+        Returns ``(parent, j, lh, valid, status_of)`` in arbitrary row
+        order (the fold lexsorts) with max-depth leaf parents' candidates
+        already dropped (reference download.py:1029-1031).
+        """
+        import ray
+
+        ph = np.fromiter((U.url_hash64(u) for u in urls), dtype=np.int64,
+                         count=len(urls))
+        order = np.argsort(ph, kind='stable')
+        phs_ref = ray.put(ph[order])
+        ord_ref = ray.put(order)
+
+        def explode_meta(t: pa.Table) -> pa.Table:
+            phs = ray.get(phs_ref)
+            orda = ray.get(ord_ref)
+            b_urls = t.column('url').to_pylist()
+            nb = len(b_urls)
+            hh = np.fromiter((U.url_hash64(u) for u in b_urls),
+                             dtype=np.int64, count=nb)
+            pos = np.searchsorted(phs, hh)
+            # every rec url is in the wave by construction (the fetch
+            # is a lookup of the wave's urls)
+            rows = orda[pos]
+            stat = pc.fill_null(
+                pc.cast(t.column('status'), pa.int64()),
+                _NO_STATUS).combine_chunks().to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(t.column('cand_hash')) \
+                .combine_chunks().to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            total = int(lens.sum())
+            if total:
+                parent = np.repeat(rows, lens)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                j = np.arange(total, dtype=np.int64) \
+                    - np.repeat(starts, lens)
+                lh_np = pc.list_flatten(t.column('cand_hash')) \
+                    .combine_chunks().to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                v_np = pc.list_flatten(t.column('cand_valid')) \
+                    .combine_chunks().to_numpy(zero_copy_only=False) \
+                    .astype(bool)
+            else:
+                parent = j = lh_np = np.empty(0, dtype=np.int64)
+                v_np = np.empty(0, dtype=bool)
+            return pa.table({
+                'parent': pa.array(np.concatenate([parent, rows]),
+                                   pa.int64()),
+                'j': pa.array(np.concatenate([j, stat.astype(np.int64)]),
+                              pa.int64()),
+                'lh': pa.array(np.concatenate(
+                    [lh_np, np.zeros(nb, np.int64)]), pa.int64()),
+                'valid': pa.array(np.concatenate(
+                    [v_np, np.zeros(nb, bool)]), pa.bool_()),
+                'is_status': pa.array(np.concatenate(
+                    [np.zeros(total, bool), np.ones(nb, bool)]),
+                    pa.bool_()),
+            })
+
+        parts = {k: [] for k in ('parent', 'j', 'lh', 'valid')}
+        status_of = {}
+        for b in rec.map_batches(explode_meta, batch_format='pyarrow') \
+                .iter_batches(batch_size=1 << 20, batch_format='pyarrow'):
+            isst = np.asarray(b.column('is_status')).astype(bool)
+            p = np.asarray(b.column('parent'), dtype=np.int64)
+            j = np.asarray(b.column('j'), dtype=np.int64)
+            for pi, sj in zip(p[isst], j[isst]):
+                if sj != _NO_STATUS:
+                    status_of[urls[pi]] = int(sj)
+            cand = ~isst
+            # max-depth leaf parents never register candidates
+            cand &= depth_arr[p] != self.max_depth
+            parts['parent'].append(p[cand])
+            parts['j'].append(j[cand])
+            parts['lh'].append(
+                np.asarray(b.column('lh'), dtype=np.int64)[cand])
+            parts['valid'].append(
+                np.asarray(b.column('valid')).astype(bool)[cand])
+        if parts['parent']:
+            return (np.concatenate(parts['parent']),
+                    np.concatenate(parts['j']),
+                    np.concatenate(parts['lh']),
+                    np.concatenate(parts['valid']), status_of)
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, bool), status_of)
+
+    def _fold_candidates(self, rec, urls, depth_hints, visit_orders,
+                         scheduled, hosts, n_cand_total, stage_secs,
+                         parent, jj, lh, valid, links_arr, status_of):
+        """The metadata fold proper: lexsort to candidate order, probe
+        the seen shards once, take vectorized first-seen winners (exact
+        sequential fold only when a parent hits the ``max_links``
+        break), register, emit.  Shared by the inline and distributed
+        pull paths of :meth:`_resolve_wave_metadata`."""
+        import time as _time
+
+        depth_arr = np.asarray(depth_hints, dtype=np.int32)
         t0 = _time.time()
         # candidate fold order = (parent visit order, link idx)
         sort_idx = np.lexsort((jj, parent))
