@@ -376,11 +376,115 @@ def run_crawl_scaling():
     }))
 
 
+def run_wave_chain():
+    """One synthetic MEGA WAVE's fetch+extract+prep chain (every 3rd
+    page of the bench corpus, ~N/3 urls) against the parquet point-read
+    path — the per-wave work that dominates a 10^10-URL crawl, isolated
+    from the wave loop's fixed per-wave costs.  Store override via
+    GRAFT_STRESS_STORE; prints one JSON line."""
+    os.environ['PYTHONPATH'] = REPO + os.pathsep + \
+        os.environ.get('PYTHONPATH', '')
+    import pyarrow as _pa
+    _pa.set_cpu_count(NUM_CPUS)
+    _pa.set_io_thread_count(max(2, NUM_CPUS // 2))
+    import ray
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import hashlib as _hl
+
+    from webscraping_ray.pipelines.crawl import PrepCandidates
+    from webscraping_ray.sources import corpus, store
+    from webscraping_ray.stages.extract_stage import ExtractPages
+
+    root = os.environ.get('GRAFT_STRESS_STORE')
+    if not root:
+        root, _ = ensure_corpus()
+    cs = store.CorpusStore(root)
+    cs.read_all(columns=['url']).count()    # warm page cache (untimed)
+    cumw = corpus.host_cumweights(N_HOSTS)
+    stride = int(os.environ.get('GRAFT_WAVE_STRIDE', '3'))
+    urls = [corpus.page_url(corpus.page_host_id(i, CORPUS_SEED, cumw), i)
+            for i in range(0, N_PAGES, stride)]
+    # GRAFT_WAVE_KERNELS=full adds contacts+excerpt (the bench crawl's
+    # config) — higher kernel compute per decoded byte, which separates
+    # the scalable-compute story from single-host decode bandwidth
+    full = os.environ.get('GRAFT_WAVE_KERNELS') == 'full'
+    extract = ExtractPages(with_links=True, with_contacts=full,
+                           with_excerpt=full)
+    prep = PrepCandidates('', '^$', None)
+    t0 = time.time()
+    rec = (cs.lookup_ds(urls, columns=['url', 'html', 'warc_ts'])
+           .map_batches(extract, batch_format='pyarrow', batch_size=256)
+           .map_batches(prep, batch_format='pyarrow', batch_size=256)
+           .materialize())
+    secs = time.time() - t0
+    import pyarrow.compute as pc
+    fp_parts = []
+    for b in rec.select_columns(['url', 'status']) \
+            .iter_batches(batch_size=65536, batch_format='pyarrow'):
+        fp_parts.extend(sorted(b.column('url').to_pylist()))
+    fp = _hl.blake2b('|'.join(sorted(fp_parts)).encode(),
+                     digest_size=8).hexdigest()
+    out = {'num_cpus': NUM_CPUS, 'wave_rows': rec.count(),
+           'seconds': round(secs, 3),
+           'pages_per_sec': round(rec.count() / secs, 1),
+           'wave_fingerprint': fp}
+    ray.shutdown()
+    return out
+
+
+def run_wave_scaling():
+    """The mega-wave chain at 8 and 32 cpus in fresh processes
+    (best-of-2, fingerprints asserted identical) — evidence that the
+    per-wave WORK scales even where the 26-wave stress's fixed costs
+    (~0.5-1 s/wave: politeness RPC, Ray job submit, fold) dominate a
+    sandbox-size run."""
+    if not os.path.exists(os.path.join(corpus_root(), '_corpus_meta.json')):
+        subprocess.run([sys.executable, '-c',
+                        'import bench; bench.ensure_corpus()'],
+                       env=dict(os.environ, RAY_GRAFT_CPUS='32'),
+                       capture_output=True, text=True, check=True, cwd=REPO)
+
+    def run_once(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'bench.py'), '--wave-chain'],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=REPO).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def best(ncpu, reps=2):
+        runs = [run_once(ncpu) for _ in range(reps)]
+        assert len({r['wave_fingerprint'] for r in runs}) == 1
+        return min(runs, key=lambda r: r['seconds'])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = best(lo), best(hi)
+    eff = (r_lo['seconds'] / r_hi['seconds']) / (hi / lo)
+    print(json.dumps({
+        'wave_rows': r_hi['wave_rows'],
+        'wave_sec_%d' % lo: r_lo['seconds'],
+        'wave_sec_%d' % hi: r_hi['seconds'],
+        'wave_pps_%d' % lo: r_lo['pages_per_sec'],
+        'wave_pps_%d' % hi: r_hi['pages_per_sec'],
+        'wave_scaling_efficiency': round(eff, 3),
+        'outputs_identical':
+            r_lo['wave_fingerprint'] == r_hi['wave_fingerprint'],
+    }))
+
+
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         run_scaling()
     elif '--crawl-scaling' in sys.argv:
         run_crawl_scaling()
+    elif '--wave-scaling' in sys.argv:
+        run_wave_scaling()
+    elif '--wave-chain' in sys.argv:
+        print(json.dumps(run_wave_chain()))
     elif '--crawl-stress' in sys.argv:
         print(json.dumps(run_crawl_stress(chunked='--chunked' in sys.argv)))
     else:

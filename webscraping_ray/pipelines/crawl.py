@@ -454,7 +454,7 @@ class Crawler:
                  with_contacts: bool = False, with_excerpt: bool = False,
                  num_redirects: int = 0, state_file: str | None = None,
                  as_of_ts: int | None = None, output_dir: str | None = None,
-                 inline_threshold: int = 256, table_threshold: int = 8192,
+                 inline_threshold: int = 256, table_threshold: int = 2048,
                  resolve_distributed_threshold: int = 50_000,
                  frontier_queue_dir: str | None = None,
                  frontier_spill_threshold: int = 100_000,
@@ -496,7 +496,13 @@ class Crawler:
         self.as_of_ts = as_of_ts
         # wave-size tiers for the fetch (see _fetch_extract): at 10^10
         # scale only the lookup_ds path runs; the lower tiers kill the
-        # fixed Ray-job latency that dominates small BFS waves
+        # fixed Ray-job latency that dominates small BFS waves.  The
+        # table default (2048) is the measured driver-scan vs
+        # distributed-point-read crossover on a KB-page host-layout
+        # store (lookup_table 2.9 s vs lookup_ds 3.6 s at 1,372 urls;
+        # 7.7 s vs 3.9 s at 7,455 — BASELINE.md round 4); the driver
+        # scan also doesn't scale with the cluster, so mid waves
+        # belong distributed.
         self.inline_threshold = inline_threshold
         self.table_threshold = table_threshold
         # distributed-RESOLVE threshold (≠ the fetch tiers): above it a

@@ -209,6 +209,89 @@ def _detect_multi_snapshot(root: str, num_buckets: int) -> bool:
     return any(ray.get(futs)) if futs else False
 
 
+_POINT_READ_DS_CLS = None
+
+
+def _point_read_datasource_cls():
+    """The ``_PointReadDatasourceImpl`` subclass of
+    ``ray.data.Datasource``, created lazily (this module must import
+    ray-free for the kernel layer) and cached."""
+    global _POINT_READ_DS_CLS
+    if _POINT_READ_DS_CLS is None:
+        from ray.data.datasource import Datasource
+
+        _POINT_READ_DS_CLS = type('_PointReadDatasourceImpl',
+                                  (_PointReadDatasource, Datasource), {})
+    return _POINT_READ_DS_CLS
+
+
+class _PointReadDatasource:
+    """Datasource for :meth:`CorpusStore._pruned_point_read`: one
+    ReadTask per row-group chunk with a real decoded-size estimate, so
+    the streaming executor schedules chunks as parallel tasks instead
+    of bundling the tiny descriptors into one (see the measurement in
+    ``_pruned_point_read``'s docstring)."""
+
+    def __init__(self, items, want_ref, cols, schema):
+        self.items = items          # [(path, lo, hi, est_bytes)]
+        self.want_ref = want_ref
+        self.cols = cols
+        self.schema = schema
+
+    def get_name(self) -> str:
+        return 'CorpusPointRead'
+
+    def estimate_inmemory_data_size(self):
+        return sum(it[3] for it in self.items)
+
+    def get_read_tasks(self, parallelism: int):
+        import ray
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        import pyarrow.parquet as pq
+
+        want_ref, cols, schema = self.want_ref, self.cols, self.schema
+
+        def make_read(path, lo, hi):
+            def _read():
+                import bisect
+
+                wanted = ray.get(want_ref)     # zero-copy shared memory
+                wl = wanted.to_pylist()
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                span = range(lo, md.num_row_groups if hi < 0
+                             else min(hi, md.num_row_groups))
+                try:
+                    ci = next(i for i in range(md.num_columns)
+                              if md.schema.column(i).name == 'url')
+                    groups = []
+                    for rg in span:
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            groups = list(span)
+                            break
+                        i = bisect.bisect_left(wl, st.min)
+                        if i < len(wl) and wl[i] <= st.max:
+                            groups.append(rg)
+                except StopIteration:
+                    groups = list(span)
+                if not groups:
+                    return [schema.empty_table()]
+                t = pf.read_row_groups(groups, columns=cols)
+                t = t.filter(pc.is_in(t['url'], value_set=wanted))
+                return [t.select(schema.names)]
+            return _read
+
+        return [ReadTask(make_read(path, lo, hi),
+                         BlockMetadata(num_rows=None, size_bytes=est,
+                                       exec_stats=None,
+                                       input_files=[path]),
+                         schema=schema)
+                for path, lo, hi, est in self.items]
+
+
 class CorpusStore:
     """Read side of the bucketed corpus."""
 
@@ -297,14 +380,23 @@ class CorpusStore:
     POINT_READ_GROUPS_PER_TASK = 16
 
     def _pruned_point_read(self, files, want: pa.Array, columns):
-        """Distributed row-group-pruned point read: one Ray task per
+        """Distributed row-group-pruned point read: one ReadTask per
         row-group CHUNK (the build-time ``file_groups`` manifest splits
         each file into POINT_READ_GROUPS_PER_TASK-group ranges with no
         driver-side footer reads); each task reads its file's footer,
         selects only the in-range groups whose url min/max intersects
         the (broadcast, zero-copy) sorted wanted-url array, decodes
         those groups, and isin-filters.  Driver state is O(tasks)
-        paths+ranges."""
+        paths+ranges.
+
+        Implemented as a ``ray.data.Datasource`` so every chunk carries
+        a real ``size_bytes`` estimate: ``from_items`` descriptor blocks
+        are ~100 B each, and Ray Data's map operator bundles input
+        blocks up to ``target_max_block_size`` — which packed EVERY
+        chunk of a mega wave into 1-2 tasks and serialized the whole
+        fetch+extract chain (measured: 292k-row wave, 329 chunks → 2
+        tasks, 168 s; with ReadTask size metadata the executor
+        schedules chunks individually → 12 s at 32 cpus)."""
         import ray
         import ray.data
 
@@ -317,58 +409,32 @@ class CorpusStore:
                                 if c in schema.names])
         cols = list(schema.names) if columns else None
 
-        def read_pruned(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(want_ref)     # zero-copy shared memory
-            wl = wanted.to_pylist()
-            out = []
-            for path, lo, hi in zip(batch.column('path').to_pylist(),
-                                    batch.column('lo').to_pylist(),
-                                    batch.column('hi').to_pylist()):
-                pf = pq.ParquetFile(path)
-                md = pf.metadata
-                span = range(lo, md.num_row_groups if hi < 0
-                             else min(hi, md.num_row_groups))
-                try:
-                    ci = next(i for i in range(md.num_columns)
-                              if md.schema.column(i).name == 'url')
-                    groups = []
-                    for rg in span:
-                        st = md.row_group(rg).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            groups = list(span)
-                            break
-                        import bisect
-
-                        i = bisect.bisect_left(wl, st.min)
-                        if i < len(wl) and wl[i] <= st.max:
-                            groups.append(rg)
-                except StopIteration:
-                    groups = list(span)
-                if not groups:
-                    continue
-                t = pf.read_row_groups(groups, columns=cols)
-                t = t.filter(pc.is_in(t['url'], value_set=wanted))
-                if t.num_rows:
-                    out.append(t.select(schema.names))
-            if not out:
-                return schema.empty_table()
-            return pa.concat_tables(out)
-
         step = self.POINT_READ_GROUPS_PER_TASK
         items = []
         for f in files:
             ng = self.file_groups.get(os.path.relpath(f, self.root),
                                       [None])[0]
+            fsize = None
             if ng is None:
                 # pre-manifest store: one task reads the whole file
-                items.append({'path': f, 'lo': 0, 'hi': -1})
+                items.append((f, 0, -1, self._file_size(f)))
             else:
+                fsize = self._file_size(f)
                 for lo in range(0, ng, step):
-                    items.append({'path': f, 'lo': lo,
-                                  'hi': min(lo + step, ng)})
-        return (ray.data.from_items(items,
-                                    override_num_blocks=len(items))
-                .map_batches(read_pruned, batch_format='pyarrow'))
+                    hi = min(lo + step, ng)
+                    # decoded-bytes estimate: compressed span bytes x3
+                    items.append((f, lo, hi,
+                                  int(fsize * (hi - lo) / max(1, ng)) * 3))
+        src = _point_read_datasource_cls()(items, want_ref, cols, schema)
+        return ray.data.read_datasource(src,
+                                        override_num_blocks=len(items))
+
+    def _file_size(self, path: str) -> int:
+        if not hasattr(self, '_fsize_cache'):
+            self._fsize_cache = {}
+        if path not in self._fsize_cache:
+            self._fsize_cache[path] = os.path.getsize(path)
+        return self._fsize_cache[path]
 
     def _rg_spans(self, path):
         """Cached per-row-group (min_url, max_url) stats of one file.
