@@ -215,8 +215,13 @@ _POINT_READ_DS_CLS = None
 #: many rows, so a one-row-group file holding a dense wave's biggest
 #: slab doesn't become one straggler extract task downstream
 #: (measured on the 333k-url mega wave: the 8.7k-row block cost 3.8 s
-#: in extract vs a 1.5 s task mean)
-POINT_READ_OUT_ROWS = 2048
+#: in extract vs a 1.5 s task mean).  512 (not 2048) packs a 32-cpu
+#: extract stage: the 120k-page full-kernel wave ran as 86 tasks of
+#: 0.96-8.78 s at 2048 rows (2.7 task rounds, tail-bound, 70%
+#: utilization) vs best-of-2 walls 18.8->16.0 s at 32 cpus and
+#: 55.2->52.6 s at 8 cpus with 512-row blocks (8->32 efficiency
+#: 0.63->0.82); 256 regresses (20.8 s) on per-task overhead.
+POINT_READ_OUT_ROWS = 512
 
 #: per-worker-process cache of the materialized wanted-url array
 #: (sorted numpy object array for the row-group min/max probes):
