@@ -256,3 +256,96 @@ def test_seed_iter_crawl(ray_session):
     want = pa.concat_tables([a, b])
     assert v.column('url').to_pylist() == want.column('url').to_pylist()
     assert v.column('depth').to_pylist() == want.column('depth').to_pylist()
+
+
+def test_queue_claims_journal_replay_and_torn_tail(tmp_path):
+    """Pulls commit via claims.log appends; reopen replays committed
+    batches, and a torn final line (crash mid-append) means that pull
+    never committed — its batch is re-offered."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root)
+    q.push([('a', 3), ('b', 2), ('c', 1)])
+    assert q.pull(limit=1) == ['a']
+    assert q.pull(limit=1) == ['b']
+    assert os.path.exists(os.path.join(root, 'claims.log'))
+    # reopen: journaled claims hold, only 'c' remains
+    q2 = ParquetQueue(root)
+    assert q2.pull(limit=10) == ['c']
+    # torn tail: corrupt the LAST line -> that pull is uncommitted
+    with open(os.path.join(root, 'claims.log')) as f:
+        lines = f.read().splitlines()
+    with open(os.path.join(root, 'claims.log'), 'w') as f:
+        f.write('\n'.join(lines[:-1] + [lines[-1][:len(lines[-1]) // 2]]))
+    q3 = ParquetQueue(root)
+    assert q3.pull(limit=10) == ['c']    # c's claim was the torn line
+
+
+def test_queue_checkpoint_claims_rewind(tmp_path):
+    """checkpoint_claims consolidates base+journal; restore_claims
+    rewinds post-checkpoint pulls to unclaimed even if a stale
+    claims.log survives (gen mismatch orphans it)."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root)
+    q.push([('a', 3), ('b', 2), ('c', 1)])
+    assert q.pull(limit=1) == ['a']          # journaled pre-checkpoint
+    snap = str(tmp_path / 'ckpt.json')
+    q.checkpoint_claims(snap)
+    assert q.pull(limit=1) == ['b']          # post-checkpoint (in-flight)
+    # crash + resume: rewind claims to the checkpoint
+    ParquetQueue.restore_claims(snap, root)
+    q2 = ParquetQueue(root)
+    assert q2.pull(limit=10) == ['b', 'c']   # b re-offered, a stays claimed
+    # the stale-log defence alone must also hold: restore WITHOUT
+    # deleting claims.log (gen mismatch orphans the stale lines)
+    q2.push([('d', 9)])
+    assert q2.pull(limit=1) == ['d']
+    import shutil
+    shutil.copy(snap, os.path.join(root, 'claims.json'))
+    q3 = ParquetQueue(root)
+    assert q3.pull(limit=10) == ['d', 'b', 'c']   # priority desc
+
+
+def test_queue_cursor_merges_late_high_priority_push(tmp_path):
+    """The persistent merge cursor must yield later-pushed
+    higher-priority keys before already-buffered lower ones — parity
+    with a fresh-reopen merge (the sqlite ORDER BY semantics)."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root)
+    q.push([('low1', 1), ('low2', 1), ('low3', 1)])
+    assert q.pull(limit=1) == ['low1']       # cursor now mid-merge
+    q.push([('hi', 9), ('mid', 5)])
+    assert q.pull(limit=3) == ['hi', 'mid', 'low2']
+    # cross-check: a fresh handle (restart merge) agrees on the rest
+    q2 = ParquetQueue(root)
+    assert q2.pull(limit=10) == ['low3']
+
+
+def test_queue_pull_reads_each_row_once(tmp_path, monkeypatch):
+    """The scale contract of the round-4 cursor: N queued rows cost
+    O(N) iterator steps across ALL pulls of one handle, not
+    O(N^2 / chunk) from per-pull merge restarts."""
+    from webscraping_ray.pipelines import frontier as F
+    root = str(tmp_path / 'q')
+    q = F.ParquetQueue(root)
+    n = 5000
+    q.push([('k%05d' % i, i % 7) for i in range(n)])
+    steps = 0
+    orig = F.ParquetQueue._iter_segment
+
+    def counting(self, seg):
+        nonlocal steps
+        for row in orig(self, seg):
+            steps += 1
+            yield row
+    monkeypatch.setattr(F.ParquetQueue, '_iter_segment', counting)
+    pulled = 0
+    while True:
+        batch = q.pull(97)
+        if not batch:
+            break
+        pulled += len(batch)
+    assert pulled == n
+    assert steps <= n + 10, steps

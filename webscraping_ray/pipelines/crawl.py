@@ -2211,12 +2211,13 @@ class Crawler:
         with open(os.path.join(tmp, 'politeness.json'), 'w') as f:
             json.dump(self.politeness.snapshots(), f)
         if spilled:
-            # queue watermark lineage: snapshot the claims manifest so
+            # queue watermark lineage: consolidated claims snapshot
+            # (base manifest + journaled pulls — the on-disk
+            # claims.json alone may be older than the claims.log) so
             # resume rewinds any post-checkpoint pull (the in-flight
             # wave) back to unclaimed
-            import shutil
-            shutil.copy(os.path.join(self.frontier_queue_dir, 'claims.json'),
-                        os.path.join(tmp, 'queue_claims.json'))
+            self._queue().checkpoint_claims(
+                os.path.join(tmp, 'queue_claims.json'))
         with open(os.path.join(tmp, 'manifest.json'), 'w') as f:
             json.dump({'wave': self.wave, 'visit_counter': self.visit_counter,
                        'num_seen_shards': self.seen.num_shards,
@@ -2278,12 +2279,14 @@ class Crawler:
         self._wave_start = float(man.get('wave_start', 0.0))
         if man.get('frontier_spilled'):
             # rewind the queue's claim watermark to checkpoint time and
-            # reopen (rebuilds the in-memory hash index)
-            import shutil
+            # reopen (rebuilds the in-memory hash index); restore also
+            # drops any claims.log — its post-checkpoint pulls are the
+            # in-flight work being rewound
+            from .frontier import ParquetQueue
             qdir = man.get('frontier_queue_dir') or self.frontier_queue_dir
             self.frontier_queue_dir = qdir
-            shutil.copy(os.path.join(wave_dir, 'queue_claims.json'),
-                        os.path.join(qdir, 'claims.json'))
+            ParquetQueue.restore_claims(
+                os.path.join(wave_dir, 'queue_claims.json'), qdir)
             self._frontier_queue = None
             return _SPILLED
         fr = pq.read_table(os.path.join(wave_dir, 'frontier.parquet'))
