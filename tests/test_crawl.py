@@ -288,3 +288,57 @@ def test_resume_rejects_shard_mismatch(ray_session, small_corpus, tmp_path):
     c2 = Crawler(tbl, max_depth=3, checkpoint_dir=ckpt, num_seen_shards=8)
     with pytest.raises(ValueError, match='seen shards'):
         c2.run_resumed()
+
+
+def test_delta_seen_lineage_resume(ray_session, small_corpus, tmp_path):
+    """Round-4 delta lineage: non-full waves checkpoint only the
+    added-key delta (seen_delta.parquet), full snapshots appear every
+    SEEN_FULL_SNAPSHOT_EVERY waves, and resume-from-a-delta-wave
+    reproduces the uninterrupted crawl exactly."""
+    import os
+
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=4, max_links=10)
+
+    ckpt = str(tmp_path / 'ckpt')
+    c1 = Crawler(tbl, max_depth=4, max_links=10, checkpoint_dir=ckpt)
+    part1 = c1.run(seeds, stop_after_wave=2)   # waves 0..2, then "killed"
+    # wave 0 is the full base; waves 1..2 are delta records
+    assert os.path.exists(os.path.join(ckpt, 'wave_00000', 'seen.parquet'))
+    for w in (1, 2):
+        d = os.path.join(ckpt, 'wave_%05d' % w)
+        assert os.path.exists(os.path.join(d, 'seen_delta.parquet'))
+        assert not os.path.exists(os.path.join(d, 'seen.parquet'))
+    c2 = Crawler(tbl, max_depth=4, max_links=10, checkpoint_dir=ckpt)
+    part2 = c2.run_resumed()
+    resumed = pa.concat_tables([part1, part2])
+    assert resumed.to_pylist() == full.to_pylist()
+
+
+def test_delta_seen_lineage_second_full_snapshot(ray_session, small_corpus,
+                                                 tmp_path, monkeypatch):
+    """After SEEN_FULL_SNAPSHOT_EVERY waves a new FULL snapshot rolls
+    the delta chain over; resume from past the rollover restores the
+    NEW base and replays only the deltas after it."""
+    import os
+
+    monkeypatch.setattr(Crawler, 'SEEN_FULL_SNAPSHOT_EVERY', 2)
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=4, max_links=10)
+
+    ckpt = str(tmp_path / 'ckpt')
+    c1 = Crawler(tbl, max_depth=4, max_links=10, checkpoint_dir=ckpt)
+    part1 = c1.run(seeds, stop_after_wave=3)   # waves 0..3
+    # wave 0 full (base), wave 1 delta, wave 2 full (rollover), 3 delta
+    assert os.path.exists(os.path.join(ckpt, 'wave_00000', 'seen.parquet'))
+    assert os.path.exists(
+        os.path.join(ckpt, 'wave_00001', 'seen_delta.parquet'))
+    assert os.path.exists(os.path.join(ckpt, 'wave_00002', 'seen.parquet'))
+    assert os.path.exists(
+        os.path.join(ckpt, 'wave_00003', 'seen_delta.parquet'))
+    c2 = Crawler(tbl, max_depth=4, max_links=10, checkpoint_dir=ckpt)
+    part2 = c2.run_resumed()
+    resumed = pa.concat_tables([part1, part2])
+    assert resumed.to_pylist() == full.to_pylist()

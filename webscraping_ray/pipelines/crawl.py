@@ -443,6 +443,11 @@ def run_cb(cb, url: str, page: str):
 class Crawler:
     """BFS wave-loop crawler over a bucketed Parquet corpus."""
 
+    #: checkpoint lineage writes a FULL seen-set snapshot every this
+    #: many waves and O(wave) added-key deltas in between; resume
+    #: replays at most this many deltas on top of the last full one
+    SEEN_FULL_SNAPSHOT_EVERY = 16
+
     def __init__(self, corpus, max_depth: int = 1, max_links: int = 100,
                  allowed_urls: str = '', banned_urls: str = '^$', robots=None,
                  delay: float = 5.0, throttle_additional_key: str | None = None,
@@ -544,8 +549,13 @@ class Crawler:
         # None = unlimited (whole wave per pull).
         self.mega_wave_chunk = mega_wave_chunk
         self._frontier_queue = None
+        # journal=checkpointing: shards record per-wave added-key
+        # deltas only when checkpoints drain them (delta lineage —
+        # full filter snapshots every wave would be O(seen) x waves)
         self.seen = ShardedSeenSet(num_seen_shards, seen_kind,
-                                   seen_capacity_per_shard, use_ray=use_ray)
+                                   seen_capacity_per_shard, use_ray=use_ray,
+                                   journal=bool(checkpoint_dir))
+        self._seen_base_wave = None     # wave of the last FULL snapshot
         self.politeness = PolitenessPool(num_politeness_shards, delay,
                                          use_ray=use_ray,
                                          additional_key=throttle_additional_key)
@@ -2199,15 +2209,35 @@ class Crawler:
                 'url': pa.array([u for u, _ in frontier], pa.string()),
                 'depth': pa.array([d for _, d in frontier], pa.int32()),
             }), os.path.join(tmp, 'frontier.parquet'))
-        # seen lineage: (shard, kind, snapshot, num_urls)
-        snaps = self.seen.snapshots()
+        # seen lineage: a FULL (shard, kind, snapshot) record every
+        # SEEN_FULL_SNAPSHOT_EVERY waves, per-wave added-key DELTAS in
+        # between — full snapshots every wave are O(seen) x waves
+        # (quadratic over the crawl; ~80 GB/wave at 10^10 urls), while
+        # a delta is O(that wave's new urls) and resume replays
+        # base..latest (bounded by SEEN_FULL_SNAPSHOT_EVERY deltas)
+        seen_full = (self._seen_base_wave is None or
+                     self.wave - self._seen_base_wave >=
+                     self.SEEN_FULL_SNAPSHOT_EVERY)
         counts = self.seen.counts()
-        pq.write_table(pa.table({
-            'shard': pa.array([s for s, _, _ in snaps], pa.int32()),
-            'filter_kind': pa.array([k for _, k, _ in snaps], pa.string()),
-            'snapshot': pa.array([b for _, _, b in snaps], pa.large_binary()),
-            'num_urls': pa.array(counts, pa.int64()),
-        }), os.path.join(tmp, 'seen.parquet'))
+        if seen_full:
+            snaps = self.seen.snapshots()   # also clears the journal
+            pq.write_table(pa.table({
+                'shard': pa.array([s for s, _, _ in snaps], pa.int32()),
+                'filter_kind': pa.array([k for _, k, _ in snaps],
+                                        pa.string()),
+                'snapshot': pa.array([b for _, _, b in snaps],
+                                     pa.large_binary()),
+                'num_urls': pa.array(counts, pa.int64()),
+            }), os.path.join(tmp, 'seen.parquet'))
+            self._seen_base_wave = self.wave
+        else:
+            deltas = self.seen.drain_deltas()
+            pq.write_table(pa.table({
+                'shard': pa.array([s for s, _ in deltas], pa.int32()),
+                'delta': pa.array([b for _, b in deltas],
+                                  pa.large_binary()),
+                'num_urls': pa.array(counts, pa.int64()),
+            }), os.path.join(tmp, 'seen_delta.parquet'))
         with open(os.path.join(tmp, 'politeness.json'), 'w') as f:
             json.dump(self.politeness.snapshots(), f)
         if spilled:
@@ -2222,6 +2252,8 @@ class Crawler:
             json.dump({'wave': self.wave, 'visit_counter': self.visit_counter,
                        'num_seen_shards': self.seen.num_shards,
                        'seen_kind': self.seen.kind,
+                       'seen_full': seen_full,
+                       'seen_base_wave': self._seen_base_wave,
                        'num_politeness_shards': self.politeness.num_shards,
                        'frontier_spilled': spilled,
                        'frontier_queue_dir': self.frontier_queue_dir,
@@ -2253,13 +2285,28 @@ class Crawler:
             if not done:
                 return None
             wave_dir = os.path.join(root, done[-1])
-        seen_tbl = pq.read_table(os.path.join(wave_dir, 'seen.parquet'))
-        self.seen.restore([(r['shard'], r['filter_kind'], r['snapshot'])
-                           for r in seen_tbl.to_pylist()])
-        with open(os.path.join(wave_dir, 'politeness.json')) as f:
-            self.politeness.restore(json.load(f))
         with open(os.path.join(wave_dir, 'manifest.json')) as f:
             man = json.load(f)
+        if man.get('seen_full', True):
+            seen_tbl = pq.read_table(os.path.join(wave_dir, 'seen.parquet'))
+            self.seen.restore([(r['shard'], r['filter_kind'], r['snapshot'])
+                               for r in seen_tbl.to_pylist()])
+        else:
+            # delta lineage: restore the base FULL snapshot, then
+            # replay each subsequent wave's added-key delta in order
+            base = man['seen_base_wave']
+            base_dir = os.path.join(root, 'wave_%05d' % base)
+            seen_tbl = pq.read_table(os.path.join(base_dir, 'seen.parquet'))
+            self.seen.restore([(r['shard'], r['filter_kind'], r['snapshot'])
+                               for r in seen_tbl.to_pylist()])
+            for w in range(base + 1, man['wave'] + 1):
+                dt = pq.read_table(os.path.join(
+                    root, 'wave_%05d' % w, 'seen_delta.parquet'))
+                self.seen.replay_deltas(
+                    [(r['shard'], r['delta']) for r in dt.to_pylist()])
+        self._seen_base_wave = man.get('seen_base_wave', man['wave'])
+        with open(os.path.join(wave_dir, 'politeness.json')) as f:
+            self.politeness.restore(json.load(f))
         # shard layout is part of the lineage: membership keys are
         # distributed by hash % num_shards, so resuming with a different
         # shard count would silently corrupt the seen set

@@ -25,21 +25,50 @@ class SeenShard:
     usable in-process for tests/oracle.
     """
 
-    def __init__(self, kind: str = 'exact', capacity: int = 1 << 20):
+    def __init__(self, kind: str = 'exact', capacity: int = 1 << 20,
+                 journal: bool = False):
         self.kind = kind
         self.filter = make_filter(kind, capacity)
+        # delta journal: keys added since the last drain (checkpoint
+        # lineage rides per-wave DELTAS, not per-wave full snapshots —
+        # a full filter snapshot per wave is O(seen) x waves, i.e.
+        # quadratic over a crawl and ~80 GB/wave at 10^10 urls).
+        # Off unless the crawl checkpoints (it is drained only by
+        # checkpoints; journaling without them would grow unboundedly).
+        self.journal = journal
+        self._delta: list = []
 
     def contains_batch(self, keys: np.ndarray) -> np.ndarray:
         return self.filter.contains_batch(keys)
 
     def add_batch(self, keys: np.ndarray) -> int:
         self.filter.add_batch(keys)
+        if self.journal:
+            self._delta.append(np.asarray(keys, dtype=np.uint64))
         return int(self.filter.count)
 
     def count(self) -> int:
         return int(self.filter.count)
 
+    def drain_delta(self) -> bytes:
+        """Keys added since the last drain/snapshot, as raw uint64
+        little-endian bytes; clears the journal."""
+        if not self._delta:
+            return b''
+        out = np.concatenate(self._delta)
+        self._delta = []
+        return out.tobytes()
+
+    def replay_delta(self, blob: bytes) -> None:
+        """Re-insert a drained delta (resume replays base-snapshot +
+        per-wave deltas).  The crawl adds each url's hash exactly once
+        (first-seen registration behind the seen probe), so replay
+        never double-inserts into an approximate filter."""
+        if blob:
+            self.filter.add_batch(np.frombuffer(blob, dtype=np.uint64))
+
     def snapshot(self) -> bytes:
+        self._delta = []        # full snapshot supersedes the journal
         return self.filter.snapshot()
 
     def restore(self, blob: bytes, kind: str | None = None) -> None:
@@ -60,7 +89,8 @@ class ShardedSeenSet:
     """
 
     def __init__(self, num_shards: int = 4, kind: str = 'exact',
-                 capacity_per_shard: int = 1 << 20, use_ray: bool = True):
+                 capacity_per_shard: int = 1 << 20, use_ray: bool = True,
+                 journal: bool = False):
         self.num_shards = num_shards
         self.kind = kind
         self.use_ray = use_ray
@@ -68,10 +98,11 @@ class ShardedSeenSet:
             import ray
 
             shard_cls = ray.remote(num_cpus=0)(SeenShard)  # idle RPC server; must never block pool scheduling
-            self.shards = [shard_cls.remote(kind, capacity_per_shard)
+            self.shards = [shard_cls.remote(kind, capacity_per_shard,
+                                            journal)
                            for _ in range(num_shards)]
         else:
-            self.shards = [SeenShard(kind, capacity_per_shard)
+            self.shards = [SeenShard(kind, capacity_per_shard, journal)
                            for _ in range(num_shards)]
 
     def _split(self, keys: np.ndarray):
@@ -143,6 +174,28 @@ class ShardedSeenSet:
                 futs.append(self.shards[shard_id].restore.remote(blob, kind))
             else:
                 self.shards[shard_id].restore(blob, kind)
+        if futs:
+            import ray
+            ray.get(futs)
+
+    def drain_deltas(self) -> list:
+        """[(shard_id, delta_bytes)] of keys added since the last
+        drain or full snapshot — the per-wave lineage record."""
+        if self.use_ray:
+            import ray
+            blobs = ray.get([s.drain_delta.remote() for s in self.shards])
+        else:
+            blobs = [s.drain_delta() for s in self.shards]
+        return list(enumerate(blobs))
+
+    def replay_deltas(self, deltas) -> None:
+        """Re-insert drained deltas ([(shard_id, blob)]) on resume."""
+        futs = []
+        for shard_id, blob in deltas:
+            if self.use_ray:
+                futs.append(self.shards[shard_id].replay_delta.remote(blob))
+            else:
+                self.shards[shard_id].replay_delta(blob)
         if futs:
             import ray
             ray.get(futs)
