@@ -306,10 +306,14 @@ def test_delta_seen_lineage_resume(ray_session, small_corpus, tmp_path):
     part1 = c1.run(seeds, stop_after_wave=2)   # waves 0..2, then "killed"
     # wave 0 is the full base; waves 1..2 are delta records
     assert os.path.exists(os.path.join(ckpt, 'wave_00000', 'seen.parquet'))
+    assert os.path.exists(
+        os.path.join(ckpt, 'wave_00000', 'politeness.json'))
     for w in (1, 2):
         d = os.path.join(ckpt, 'wave_%05d' % w)
         assert os.path.exists(os.path.join(d, 'seen_delta.parquet'))
         assert not os.path.exists(os.path.join(d, 'seen.parquet'))
+        assert os.path.exists(os.path.join(d, 'politeness_delta.json'))
+        assert not os.path.exists(os.path.join(d, 'politeness.json'))
     c2 = Crawler(tbl, max_depth=4, max_links=10, checkpoint_dir=ckpt)
     part2 = c2.run_resumed()
     resumed = pa.concat_tables([part1, part2])

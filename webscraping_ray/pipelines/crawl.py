@@ -558,7 +558,8 @@ class Crawler:
         self._seen_base_wave = None     # wave of the last FULL snapshot
         self.politeness = PolitenessPool(num_politeness_shards, delay,
                                          use_ray=use_ray,
-                                         additional_key=throttle_additional_key)
+                                         additional_key=throttle_additional_key,
+                                         journal=bool(checkpoint_dir))
         # politeness clock model (state/politeness.py): 'frozen' (the
         # vendored-oracle default: every wave starts at t=0, per-host
         # pacing contract) or 'continuous' (reference
@@ -2238,8 +2239,15 @@ class Crawler:
                                   pa.large_binary()),
                 'num_urls': pa.array(counts, pa.int64()),
             }), os.path.join(tmp, 'seen_delta.parquet'))
-        with open(os.path.join(tmp, 'politeness.json'), 'w') as f:
-            json.dump(self.politeness.snapshots(), f)
+        # politeness lineage rides the same full/delta chain: full
+        # host-clock snapshot on seen-full waves, hosts-touched-this-
+        # wave deltas in between (O(wave hosts), not O(hosts ever))
+        if seen_full:
+            with open(os.path.join(tmp, 'politeness.json'), 'w') as f:
+                json.dump(self.politeness.snapshots(), f)
+        else:
+            with open(os.path.join(tmp, 'politeness_delta.json'), 'w') as f:
+                json.dump(self.politeness.drain_deltas(), f)
         if spilled:
             # queue watermark lineage: consolidated claims snapshot
             # (base manifest + journaled pulls — the on-disk
@@ -2305,8 +2313,18 @@ class Crawler:
                 self.seen.replay_deltas(
                     [(r['shard'], r['delta']) for r in dt.to_pylist()])
         self._seen_base_wave = man.get('seen_base_wave', man['wave'])
-        with open(os.path.join(wave_dir, 'politeness.json')) as f:
-            self.politeness.restore(json.load(f))
+        if man.get('seen_full', True):
+            with open(os.path.join(wave_dir, 'politeness.json')) as f:
+                self.politeness.restore(json.load(f))
+        else:
+            base = man['seen_base_wave']
+            with open(os.path.join(root, 'wave_%05d' % base,
+                                   'politeness.json')) as f:
+                self.politeness.restore(json.load(f))
+            for w in range(base + 1, man['wave'] + 1):
+                with open(os.path.join(root, 'wave_%05d' % w,
+                                       'politeness_delta.json')) as f:
+                    self.politeness.replay_deltas(json.load(f))
         # shard layout is part of the lineage: membership keys are
         # distributed by hash % num_shards, so resuming with a different
         # shard count would silently corrupt the seen set

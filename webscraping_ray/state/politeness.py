@@ -37,9 +37,14 @@ from ..kernels.urls import url_hash64
 class PolitenessShard:
     """Per-host next-allowed virtual timestamps for one shard of hosts."""
 
-    def __init__(self, delay: float = 5.0):
+    def __init__(self, delay: float = 5.0, journal: bool = False):
         self.delay = float(delay)
         self.next_ok = {}  # host -> virtual ts
+        # delta journal (checkpoint lineage): hosts whose clock moved
+        # since the last drain/full snapshot — per-wave politeness
+        # records are O(hosts touched this wave), not O(hosts ever)
+        self.journal = journal
+        self._touched: set = set()
 
     def schedule_batch(self, hosts, wave_start: float):
         """Assign a virtual fetch ts to each row (hosts in wave order).
@@ -62,6 +67,8 @@ class PolitenessShard:
                 t = max(self.next_ok.get(h, wave_start), wave_start)
                 out[i] = t
                 self.next_ok[h] = t + self.delay
+            if self.journal:
+                self._touched.update(hosts)
             return out
         import pandas as pd
 
@@ -76,20 +83,35 @@ class PolitenessShard:
             slots = np.add.accumulate(seq)
             out[idx] = slots
             self.next_ok[h] = slots[-1] + self.delay
+            if self.journal:
+                self._touched.add(h)
         return out
 
     def snapshot(self) -> dict:
+        self._touched = set()   # full snapshot supersedes the journal
         return dict(self.next_ok)
 
     def restore(self, state: dict) -> None:
         self.next_ok = dict(state)
+
+    def drain_delta(self) -> dict:
+        """{host: next_ok} for hosts touched since the last drain or
+        full snapshot; clears the journal."""
+        d = {h: self.next_ok[h] for h in self._touched
+             if h in self.next_ok}
+        self._touched = set()
+        return d
+
+    def replay_delta(self, delta: dict) -> None:
+        self.next_ok.update(delta)
 
 
 class PolitenessPool:
     """Driver handle over politeness shard actors (or in-process)."""
 
     def __init__(self, num_shards: int = 2, delay: float = 5.0,
-                 use_ray: bool = True, additional_key: str | None = None):
+                 use_ray: bool = True, additional_key: str | None = None,
+                 journal: bool = False):
         """``additional_key`` mirrors the reference's
         ``throttle_additional_key`` (download.py:122,169,468): it joins
         the per-host clock key so independent sessions pace separately."""
@@ -101,9 +123,11 @@ class PolitenessPool:
             import ray
 
             cls = ray.remote(num_cpus=0)(PolitenessShard)  # idle RPC server
-            self.shards = [cls.remote(delay) for _ in range(num_shards)]
+            self.shards = [cls.remote(delay, journal)
+                           for _ in range(num_shards)]
         else:
-            self.shards = [PolitenessShard(delay) for _ in range(num_shards)]
+            self.shards = [PolitenessShard(delay, journal)
+                           for _ in range(num_shards)]
 
     def schedule(self, hosts, wave_start: float) -> np.ndarray:
         """scheduled_ts per row, preserving wave order within each host."""
@@ -151,6 +175,25 @@ class PolitenessPool:
                 futs.append(shard.restore.remote(state))
             else:
                 shard.restore(state)
+        if futs:
+            import ray
+            ray.get(futs)
+
+    def drain_deltas(self) -> list:
+        """Per-shard {host: next_ok} of clocks moved since the last
+        drain or full snapshot — the per-wave lineage record."""
+        if self.use_ray:
+            import ray
+            return ray.get([s.drain_delta.remote() for s in self.shards])
+        return [s.drain_delta() for s in self.shards]
+
+    def replay_deltas(self, deltas) -> None:
+        futs = []
+        for shard, delta in zip(self.shards, deltas):
+            if self.use_ray:
+                futs.append(shard.replay_delta.remote(delta))
+            else:
+                shard.replay_delta(delta)
         if futs:
             import ray
             ray.get(futs)
