@@ -335,9 +335,9 @@ def test_queue_pull_reads_each_row_once(tmp_path, monkeypatch):
     steps = 0
     orig = F.ParquetQueue._iter_segment
 
-    def counting(self, seg):
+    def counting(self, seg, **kw):
         nonlocal steps
-        for row in orig(self, seg):
+        for row in orig(self, seg, **kw):
             steps += 1
             yield row
     monkeypatch.setattr(F.ParquetQueue, '_iter_segment', counting)
@@ -349,3 +349,52 @@ def test_queue_pull_reads_each_row_once(tmp_path, monkeypatch):
         pulled += len(batch)
     assert pulled == n
     assert steps <= n + 10, steps
+
+
+def test_queue_fifo_mode_semantics(tmp_path):
+    """fifo mode (the crawl's spill frontier): no per-key driver
+    state — pulls in insertion order, one watermark claim, reopen
+    fast-forwards via seq statistics, len survives restarts."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root, mode='fifo')
+    q.push([('a', 0), ('b', 0)])
+    q.push([('c', 0)])
+    assert len(q) == 3
+    assert q._hashes == set() and q._claimed == set()   # no key state
+    assert q.pull(limit=2) == ['a', 'b']
+    assert len(q) == 1
+    # reopen: watermark holds, fast-forward offers only 'c'
+    q2 = ParquetQueue(root)            # mode comes from the manifest
+    assert q2.mode == 'fifo'
+    assert len(q2) == 1
+    q2.push([('d', 0)])
+    assert q2.pull(limit=10) == ['c', 'd']
+    assert len(q2) == 0
+    # mixed priority and keyed clear are dedup-mode features
+    import pytest
+    with pytest.raises(ValueError):
+        q2.push([('e', 5)])
+    with pytest.raises(ValueError):
+        q2.clear(keys=['c'])
+    assert q2.clear() == 0             # clear-all allowed
+    # mode mismatch guard
+    with pytest.raises(ValueError):
+        ParquetQueue(root, mode='dedup')
+
+
+def test_queue_fifo_checkpoint_rewind(tmp_path):
+    """fifo watermark checkpoint/restore: post-checkpoint pulls are
+    re-offered after restore, pre-checkpoint ones stay claimed."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root, mode='fifo')
+    q.push([('a', 0), ('b', 0), ('c', 0)])
+    assert q.pull(limit=1) == ['a']
+    snap = str(tmp_path / 'ckpt.json')
+    q.checkpoint_claims(snap)
+    assert q.pull(limit=1) == ['b']          # in-flight at the "crash"
+    ParquetQueue.restore_claims(snap, root)
+    q2 = ParquetQueue(root)
+    assert len(q2) == 2
+    assert q2.pull(limit=10) == ['b', 'c']

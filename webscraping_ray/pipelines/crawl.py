@@ -961,7 +961,14 @@ class Crawler:
         if self._frontier_queue is None:
             from .frontier import ParquetQueue
 
-            self._frontier_queue = ParquetQueue(self.frontier_queue_dir)
+            # fifo mode: the crawl pushes globally-unique keys (seen-set
+            # registration precedes every push) at constant priority, so
+            # the queue keeps NO per-key driver state — one (priority,
+            # seq) claim watermark instead of O(keys) hash/claim sets;
+            # at a 10^10-url frontier the driver holds its chunk buffer
+            # and nothing else
+            self._frontier_queue = ParquetQueue(self.frontier_queue_dir,
+                                                mode='fifo')
         return self._frontier_queue
 
     def _spill_or_keep(self, new_frontier):

@@ -85,28 +85,52 @@ class ParquetQueue:
       A torn final log line fails json.loads and is ignored: that pull
       was never committed, so reopen re-offers its batch — the same
       either-or the atomic-rename commit gave.
+    * ``mode='fifo'`` (the crawl's spill frontier) drops BOTH O(keys)
+      driver-side sets.  The crawler pushes globally-unique keys (the
+      sharded seen set guarantees a url enters the frontier once) at
+      constant priority, so pull order is pure insertion seq and the
+      claim state collapses to ONE (priority, seq) watermark: no push
+      hash index (no O(n) open scan, no per-key driver hashing), no
+      claimed set, claims journal lines are a single tuple, and reopen
+      fast-forwards each segment via row-group seq statistics instead
+      of re-scanning the claimed prefix.  Driver state is O(segments);
+      a 10^10-url frontier costs the driver its chunk buffer, nothing
+      else.  The watermark is seq-based, so compaction (which
+      preserves rows and their seqs) cannot invalidate it.  Keyed
+      ``clear`` and non-constant priorities raise in this mode —
+      ``mode='dedup'`` (default) keeps full reference Queue parity.
     """
 
     COMPACT_TOMBSTONES = 4096   # physical compaction threshold
     COMPACT_SEGMENTS = 64       # merge small segments past this count
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, mode: str | None = None):
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._claims_path = os.path.join(root, 'claims.json')
         self._log_path = os.path.join(root, 'claims.log')
         self._log_fp = None
         self._cursor = None
+        stored_mode = None
         if os.path.exists(self._claims_path):
             with open(self._claims_path) as f:
                 st = json.load(f)
+            stored_mode = st.get('mode', 'dedup')
+            if mode is not None and mode != stored_mode:
+                raise ValueError(
+                    'queue at %s was written in mode=%r; cannot reopen '
+                    'as %r' % (root, stored_mode, mode))
+            self.mode = stored_mode
             self._gen = st.get('gen', '')
-            self._claimed = set(st['claimed'])
+            self._claimed = set(st.get('claimed', ()))
             # deletion tombstones: hash -> seq watermark; rows of that
             # hash with seq <= watermark are dead (lets a cleared key
             # be re-pushed while its old segment rows still exist)
             self._deleted = {int(k): v
                              for k, v in st.get('deleted', {}).items()}
+            w = st.get('watermark')
+            self._watermark = tuple(w) if w else None
+            self._consumed = int(st.get('consumed', 0))
             self._next_seq = st['next_seq']
             self._next_seg = st['next_seg']
             self._replay_claims_log()
@@ -116,24 +140,48 @@ class ParquetQueue:
             # same one twice) can never match this handle's log lines.
             self._commit_claims()
         else:
+            self.mode = mode or 'dedup'
             self._claimed = set()
             self._deleted = {}
+            self._watermark = None
+            self._consumed = 0
             self._next_seq = 0
             self._next_seg = 0
             self._commit_claims()
-        # the only full scan: hash index of every live key on disk,
-        # built once per open (hash+seq columns only — never keys)
+        fifo_prio = None            # fifo: the one allowed neg-priority
         self._hashes = set()
+        self._live_rows = 0
         max_seq = -1
-        for seg in self._segments():
-            t = pq.read_table(os.path.join(self.root, seg),
-                              columns=['key_hash', 'seq'])
-            for h, s in zip(t.column('key_hash').to_pylist(),
-                            t.column('seq').to_pylist()):
-                if s > max_seq:
-                    max_seq = s
-                if s > self._deleted.get(h, -1):
-                    self._hashes.add(h)
+        if self.mode == 'fifo':
+            # footer statistics only — no decode, no O(keys) state
+            for seg in self._segments():
+                pf = pq.ParquetFile(os.path.join(self.root, seg))
+                md = pf.metadata
+                self._live_rows += md.num_rows
+                si = next((i for i in range(md.num_columns)
+                           if md.schema.column(i).name == 'seq'), None)
+                pi = next((i for i in range(md.num_columns)
+                           if md.schema.column(i).name == 'priority'), None)
+                for rg in range(md.num_row_groups):
+                    st_ = md.row_group(rg).column(si).statistics
+                    if st_ is not None and st_.has_min_max:
+                        max_seq = max(max_seq, st_.max)
+                    if pi is not None:
+                        ps = md.row_group(rg).column(pi).statistics
+                        if ps is not None and ps.has_min_max:
+                            fifo_prio = -ps.max   # stored negated
+        else:
+            # the only full scan: hash index of every live key on
+            # disk, built once per open (hash+seq columns, never keys)
+            for seg in self._segments():
+                t = pq.read_table(os.path.join(self.root, seg),
+                                  columns=['key_hash', 'seq'])
+                for h, s in zip(t.column('key_hash').to_pylist(),
+                                t.column('seq').to_pylist()):
+                    if s > max_seq:
+                        max_seq = s
+                    if s > self._deleted.get(h, -1):
+                        self._hashes.add(h)
         # the manifest may be an OLDER restored snapshot (crawl resume
         # copies a checkpoint-time claims.json back) whose counters
         # predate segments written since — e.g. a post-checkpoint push,
@@ -147,6 +195,7 @@ class ParquetQueue:
                 for s in self._segments())
             self._next_seg = max(self._next_seg, disk_next_seg)
         self._next_seq = max(self._next_seq, max_seq + 1)
+        self._fifo_prio = fifo_prio
 
     # ------------------------------------------------------------------
     def _segments(self):
@@ -169,13 +218,18 @@ class ParquetQueue:
 
     def _write_claims_snapshot(self, path: str):
         tmp = path + '.tmp'
+        state = {'gen': self._gen, 'mode': self.mode,
+                 'next_seq': self._next_seq, 'next_seg': self._next_seg}
+        if self.mode == 'fifo':
+            state['watermark'] = list(self._watermark) \
+                if self._watermark else None
+            state['consumed'] = self._consumed
+        else:
+            state['claimed'] = sorted(self._claimed)
+            state['deleted'] = {str(k): v
+                                for k, v in self._deleted.items()}
         with open(tmp, 'w') as f:
-            json.dump({'gen': self._gen,
-                       'claimed': sorted(self._claimed),
-                       'deleted': {str(k): v
-                                   for k, v in self._deleted.items()},
-                       'next_seq': self._next_seq,
-                       'next_seg': self._next_seg}, f)
+            json.dump(state, f)
         os.replace(tmp, path)
 
     def _replay_claims_log(self):
@@ -191,19 +245,23 @@ class ParquetQueue:
                     rec = json.loads(line)
                 except ValueError:
                     break           # torn tail: that pull never committed
-                if rec.get('g') == self._gen:
+                if rec.get('g') != self._gen:
+                    continue
+                if self.mode == 'fifo':
+                    self._watermark = tuple(rec['w'])
+                    self._consumed = rec['n']
+                else:
                     self._claimed.update(rec['c'])
 
-    def _log_claims(self, hashes):
+    def _log_claims(self, payload) -> None:
         """Durably commit one pull batch: append+flush+fsync one JSON
-        line — O(batch), the journal replaces per-pull snapshot
-        rewrites."""
-        if not hashes:
-            return
+        line — O(batch) (O(1) in fifo mode), the journal replaces
+        per-pull snapshot rewrites."""
         if self._log_fp is None:
             self._log_fp = open(self._log_path, 'a')
-        self._log_fp.write(json.dumps({'g': self._gen,
-                                       'c': sorted(hashes)}) + '\n')
+        rec = {'g': self._gen}
+        rec.update(payload)
+        self._log_fp.write(json.dumps(rec) + '\n')
         self._log_fp.flush()
         os.fsync(self._log_fp.fileno())
 
@@ -249,19 +307,35 @@ class ParquetQueue:
     def push(self, key_map):
         """Add [(key, priority)]; existing keys are ignored
         (INSERT OR IGNORE, pdict.py:453-465).  O(batch): probes the
-        in-memory hash set, writes one sorted segment."""
+        in-memory hash set, writes one sorted segment.  In fifo mode
+        the caller guarantees unique keys (no probe, no hashing) and a
+        constant priority (the watermark's total-order precondition —
+        violating either raises)."""
         if not key_map:
             return
         rows = []
-        for key, prio in key_map:
-            h = url_hash64(key)
-            if h in self._hashes:
-                continue
-            self._hashes.add(h)
-            rows.append((-int(prio), self._next_seq, key, h))
-            self._next_seq += 1
+        if self.mode == 'fifo':
+            for key, prio in key_map:
+                negp = -int(prio)
+                if self._fifo_prio is None:
+                    self._fifo_prio = negp
+                elif negp != self._fifo_prio:
+                    raise ValueError(
+                        'fifo queue requires a constant priority '
+                        '(got %r after %r)' % (prio, -self._fifo_prio))
+                rows.append((negp, self._next_seq, key, 0))
+                self._next_seq += 1
+        else:
+            for key, prio in key_map:
+                h = url_hash64(key)
+                if h in self._hashes:
+                    continue
+                self._hashes.add(h)
+                rows.append((-int(prio), self._next_seq, key, h))
+                self._next_seq += 1
         if not rows:
             return
+        self._live_rows += len(rows)
         rows.sort()  # (priority desc, seq) within the segment
         name = self._write_segment(pa.table({
             'key': pa.array([r[2] for r in rows], pa.string()),
@@ -279,19 +353,42 @@ class ParquetQueue:
 
     def __len__(self):
         """Unclaimed count (SELECT count(*) WHERE status=0,
-        pdict.py:446-450) — O(1) from the in-memory index."""
+        pdict.py:446-450) — O(1) from the in-memory index (fifo:
+        live rows minus the consumed-watermark count)."""
+        if self.mode == 'fifo':
+            return self._live_rows - self._consumed
         return len(self._hashes) - len(self._claimed & self._hashes)
 
-    def _iter_segment(self, seg: str):
+    def _iter_segment(self, seg: str, min_seq_exclusive: int | None = None):
         """Stream (neg_priority, seq, key, hash) rows of one sorted
-        segment, row-group at a time."""
+        segment, row-group at a time.  ``min_seq_exclusive`` (fifo
+        reopen fast-forward) skips whole row groups via footer seq
+        statistics and drops the remaining prefix without yielding."""
         pf = pq.ParquetFile(os.path.join(self.root, seg))
-        for batch in pf.iter_batches(batch_size=8192):
+        groups = None
+        if min_seq_exclusive is not None:
+            md = pf.metadata
+            si = next((i for i in range(md.num_columns)
+                       if md.schema.column(i).name == 'seq'), None)
+            if si is not None:
+                groups = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(si).statistics
+                    if (st is None or not st.has_min_max
+                            or st.max > min_seq_exclusive):
+                        groups.append(rg)
+                if not groups:
+                    return
+        it = (pf.iter_batches(batch_size=8192) if groups is None
+              else pf.iter_batches(batch_size=8192, row_groups=groups))
+        for batch in it:
             keys = batch.column(0).to_pylist()
             hashes = batch.column(1).to_pylist()
             prios = batch.column(2).to_pylist()
             seqs = batch.column(3).to_pylist()
             for k, h, p, s in zip(keys, hashes, prios, seqs):
+                if min_seq_exclusive is not None and s <= min_seq_exclusive:
+                    continue
                 yield (-p, s, k, h)
 
     def pull(self, limit: int = 1000):
@@ -318,9 +415,12 @@ class ParquetQueue:
         segments.  Happens once per handle (and after clear/compact);
         every subsequent pull resumes where the last one stopped."""
         if self._cursor is None:
+            min_seq = (self._watermark[1]
+                       if self.mode == 'fifo' and self._watermark
+                       else None)
             iters, heap = [], []
             for s in self._segments():
-                it = self._iter_segment(s)
+                it = self._iter_segment(s, min_seq_exclusive=min_seq)
                 row = next(it, None)
                 if row is not None:
                     heap.append((row, len(iters)))
@@ -351,9 +451,25 @@ class ParquetQueue:
 
     def pull_entries(self, limit: int = 1000):
         """Like :meth:`pull` but returns [(key, priority)] — the
-        crawler's spill frontier rides depth in the priority column."""
+        crawler's spill frontier rides the wave's discovery order in
+        seq (fifo mode: every yielded row is taken; the claim is the
+        last (priority, seq) watermark)."""
         iters, heap = self._ensure_cursor()
         taken = []
+        if self.mode == 'fifo':
+            last = None
+            while heap and len(taken) < limit:
+                (negp, seq, key, _), i = heapq.heappop(heap)
+                taken.append((key, -negp))
+                last = (negp, seq)
+                row = next(iters[i], None)
+                if row is not None:
+                    heapq.heappush(heap, (row, i))
+            if taken:
+                self._watermark = last
+                self._consumed += len(taken)
+                self._log_claims({'w': list(last), 'n': self._consumed})
+            return taken
         taken_hashes = set()
         while heap and len(taken) < limit:
             (negp, seq, key, h), i = heapq.heappop(heap)
@@ -364,8 +480,9 @@ class ParquetQueue:
             row = next(iters[i], None)
             if row is not None:
                 heapq.heappush(heap, (row, i))
-        self._claimed.update(h for _, _, h in taken)
-        self._log_claims([h for _, _, h in taken])
+        if taken:
+            self._claimed.update(h for _, _, h in taken)
+            self._log_claims({'c': sorted(h for _, _, h in taken)})
         return [(k, p) for k, p, _ in taken]
 
     def clear(self, keys=None) -> int:
@@ -382,8 +499,14 @@ class ParquetQueue:
             self._claimed = set()
             self._deleted = {}
             self._hashes = set()
+            self._watermark = None
+            self._consumed = 0
+            self._live_rows = 0
             self._commit_claims()
             return prev
+        if self.mode == 'fifo':
+            raise ValueError('fifo queue supports clear-all only '
+                             '(keyed clear needs the dedup hash index)')
         drop = {url_hash64(k) for k in keys}
         self._hashes -= drop
         self._claimed -= drop
