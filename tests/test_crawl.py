@@ -346,3 +346,33 @@ def test_delta_seen_lineage_second_full_snapshot(ray_session, small_corpus,
     part2 = c2.run_resumed()
     resumed = pa.concat_tables([part1, part2])
     assert resumed.to_pylist() == full.to_pylist()
+
+
+def test_collect_visits_false_streams_to_sink(ray_session, small_corpus,
+                                              tmp_path):
+    """collect_visits=False (the corpus-scale contract): run() returns
+    None, the driver retains no visits table, and the output_dir
+    parquet holds exactly the rows a collecting run returns."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pqm
+
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+
+    out = str(tmp_path / 'visits')
+    got = Crawler(tbl, max_depth=3, max_links=10, output_dir=out,
+                  collect_visits=False).run(seeds)
+    assert got is None
+    files = sorted(glob.glob(os.path.join(out, 'wave_[0-9]*.parquet')))
+    written = pa.concat_tables([pqm.read_table(f) for f in files],
+                               promote_options='default')
+    assert written.num_rows == full.num_rows
+    assert sorted(written.column('url').to_pylist()) == \
+        sorted(full.column('url').to_pylist())
+
+    import pytest
+    with pytest.raises(ValueError):
+        Crawler(tbl, collect_visits=False)   # sink required

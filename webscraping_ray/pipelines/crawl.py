@@ -459,6 +459,7 @@ class Crawler:
                  with_contacts: bool = False, with_excerpt: bool = False,
                  num_redirects: int = 0, state_file: str | None = None,
                  as_of_ts: int | None = None, output_dir: str | None = None,
+                 collect_visits: bool = True,
                  inline_threshold: int = 256, table_threshold: int = 2048,
                  resolve_distributed_threshold: int = 50_000,
                  frontier_queue_dir: str | None = None,
@@ -495,6 +496,15 @@ class Crawler:
         # partitioned, resumable output: one parquet dir per wave,
         # committed atomically; a rerun skips completed waves
         self.output_dir = output_dir
+        # collect_visits=False is the corpus-scale contract: every
+        # wave streams to output_dir parquet and run() returns None —
+        # the driver never retains a visits table (the small-wave path
+        # returns text+links columns, so retaining every wave is
+        # O(crawl text) driver memory on a long BFS tail)
+        if not collect_visits and not output_dir:
+            raise ValueError('collect_visits=False requires output_dir '
+                             '(the visits live only in the parquet sink)')
+        self.collect_visits = collect_visits
         # as-of snapshot selection: fetch the latest snapshot with
         # warc_ts <= as_of_ts (None = latest overall) when the corpus
         # holds multiple snapshots per url (SURVEY §2.4 as-of join)
@@ -1075,7 +1085,8 @@ class Crawler:
                 frontier = []
                 continue
             visits = self._run_wave(wave_frontier)
-            all_visits.append(visits)
+            if self.collect_visits:
+                all_visits.append(visits)
             frontier = self._spill_or_keep(self._next_frontier)
             if self.checkpoint_dir:
                 self._checkpoint(frontier)
@@ -1084,6 +1095,8 @@ class Crawler:
                 break
         self.close_pool()
         self._close_cache()
+        if not self.collect_visits:
+            return None          # visits live in output_dir parquet
         if all_visits:
             return pa.concat_tables(all_visits, promote_options='default')
         return _empty_visits()
