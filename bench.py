@@ -405,13 +405,16 @@ def run_wave_chain():
     cs = store.CorpusStore(root)
     cs.read_all(columns=['url']).count()    # warm page cache (untimed)
     cumw = corpus.host_cumweights(N_HOSTS)
-    stride = int(os.environ.get('GRAFT_WAVE_STRIDE', '3'))
+    stride = int(os.environ.get('GRAFT_WAVE_STRIDE', '1'))
     urls = [corpus.page_url(corpus.page_host_id(i, CORPUS_SEED, cumw), i)
             for i in range(0, N_PAGES, stride)]
-    # GRAFT_WAVE_KERNELS=full adds contacts+excerpt (the bench crawl's
-    # config) — higher kernel compute per decoded byte, which separates
-    # the scalable-compute story from single-host decode bandwidth
-    full = os.environ.get('GRAFT_WAVE_KERNELS') == 'full'
+    # GRAFT_WAVE_KERNELS=light drops contacts+excerpt.  The DEFAULT is
+    # full kernels over the whole corpus (stride 1): the mega-wave
+    # regime this chain stands in for is compute-dominated, and the
+    # light/stride-3 config measures mostly fixed job latency plus
+    # single-host memory-bus contention (0.49 light vs 0.76 full at
+    # identical rows — see BASELINE round-4 scaling table)
+    full = os.environ.get('GRAFT_WAVE_KERNELS', 'full') != 'light'
     extract = ExtractPages(with_links=True, with_contacts=full,
                            with_excerpt=full)
     prep = PrepCandidates('', '^$', None)
