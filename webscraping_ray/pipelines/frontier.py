@@ -163,9 +163,10 @@ class ParquetQueue:
                 pi = next((i for i in range(md.num_columns)
                            if md.schema.column(i).name == 'priority'), None)
                 for rg in range(md.num_row_groups):
-                    st_ = md.row_group(rg).column(si).statistics
-                    if st_ is not None and st_.has_min_max:
-                        max_seq = max(max_seq, st_.max)
+                    if si is not None:
+                        st_ = md.row_group(rg).column(si).statistics
+                        if st_ is not None and st_.has_min_max:
+                            max_seq = max(max_seq, st_.max)
                     if pi is not None:
                         ps = md.row_group(rg).column(pi).statistics
                         if ps is not None and ps.has_min_max:
@@ -502,7 +503,8 @@ class ParquetQueue:
             self._watermark = None
             self._consumed = 0
             self._live_rows = 0
-            self._commit_claims()
+            self._fifo_prio = None   # a cleared fifo queue may restart
+            self._commit_claims()    # at a different constant priority
             return prev
         if self.mode == 'fifo':
             raise ValueError('fifo queue supports clear-all only '
