@@ -338,7 +338,15 @@ def run_crawl_scaling():
     """Exhaustive-crawl stress at 8 and 32 cpus in fresh processes
     (best-of-2 per level, output fingerprints asserted identical);
     reports crawl throughput at both plus scaling efficiency and the
-    stage decomposition that shows where fixed wave latency sits."""
+    stage decomposition that shows where fixed wave latency sits.
+
+    Defaults to GRAFT_RESIDENT=0: the scaling criterion concerns the
+    throughput-bound parquet path (the configuration the auto gate
+    picks at 100-TB corpus sizes).  The resident corpus-cache tier is
+    faster in absolute wall at BOTH widths but saturated — its ratio
+    measures job latency, not scaling (see BASELINE round-4 tables);
+    set GRAFT_RESIDENT=1 explicitly to measure that regime."""
+    os.environ.setdefault('GRAFT_RESIDENT', '0')
     if not os.path.exists(os.path.join(corpus_root(), '_corpus_meta.json')):
         subprocess.run([sys.executable, '-c',
                         'import bench; bench.ensure_corpus()'],
