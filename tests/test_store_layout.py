@@ -169,6 +169,33 @@ def test_skewed_host_point_read_fans_out(ray_session, tmp_path):
     assert len([s for s in sizes if s]) >= 6
 
 
+def test_slice_bounded_by_rows_and_bytes():
+    """Point-read output slicing must bound every block by row count
+    AND html bytes, preserve order/content, and still make progress
+    when a single page alone exceeds the byte budget."""
+    import random
+
+    rng = random.Random(11)
+    sizes = [rng.choice([10, 100, 5000]) for _ in range(300)]
+    sizes[40] = 50_000                     # one page over the budget
+    t = pa.table({'url': ['u%d' % i for i in range(300)],
+                  'html': ['x' * s for s in sizes]})
+    out = store._slice_bounded(t, max_rows=64, max_bytes=20_000)
+    assert pa.concat_tables(out).equals(t)  # order + content preserved
+    for s in out:
+        assert s.num_rows <= 64
+        nbytes = sum(len(v) for v in s.column('html').to_pylist())
+        assert nbytes <= 20_000 or s.num_rows == 1, (s.num_rows, nbytes)
+    # row-count-only fallback when there is no html column
+    t2 = pa.table({'url': ['u%d' % i for i in range(300)]})
+    out2 = store._slice_bounded(t2, max_rows=64)
+    assert [s.num_rows for s in out2] == [64, 64, 64, 64, 44]
+    assert pa.concat_tables(out2).equals(t2)
+    # small tables pass through as a single slice
+    assert store._slice_bounded(t.slice(0, 5), max_rows=64,
+                                max_bytes=10**9) == [t.slice(0, 5)]
+
+
 def test_resident_tier_matches_parquet_tiers(ray_session, two_layouts):
     """The resident corpus-cache fetch tier (round 4) must produce
     byte-identical visits to the parquet tiers, and the shared fleet

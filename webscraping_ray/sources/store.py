@@ -223,6 +223,45 @@ _POINT_READ_DS_CLS = None
 #: 0.63->0.82); 256 regresses (20.8 s) on per-task overhead.
 POINT_READ_OUT_ROWS = 512
 
+#: byte bound on the same slices: extract cost tracks html bytes, so
+#: blocks also split when their html payload passes this budget —
+#: keeps the downstream task-cost spread tight under Zipf page sizes
+POINT_READ_OUT_BYTES = 4 << 20
+
+def _slice_bounded(t, max_rows=None, max_bytes=None):
+    """Zero-copy slices of table ``t`` bounded by BOTH row count and
+    html-payload bytes.  The extract stage's per-task cost tracks page
+    bytes, so a row-count-only bound leaves a task-cost spread when
+    page sizes skew (Zipf hosts); every slice holds at most
+    ``max_rows`` rows AND (unless a single page exceeds it) at most
+    ``max_bytes`` of html."""
+    import numpy as np
+
+    max_rows = POINT_READ_OUT_ROWS if max_rows is None else max_rows
+    max_bytes = POINT_READ_OUT_BYTES if max_bytes is None else max_bytes
+    if t.num_rows <= max_rows and 'html' not in t.column_names:
+        return [t]
+    cuts = [0]
+    if 'html' in t.column_names:
+        sizes = pc.binary_length(
+            t['html'].cast(pa.binary())).to_numpy(zero_copy_only=False)
+        csum = np.cumsum(sizes, dtype=np.int64)
+        if t.num_rows <= max_rows and int(csum[-1]) <= max_bytes:
+            return [t]
+        a = 0
+        while a < t.num_rows:
+            base = csum[a - 1] if a else 0
+            b = int(np.searchsorted(
+                csum, base + max_bytes, side='right'))
+            b = min(max(b, a + 1), a + max_rows, t.num_rows)
+            cuts.append(b)
+            a = b
+    else:
+        cuts.extend(range(max_rows, t.num_rows, max_rows))
+        cuts.append(t.num_rows)
+    return [t.slice(a, b - a) for a, b in zip(cuts, cuts[1:]) if b > a]
+
+
 #: per-worker-process cache of the materialized wanted-url array
 #: (sorted numpy object array for the row-group min/max probes):
 #: workers are reused across a wave's read tasks, so the O(wave)
@@ -311,11 +350,8 @@ class _PointReadDatasource:
                 t = pf.read_row_groups(groups, columns=cols)
                 t = t.filter(pc.is_in(t['url'], value_set=wanted))
                 t = t.select(schema.names)
-                if t.num_rows <= POINT_READ_OUT_ROWS:
-                    return [t]
-                # zero-copy slices: bounded downstream task sizes
-                return [t.slice(o, POINT_READ_OUT_ROWS)
-                        for o in range(0, t.num_rows, POINT_READ_OUT_ROWS)]
+                # zero-copy slices bounded by rows AND html bytes
+                return _slice_bounded(t)
             return _read
 
         return [ReadTask(make_read(path, lo, hi),
