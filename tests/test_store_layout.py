@@ -196,6 +196,30 @@ def test_slice_bounded_by_rows_and_bytes():
                                 max_bytes=10**9) == [t.slice(0, 5)]
 
 
+def test_unique_hosts_matches_urlsplit():
+    """The vectorized netloc extraction must equal urllib.urlsplit's
+    netloc on edge cases (userinfo, port, scheme-relative, malformed,
+    empty) — it decides bucket pruning, so a divergence loses rows."""
+    cases = ['http://a.com/p', 'https://u:p@h.com:8080/x?q#f',
+             'ftp://x.y/', '//scheme-relative.com/p', 'not a url',
+             'http//broken.com/p', 'a+b-c.d://weird.scheme/p',
+             'http://UPPER.com/P', 'http://h.com', 'http://h.com?q',
+             'http://h.com#f', '']
+    assert store._unique_hosts(cases) == {store.host_of(u) for u in cases}
+
+
+def test_touched_buckets_parity_both_layouts():
+    """The vectorized/early-exit bucket resolution must equal per-url
+    bucket_of for both layouts (1024 buckets: no early-exit masking)."""
+    urls = ['http://site%d.com/p/%d' % (i % 97, i) for i in range(5000)]
+    for layout in ('url', 'host'):
+        cs = store.CorpusStore.__new__(store.CorpusStore)
+        cs.num_buckets = 1024
+        cs.layout = layout
+        assert cs._touched_buckets(urls) == {
+            store.bucket_of(u, 1024, layout) for u in urls}, layout
+
+
 def test_resident_tier_matches_parquet_tiers(ray_session, two_layouts):
     """The resident corpus-cache fetch tier (round 4) must produce
     byte-identical visits to the parquet tiers, and the shared fleet
