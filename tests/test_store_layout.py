@@ -208,6 +208,18 @@ def test_unique_hosts_matches_urlsplit():
     assert store._unique_hosts(cases) == {store.host_of(u) for u in cases}
 
 
+def test_add_bucket_vectorized_parity():
+    """The write path's vectorized host-dedup bucket assignment must
+    equal per-url bucket_of, including regex-fallback urls."""
+    urls = ['http://site%d.com/p/%d' % (i % 37, i) for i in range(2000)]
+    urls[7] = '//rel.com/x'
+    urls[13] = 'garbage'
+    t = pa.table({'url': pa.array(urls, pa.string())})
+    for layout in ('host', 'url'):
+        got = store.AddBucket(32, layout)(t).column('bucket').to_pylist()
+        assert got == [store.bucket_of(u, 32, layout) for u in urls], layout
+
+
 def test_touched_buckets_parity_both_layouts():
     """The vectorized/early-exit bucket resolution must equal per-url
     bucket_of for both layouts (1024 buckets: no early-exit masking)."""

@@ -96,8 +96,33 @@ class AddBucket:
         self.layout = layout
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        buckets = [bucket_of(u, self.num_buckets, self.layout)
-                   for u in batch.column('url').to_pylist()]
+        urls = batch.column('url')
+        if self.layout == 'host':
+            # vectorized netloc pass + one blake2b per DISTINCT host
+            # (same extraction as _unique_hosts, but keeping the
+            # per-row inverse mapping)
+            import numpy as np
+
+            m = pc.extract_regex(pc.cast(urls, pa.string()),
+                                 pattern=_NETLOC_PATTERN)
+            hosts = pc.struct_field(m, 'host').to_numpy(
+                zero_copy_only=False)
+            miss = pc.is_null(m).to_numpy(zero_copy_only=False)
+            if miss.any():
+                hosts = hosts.copy()
+                idx = np.nonzero(miss)[0]
+                raw = urls.to_pylist()
+                for i in idx:
+                    hosts[i] = host_of(raw[i])
+            import pandas as pd
+
+            inv, uniq = pd.factorize(hosts)     # hash-based, O(n)
+            per_host = np.array([_hash_host(h) % self.num_buckets
+                                 for h in uniq], dtype=np.int32)
+            buckets = per_host[inv]
+        else:
+            buckets = [bucket_of(u, self.num_buckets, self.layout)
+                       for u in urls.to_pylist()]
         return batch.append_column('bucket', pa.array(buckets, pa.int32()))
 
 
