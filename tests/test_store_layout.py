@@ -194,6 +194,10 @@ def test_slice_bounded_by_rows_and_bytes():
     # small tables pass through as a single slice
     assert store._slice_bounded(t.slice(0, 5), max_rows=64,
                                 max_bytes=10**9) == [t.slice(0, 5)]
+    # zero-row tables (range-matched row group, exact filter kept
+    # nothing — common at mega-wave scale) pass through untouched
+    empty = t.slice(0, 0)
+    assert store._slice_bounded(empty) == [empty]
 
 
 def test_unique_hosts_matches_urlsplit():

@@ -292,12 +292,13 @@ def _slice_bounded(t, max_rows=None, max_bytes=None):
 
     max_rows = POINT_READ_OUT_ROWS if max_rows is None else max_rows
     max_bytes = POINT_READ_OUT_BYTES if max_bytes is None else max_bytes
-    if t.num_rows <= max_rows and 'html' not in t.column_names:
+    if t.num_rows == 0 or (t.num_rows <= max_rows
+                           and 'html' not in t.column_names):
         return [t]
     cuts = [0]
     if 'html' in t.column_names:
-        sizes = pc.binary_length(
-            t['html'].cast(pa.binary())).to_numpy(zero_copy_only=False)
+        sizes = pc.fill_null(pc.binary_length(
+            t['html'].cast(pa.binary())), 0).to_numpy(zero_copy_only=False)
         csum = np.cumsum(sizes, dtype=np.int64)
         if t.num_rows <= max_rows and int(csum[-1]) <= max_bytes:
             return [t]
