@@ -398,3 +398,67 @@ def test_queue_fifo_checkpoint_rewind(tmp_path):
     q2 = ParquetQueue(root)
     assert len(q2) == 2
     assert q2.pull(limit=10) == ['b', 'c']
+
+
+def _drain(q, limits):
+    """Pull to exhaustion with a fixed limit schedule; returns the full
+    [(key, priority)] sequence."""
+    out = []
+    i = 0
+    while True:
+        got = q.pull_entries(limits[i % len(limits)])
+        i += 1
+        if not got:
+            return out
+        out.extend(got)
+
+
+def test_queue_crash_copy_equivalence_randomized(tmp_path):
+    """The commit contract, differentially: after ANY committed op, a
+    byte-copy of the queue directory reopened in a fresh handle must
+    drain exactly like the live queue (same keys, priorities, order,
+    len).  Randomized push/pull/clear interleavings, both modes, with
+    the crash point chosen at every step."""
+    import random
+    import shutil
+
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+
+    for mode in ('dedup', 'fifo'):
+        for seed in range(6):
+            rng = random.Random(1000 * (mode == 'fifo') + seed)
+            root = str(tmp_path / ('q_%s_%d' % (mode, seed)))
+            q = ParquetQueue(root, mode=mode)
+            keyno = 0
+            ever = []                       # keys ever pushed
+            n_steps = rng.randint(4, 14)
+            for _ in range(n_steps):
+                r = rng.random()
+                if r < 0.5:
+                    km = {}
+                    for _ in range(rng.randint(1, 30)):
+                        if (mode == 'dedup' and ever
+                                and rng.random() < 0.3):
+                            k = rng.choice(ever)    # duplicate push
+                        else:
+                            k = 'k%06d' % keyno
+                            keyno += 1
+                            ever.append(k)
+                        km[k] = 5 if mode == 'fifo' else rng.randint(0, 9)
+                    q.push(list(km.items()))
+                elif r < 0.8:
+                    q.pull(rng.randint(1, 20))
+                elif r < 0.9 and mode == 'dedup' and ever:
+                    q.clear(rng.sample(ever,
+                                       min(len(ever), rng.randint(1, 4))))
+                else:
+                    q.clear()               # clear-all (both modes)
+            # crash: copy the committed on-disk state, reopen fresh
+            snap = root + '_snap'
+            shutil.copytree(root, snap)
+            q2 = ParquetQueue(snap)
+            assert len(q2) == len(q), (mode, seed)
+            limits = [rng.randint(1, 17) for _ in range(3)]
+            live = _drain(q, limits)
+            reopened = _drain(q2, limits)
+            assert reopened == live, (mode, seed)
