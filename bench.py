@@ -102,14 +102,23 @@ def run_bench():
                 [pc.sum(pc.utf8_length(t['text'])).as_py() or 0], pa.int64()),
         })
 
-    t0 = time.time()
-    stats = (cs.read_all(columns=['url', 'html'])
-             .map_batches(ExtractPages(with_links=True, with_contacts=True,
-                                       with_excerpt=True),
-                          batch_format='pyarrow', batch_size=1024)
-             .map_batches(summarize, batch_format='pyarrow')
-             .sum(['pages', 'text_chars']))
-    extract_sec = time.time() - t0
+    # best-of-REPS (default 2): the bench host is shared, and a
+    # co-tenant load spike during a single-shot run reads as a fake
+    # regression — the min of two back-to-back runs is the measured
+    # stable protocol (see BASELINE.md variance notes)
+    reps = max(1, int(os.environ.get('GRAFT_BENCH_REPS', '2')))
+    sweep_secs = []
+    for _ in range(reps):
+        t0 = time.time()
+        stats = (cs.read_all(columns=['url', 'html'])
+                 .map_batches(ExtractPages(with_links=True,
+                                           with_contacts=True,
+                                           with_excerpt=True),
+                              batch_format='pyarrow', batch_size=1024)
+                 .map_batches(summarize, batch_format='pyarrow')
+                 .sum(['pages', 'text_chars']))
+        sweep_secs.append(time.time() - t0)
+    extract_sec = min(sweep_secs)
     n = stats['sum(pages)']
     queries['extract_sweep'] = round(extract_sec, 3)
     extract_pps = n / extract_sec
@@ -127,18 +136,26 @@ def run_bench():
             seeds.append(corpus.page_url(h, i))
         if len(seeds) >= 128:
             break
-    t0 = time.time()
-    c = Crawler(cs, max_depth=4, max_links=100, delay=5.0,
-                num_seen_shards=8, batch_size=256,
-                with_contacts=True, with_excerpt=True)
-    visits = c.run(seeds)
-    crawl_sec = time.time() - t0
+    def visit_fp(v):
+        return hashlib.blake2b(
+            ('|'.join(v.column('url').to_pylist()) + '#' +
+             '|'.join(map(str, v.column('depth').to_pylist()))).encode(),
+            digest_size=8).hexdigest()
+
+    crawl_secs, fps = [], set()
+    for _ in range(reps):
+        t0 = time.time()
+        c = Crawler(cs, max_depth=4, max_links=100, delay=5.0,
+                    num_seen_shards=8, batch_size=256,
+                    with_contacts=True, with_excerpt=True)
+        visits = c.run(seeds)
+        crawl_secs.append(time.time() - t0)
+        fps.add(visit_fp(visits))
+    assert len(fps) == 1, 'crawl output varied across reps: %s' % fps
+    crawl_sec = min(crawl_secs)
     queries['crawl_bfs'] = round(crawl_sec, 3)
     crawl_pps = visits.num_rows / crawl_sec
-    fp = hashlib.blake2b(
-        ('|'.join(visits.column('url').to_pylist()) + '#' +
-         '|'.join(map(str, visits.column('depth').to_pylist()))).encode(),
-        digest_size=8).hexdigest()
+    fp = fps.pop()
 
     # --- operator suite over the sf tables ---
     suite = {
@@ -208,7 +225,10 @@ def run_scaling():
                        capture_output=True, text=True, check=True, cwd=REPO)
 
     def run_once(ncpu):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # reps happen at THIS level (fresh processes); keep the inner
+        # bench single-shot so best-of-2 doesn't become best-of-4
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPS='1')
         out = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=REPO).stdout
