@@ -220,7 +220,7 @@ def run_scaling():
     """
     if not os.path.exists(os.path.join(corpus_root(), '_corpus_meta.json')):
         subprocess.run([sys.executable, '-c',
-                        'import bench; bench.run_bench()'],
+                        'import bench; bench.ensure_corpus()'],
                        env=dict(os.environ, RAY_GRAFT_CPUS='32'),
                        capture_output=True, text=True, check=True, cwd=REPO)
 
