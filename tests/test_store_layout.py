@@ -169,6 +169,44 @@ def test_skewed_host_point_read_fans_out(ray_session, tmp_path):
     assert len([s for s in sizes if s]) >= 6
 
 
+def test_resident_fleet_not_stale_after_store_rewrite(ray_session,
+                                                      tmp_path):
+    """A store REWRITTEN at the same root must not attach to the old
+    resident fleet: the content token keys the registry, so the crawl
+    over the new content matches the parquet path, not the old pages."""
+    import shutil
+
+    from webscraping_ray.pipelines.crawl import Crawler, warm_corpus_cache
+
+    root = str(tmp_path / 's')
+    ds = corpus.pages_dataset(200, n_hosts=4, seed=1, override_num_blocks=2)
+    store.write_corpus(ds, root, num_buckets=2)
+    cs1 = store.CorpusStore(root)
+    assert warm_corpus_cache(cs1)
+    tok1 = cs1.content_token()
+
+    shutil.rmtree(root)
+    ds2 = corpus.pages_dataset(300, n_hosts=4, seed=2,
+                               override_num_blocks=2)
+    store.write_corpus(ds2, root, num_buckets=2)
+    cs2 = store.CorpusStore(root)
+    assert cs2.content_token() != tok1
+
+    cumw = corpus.host_cumweights(4)
+    seeds, seen = [], set()
+    for i in range(300):
+        h = corpus.page_host_id(i, 2, cumw)
+        if h not in seen:
+            seen.add(h)
+            seeds.append(corpus.page_url(h, i))
+    kw = dict(max_depth=2, max_links=20, num_seen_shards=2)
+    cols = ['url', 'depth', 'visit_order', 'status', 'text']
+    v_parquet = Crawler(cs2, resident_corpus=False, **kw).run(seeds)
+    v_resident = Crawler(cs2, resident_corpus=True, **kw).run(seeds)
+    assert (v_resident.select(cols).to_pylist()
+            == v_parquet.select(cols).to_pylist())
+
+
 def test_slice_bounded_by_rows_and_bytes():
     """Point-read output slicing must bound every block by row count
     AND html bytes, preserve order/content, and still make progress
@@ -260,7 +298,7 @@ def test_resident_tier_matches_parquet_tiers(ray_session, two_layouts):
     v_on = c_on.run(seeds)
     assert v_on.select(cols).to_pylist() == v_off.select(cols).to_pylist()
     # fleet is shared: a second crawler attaches to the same actors
-    sig = (cs.root, False, False, '', '^$', False)
+    sig = (cs.root, cs.content_token(), False, False, '', '^$', False)
     assert sig in C._CACHE_FLEETS
     fleet_actors = C._CACHE_FLEETS[sig]['actors']
     c2 = Crawler(cs, resident_corpus=True, **kw)

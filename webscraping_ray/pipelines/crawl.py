@@ -340,8 +340,8 @@ def warm_corpus_cache(corpus, with_contacts: bool = False,
     crawls; crawlers with a matching config then attach instantly."""
     if not _cache_fits(corpus):
         return False
-    sig = (corpus.root, with_contacts, with_excerpt, allowed_urls,
-           banned_urls, with_redirect)
+    sig = (corpus.root, corpus.content_token(), with_contacts,
+           with_excerpt, allowed_urls, banned_urls, with_redirect)
     entry = _CACHE_FLEETS.get(sig)
     if entry is None:
         entry = _build_cache_fleet(corpus, with_contacts, with_excerpt,
@@ -897,7 +897,10 @@ class Crawler:
         # processes costs seconds and must not be paid per crawl.  A
         # crawler with a robots object gets a private fleet (robots
         # identity can't key the registry).
-        sig = (self.corpus.root, self.with_contacts, self.with_excerpt,
+        # content_token: a store REWRITTEN at the same root must not
+        # attach to the old fleet (stale pages)
+        sig = (self.corpus.root, self.corpus.content_token(),
+               self.with_contacts, self.with_excerpt,
                self.allowed_urls, self.banned_urls,
                self.num_redirects > 0)
         entry = _CACHE_FLEETS.get(sig) if self.robots is None else None

@@ -687,6 +687,27 @@ class CorpusStore:
                     os.path.join(self.root, 'bucket=*', '*.parquet')))
         return self._total_bytes
 
+    def content_token(self) -> tuple:
+        """Cheap content fingerprint of the store's files (count, total
+        bytes, newest mtime) — keys caches of store CONTENT (the
+        resident fleet registry), so a store rewritten at the same
+        root reads as a different store instead of serving stale
+        pages.  One os.stat per file, cached on the handle; only paid
+        on the resident path, which the memory gate turns off at
+        corpus sizes where per-file stats would matter."""
+        if not hasattr(self, '_content_token'):
+            import glob
+
+            n = b = m = 0
+            for f in glob.glob(os.path.join(self.root, 'bucket=*',
+                                            '*.parquet')):
+                st = os.stat(f)
+                n += 1
+                b += st.st_size
+                m = max(m, st.st_mtime_ns)
+            self._content_token = (n, b, m)
+        return self._content_token
+
     def pruned_decode_rows(self, urls) -> int:
         """Rows the pruned point read decodes for this url set — the
         fetch-amplification numerator (BASELINE.md "Known scale
