@@ -103,3 +103,34 @@ def test_rand_agent_deterministic():
     a2 = E.rand_agent(random.Random(42))
     assert a1 == a2
     assert 'Mozilla/5.0' in a1
+
+
+def test_ua_component_public_aliases():
+    """Reference-public UA component fns (alg.py:223-251) exist with
+    the reference signatures and compose like rand_agent."""
+    r = random.Random(7)
+    assert E.linux_os(random.Random(1)) == E.linux_os(random.Random(1))
+    assert E.osx_os(r).startswith('Macintosh; Intel Mac OS X 10.')
+    assert E.windows_os(r).startswith('Windows NT')
+    assert E.rand_os(r)
+    os_v = E.linux_os(random.Random(2))
+    assert 'Firefox/' in E.firefox_browser(os_v, random.Random(3))
+    assert 'MSIE' in E.ie_browser(rng=random.Random(4))
+    assert 'Chrome/' in E.chrome_browser(os_v, random.Random(5))
+
+
+def test_get_zip_codes_greedy_distance_filter(tmp_path):
+    """Greedy first-wins filter in file order (alg.py:187-201): a zip
+    within min_distance of an already-kept one is dropped; lat/lng
+    come back as the file's original strings."""
+    f = tmp_path / 'zips.csv'
+    f.write_text('Zip,Latitude,Longitude\n'
+                 '10001,40.75,-73.99\n'     # kept (first)
+                 '10002,40.76,-74.00\n'     # ~1 mile away -> dropped
+                 '90210,34.09,-118.41\n'    # far -> kept
+                 '90211,34.08,-118.40\n')   # near 90210 -> dropped
+    assert list(E.get_zip_codes(str(f), min_distance=50)) == [
+        '10001', '90210']
+    rows = list(E.get_zip_lat_lngs(str(f), min_distance=0))
+    assert rows[0] == ('10001', '40.75', '-73.99')
+    assert len(rows) == 4

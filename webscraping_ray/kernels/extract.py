@@ -223,6 +223,69 @@ def rand_agent(rng=None):
     return browser(_rand_os(rng), rng)
 
 
+# reference-public aliases of the UA components (alg.py:223-251): user
+# code calls these directly; an optional seeded rng keeps determinism
+def linux_os(rng=None):
+    return _linux_os(rng or random)
+
+
+def osx_os(rng=None):
+    return _osx_os(rng or random)
+
+
+def windows_os(rng=None):
+    return _windows_os(rng or random)
+
+
+def rand_os(rng=None):
+    return _rand_os(rng or random)
+
+
+def firefox_browser(os_version, rng=None):
+    return _firefox_browser(os_version, rng or random)
+
+
+def ie_browser(os_version=None, rng=None):
+    return _ie_browser(os_version, rng or random)
+
+
+def chrome_browser(os_version, rng=None):
+    return _chrome_browser(os_version, rng or random)
+
+
+def get_zip_lat_lngs(filename, min_distance=100, scale='miles',
+                     lat_key='Latitude', lng_key='Longitude',
+                     zip_key='Zip'):
+    """Yield (zip, lat, lng) rows of a zip-code CSV whose locations
+    are at least ``min_distance`` apart (reference alg.py:187-201 —
+    greedy first-wins filter in file order, O(kept) comparisons per
+    row, lat/lng yielded as the file's original strings)."""
+    import csv
+
+    if min_distance > 0:
+        locations = []
+        for record in csv.DictReader(open(filename)):
+            lat, lng = float(record[lat_key]), float(record[lng_key])
+            for other in locations:
+                if distance((lat, lng), other, scale=scale) < min_distance:
+                    break
+            else:
+                locations.append((lat, lng))
+                yield record[zip_key], record[lat_key], record[lng_key]
+    else:
+        for record in csv.DictReader(open(filename)):
+            yield record[zip_key], record[lat_key], record[lng_key]
+
+
+def get_zip_codes(filename, min_distance=100, scale='miles',
+                  lat_key='Latitude', lng_key='Longitude',
+                  zip_key='Zip'):
+    """Zip codes of :func:`get_zip_lat_lngs` (reference alg.py:181-185)."""
+    for zip_code, _lat, _lng in get_zip_lat_lngs(
+            filename, min_distance, scale, lat_key, lng_key, zip_key):
+        yield zip_code
+
+
 def parse_location(result):
     """Flatten a geocoding API result into a flat dict
     (reference download.py:729-765, ``GoogleMaps.parse_location``).
