@@ -462,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'pagerank_ds': R.pagerank_ds,
         'hits_ds': R.hits_ds,
         'inlink_anchors_ds': R.inlink_anchors_ds,
+        'perplexity_buckets': R.perplexity_buckets,
+        'source_quality_filter': R.source_quality_filter,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -1214,6 +1216,56 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT anchor, ',' ORDER BY anchor)
                        AS anchors
             FROM links GROUP BY url
+        """,
+        # CCNet perplexity bucketing: per-lang unigram cross-entropy,
+        # NTILE(3) head/middle/tail per language (ties by doc_id, so
+        # the tile assignment is float-drift-proof; ce drift absorbed
+        # by round(6), the unigram_logprob pattern)
+        'perplexity_buckets': """
+            WITH tk AS (SELECT doc_id, lang,
+                          unnest(regexp_extract_all(lower(text), '\\w+'))
+                              AS w
+                        FROM documents),
+            lt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                   FROM tk GROUP BY lang),
+            vocab AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+                      FROM tk GROUP BY lang, w),
+            per AS (SELECT t.doc_id, -SUM(ln(v.c / lt.n)) / count(*) AS ce
+                    FROM tk t
+                    JOIN vocab v ON t.lang = v.lang AND t.w = v.w
+                    JOIN lt ON lt.lang = t.lang
+                    GROUP BY t.doc_id),
+            ced AS (SELECT d.doc_id, d.lang,
+                           round(COALESCE(p.ce, 0.0), 6) AS ce
+                    FROM documents d LEFT JOIN per p USING (doc_id)),
+            tiled AS (SELECT doc_id, lang, ce,
+                             CAST(NTILE(3) OVER (PARTITION BY lang
+                                      ORDER BY ce, doc_id) AS BIGINT)
+                                 AS tile
+                      FROM ced)
+            SELECT doc_id, lang, ce, tile,
+                   CASE WHEN tile = 1 THEN 'head'
+                        WHEN tile = 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM tiled
+        """,
+        # domain-level filter: keep docs whose source's mean token
+        # count strictly exceeds the corpus mean (exact HUGEINT
+        # cross-multiplication — no float threshold)
+        'source_quality_filter': """
+            WITH tk AS (SELECT doc_id, source,
+                          CAST(len(regexp_extract_all(lower(text),
+                                                      '\\w+')) AS BIGINT)
+                              AS n
+                        FROM documents),
+            s AS (SELECT source, SUM(n) AS sn, count(*) AS cnt
+                  FROM tk GROUP BY source),
+            tot AS (SELECT SUM(n) AS tsn, count(*) AS tcnt FROM tk)
+            SELECT t.doc_id, t.source,
+                   round(CAST(s.sn AS DOUBLE) / s.cnt, 6)
+                       AS src_mean_tokens
+            FROM tk t JOIN s USING (source), tot
+            WHERE s.sn * tot.tcnt > tot.tsn * s.cnt
         """,
         # approximate-family quality gates: the Ray side MEASURES the
         # sketch/index against the exact computation and emits integer

@@ -241,3 +241,50 @@ def test_metadata_fold_link_split_identical(ray_session, tmp_path,
     v_split = Crawler(cs, **kw).run(seeds)
     assert (v_split.select(cols).to_pylist()
             == v_inline.select(cols).to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: CCNet perplexity bucketing + domain-level filter
+
+def test_perplexity_buckets_tiers_equal(ray_session):
+    base = _canon(R.perplexity_buckets(SF))
+    join = _canon(R.perplexity_buckets(SF, force_join=True))
+    pd.testing.assert_frame_equal(join, base, check_dtype=False)
+
+
+def test_perplexity_buckets_tile_sizes(ray_session):
+    """NTILE semantics: per lang the first n%3 tiles hold ceil(n/3)
+    docs, the rest floor(n/3); head ce <= middle ce <= tail ce."""
+    df = R.perplexity_buckets(SF).to_pandas()
+    for lang, g in df.groupby('lang'):
+        n = len(g)
+        q, r = divmod(n, 3)
+        sizes = g['tile'].value_counts().sort_index().tolist()
+        want = [q + 1] * r + [q] * (3 - r)
+        assert sizes == [s for s in want if s], (lang, sizes, want)
+        assert g[g.bucket == 'head'].ce.max() <= \
+            g[g.bucket == 'middle'].ce.min() + 1e-12
+        assert g[g.bucket == 'middle'].ce.max() <= \
+            g[g.bucket == 'tail'].ce.min() + 1e-12
+
+
+def test_ntile_small_groups(ray_session):
+    """n < tiles: every doc lands in its own (fat) tile, no div-zero."""
+    import ray
+
+    from webscraping_ray.pipelines.relational import _ntile_by_lang
+
+    scored = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([1, 2], pa.int64()),
+        'lang': pa.array(['xx', 'xx'], pa.string()),
+        'ce': pa.array([1.5, 0.5], pa.float64())}))
+    out = _ntile_by_lang(scored, 3).to_pandas().sort_values('doc_id')
+    assert out['tile'].tolist() == [2, 1]
+    assert out['bucket'].tolist() == ['middle', 'head']
+
+
+def test_source_quality_filter_tiers_equal(ray_session):
+    base = _canon(R.source_quality_filter(SF))
+    join = _canon(R.source_quality_filter(SF, force_join=True))
+    pd.testing.assert_frame_equal(join, base, check_dtype=False)
+    assert len(base) > 0

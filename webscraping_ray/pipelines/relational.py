@@ -3289,3 +3289,302 @@ def kll_token_quantiles(sf_dir: str, k: int = 200,
         ok.append(int(lo - eps <= q <= hi + eps))
     return pa.table({'q_label': pa.array(labels, pa.string()),
                      'within_bound': pa.array(ok, pa.int64())})
+
+
+def perplexity_buckets(sf_dir: str, tiles: int = 3,
+                       force_join: bool = False,
+                       num_partitions: int = 8):
+    """CCNet-style perplexity bucketing (Wenzek et al., 2019,
+    arXiv:1911.00359 §4.3): score every document's cross-entropy under
+    its LANGUAGE's unigram LM, then split each language into
+    equal-count head / middle / tail tiers (head = lowest perplexity)
+    — the canonical corpus-curation step between langid and the
+    quality filters.  Returns (doc_id, lang, ce, tile, bucket) with
+    tile matching SQL ``NTILE(tiles) OVER (PARTITION BY lang ORDER BY
+    ce, doc_id)`` exactly (ties broken by doc_id, so no float
+    threshold can flip a boundary document).
+
+    Scale shape: pass 1 builds per-(lang, token) counts (Counter
+    partials → groupby-sum) and broadcasts the log-prob table at or
+    below ``BIGRAM_BROADCAST_LIMIT`` entries; above it (or under
+    ``force_join``) the hash-join tier explodes (doc_id, lang, w)
+    rows through a Dataset join on (lang, w) — the
+    :func:`_unigram_logprob_join` shape, tiers test-pinned equal.
+    The NTILE rank is the two-pass prefix-sum shape of
+    :func:`shuffle_assign`: quantized-ce coarse buckets (64/nat,
+    ≤4096 per lang) are counted — bounded driver state — per-bucket
+    bases broadcast, and each coarse bucket ranks independently, so
+    exact tile ids need no global sort.  A pathologically dense ce
+    window concentrates one coarse bucket; the quantization bounds
+    that group to the docs inside one 1/64-nat band per language."""
+    import collections
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'text'])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for lang, txt in zip(t.column('lang').to_pylist(),
+                             t.column('text').to_pylist()):
+            for w in _TOKEN_RE.findall((txt or '').lower()):
+                c[(lang, w)] += 1
+        keys = list(c.keys())
+        return pa.table({'lang': pa.array([k[0] for k in keys], pa.string()),
+                         'w': pa.array([k[1] for k in keys], pa.string()),
+                         'c': pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(vocab_partial, batch_format='pyarrow')
+              .groupby(['lang', 'w']).aggregate(Sum('c', alias_name='c'))
+              .materialize())
+
+    if force_join or counts.count() > BIGRAM_BROADCAST_LIMIT:
+        scored = _perplexity_ce_join(sf_dir, counts, num_partitions)
+    else:
+        vocab: dict = {}
+        lang_tot: collections.Counter = collections.Counter()
+        for b in counts.iter_batches(batch_format='pyarrow'):
+            for lang, w, c in zip(b.column('lang').to_pylist(),
+                                  b.column('w').to_pylist(),
+                                  b.column('c').to_pylist()):
+                vocab[(lang, w)] = c
+                lang_tot[lang] += c
+        logp = {k: math.log(c / lang_tot[k[0]]) for k, c in vocab.items()}
+        lref = ray.put(logp)
+
+        def score(t: pa.Table) -> pa.Table:
+            lp = ray.get(lref)
+            ces = []
+            for lang, txt in zip(t.column('lang').to_pylist(),
+                                 t.column('text').to_pylist()):
+                toks = _TOKEN_RE.findall((txt or '').lower())
+                ces.append(-sum(lp[(lang, w)] for w in toks) / len(toks)
+                           if toks else 0.0)
+            return pa.table({'doc_id': t['doc_id'], 'lang': t['lang'],
+                             'ce': pa.array(ces, pa.float64())})
+
+        scored = ds.map_batches(score, batch_format='pyarrow')
+
+    scored = scored.map_batches(lambda t: _snap_round(t, 'ce', 6),
+                                batch_format='pyarrow')
+    return _ntile_by_lang(scored, tiles)
+
+
+def _perplexity_ce_join(sf_dir: str, counts, num_partitions: int = 8):
+    """Hash-join tier of :func:`perplexity_buckets`'s scoring pass:
+    per-(lang, token) counts stay a Dataset; exploded (doc_id, lang, w)
+    rows join on (lang, w); the per-doc mean is a hash aggregate.
+    Language TOTALS are O(#languages) — bounded — and broadcast."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _TOKEN_RE, _join_safe
+
+    counts = _join_safe(counts, num_partitions).materialize()
+    ltot = {r['lang']: int(r['sum(c)'])
+            for r in counts.groupby('lang').aggregate(Sum('c')).take_all()}
+    tot_ref = ray.put(ltot)
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'text'])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids, ls, ws = [], [], []
+        for i, lang, txt in zip(t.column('doc_id').to_pylist(),
+                                t.column('lang').to_pylist(),
+                                t.column('text').to_pylist()):
+            for w in _TOKEN_RE.findall((txt or '').lower()):
+                ids.append(i)
+                ls.append(lang)
+                ws.append(w)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'lang': pa.array(ls, pa.string()),
+                         'w': pa.array(ws, pa.string())})
+
+    joined = (ds.map_batches(tok_rows, batch_format='pyarrow')
+              .join(counts, 'inner', num_partitions=num_partitions,
+                    on=('lang', 'w'), right_on=('lang', 'w')))
+
+    def term(t: pa.Table) -> pa.Table:
+        tot = ray.get(tot_ref)
+        c = t.column('c').to_numpy(zero_copy_only=False).astype(np.float64)
+        tots = np.array([tot[lang] for lang in t.column('lang').to_pylist()],
+                        np.float64)
+        return pa.table({'doc_id': t['doc_id'],
+                         'term': pa.array(np.log(c / tots), pa.float64())})
+
+    per_doc = _join_safe(
+        joined.map_batches(term, batch_format='pyarrow')
+        .groupby('doc_id').aggregate(Sum('term', alias_name='s'),
+                                     Count(alias_name='n')),
+        num_partitions)
+
+    docs = _read(sf_dir, 'documents', ['doc_id', 'lang'])
+    out = docs.join(per_doc, 'left_outer', num_partitions=num_partitions,
+                    on=('doc_id',), right_on=('doc_id',))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = [x or 0.0 for x in t.column('s').to_pylist()]
+        n = [int(x) if x is not None else 0
+             for x in t.column('n').to_pylist()]
+        ce = [(-a / b) if b else 0.0 for a, b in zip(s, n)]
+        return pa.table({'doc_id': t['doc_id'], 'lang': t['lang'],
+                         'ce': pa.array(ce, pa.float64())})
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+def _ntile_by_lang(scored, tiles: int):
+    """Exact per-language NTILE over (ce, doc_id) without a global
+    sort: quantized-ce coarse buckets → per-(lang, bucket) counts →
+    driver prefix sums (bounded: #langs × ≤4096 rows) → each bucket
+    ranks its own rows (the :func:`shuffle_assign` two-pass shape).
+    Tile sizes follow SQL NTILE: the first n%tiles tiles get
+    ceil(n/tiles) rows."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def qb(t: pa.Table) -> pa.Table:
+        ce = t.column('ce').to_numpy(zero_copy_only=False)
+        b = np.minimum((ce * 64.0).astype(np.int64), 4095)
+        return t.append_column('qb', pa.array(b, pa.int64()))
+
+    kd = scored.map_batches(qb, batch_format='pyarrow').materialize()
+    counts = (kd.groupby(['lang', 'qb'])
+              .aggregate(Count(alias_name='n'))).take_all()
+    by_lang: dict = {}
+    for r in counts:
+        by_lang.setdefault(r['lang'], []).append((r['qb'], r['n']))
+    bases, totals = {}, {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        run = 0
+        for b, n in rows:
+            bases[(lang, b)] = run
+            run += n
+        totals[lang] = run
+    info_ref = ray.put((bases, totals, tiles))
+
+    def rank(g: pa.Table) -> pa.Table:
+        bases_b, totals_b, t_ = ray.get(info_ref)
+        g = g.sort_by([('ce', 'ascending'), ('doc_id', 'ascending')])
+        lang = g.column('lang')[0].as_py()
+        base = bases_b[(lang, g.column('qb')[0].as_py())]
+        n = totals_b[lang]
+        k = base + np.arange(g.num_rows, dtype=np.int64)
+        q, r = divmod(n, t_)
+        # NTILE: ranks below r*(q+1) fall in the first r (fat) tiles
+        tile = np.where(k < r * (q + 1), k // (q + 1),
+                        r + (k - r * (q + 1)) // max(q, 1)) + 1
+        labels = (['head', 'middle', 'tail'] if t_ == 3
+                  else ['q%d' % (i + 1) for i in range(t_)])
+        return pa.table({
+            'doc_id': g.column('doc_id'),
+            'lang': g.column('lang'),
+            'ce': g.column('ce'),
+            'tile': pa.array(tile, pa.int64()),
+            'bucket': pa.array([labels[int(x) - 1] for x in tile],
+                               pa.string())})
+
+    return kd.groupby(['lang', 'qb']).map_groups(rank,
+                                                 batch_format='pyarrow')
+
+
+def source_quality_filter(sf_dir: str, force_join: bool = False,
+                          num_partitions: int = 8):
+    """Domain-level quality filter (the RefinedWeb / C4 pattern of
+    dropping whole hosts rather than single pages): keep every
+    document whose SOURCE's mean token count is strictly above the
+    corpus mean — low-mean sources (template farms, stub pages) drop
+    wholesale.  The threshold compare is exact integer
+    cross-multiplication (sum_s·n_total > sum_total·n_s), so no float
+    rounding can flip a boundary source.
+
+    Scale shape: one tokenizing pass reduces the corpus to per-source
+    (sum, count) aggregates — O(#sources) rows.  At or below
+    ``BROADCAST_KEY_LIMIT`` sources the keep-map folds on the driver
+    and broadcasts via ``ray.put``; above it (web scale: 1e8+ hosts)
+    the aggregate stays a Dataset, the exact compare maps per
+    aggregate row (Python-int products — no int64 overflow at
+    1e14·1e10), and membership is a hash join (tiers test-pinned
+    equal).  Document text never enters a shuffle."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _TOKEN_RE, BROADCAST_KEY_LIMIT
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source', 'text'])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'doc_id': t['doc_id'], 'source': t['source'],
+            'n': pa.array([len(_TOKEN_RE.findall((s or '').lower()))
+                           for s in t.column('text').to_pylist()],
+                          pa.int64())})
+
+    toks = ds.map_batches(tok, batch_format='pyarrow').materialize()
+    agg = (toks.groupby('source')
+           .aggregate(Sum('n', alias_name='sn'), Count(alias_name='cnt'))
+           .materialize())
+
+    if force_join or agg.count() > BROADCAST_KEY_LIMIT:
+        out = _source_quality_filter_join(toks, agg, num_partitions)
+    else:
+        rows = agg.take_all()
+        tsn = sum(int(r['sn']) for r in rows)
+        tcnt = sum(int(r['cnt']) for r in rows)
+        keep = {r['source']: int(r['sn']) / int(r['cnt'])
+                for r in rows
+                if int(r['sn']) * tcnt > tsn * int(r['cnt'])}
+        kref = ray.put(keep)
+
+        def filt(t: pa.Table) -> pa.Table:
+            k = ray.get(kref)
+            mask = [s in k for s in t.column('source').to_pylist()]
+            t = t.filter(pa.array(mask, pa.bool_()))
+            return pa.table({
+                'doc_id': t['doc_id'], 'source': t['source'],
+                'src_mean_tokens': pa.array(
+                    [k[s] for s in t.column('source').to_pylist()],
+                    pa.float64())})
+
+        out = toks.map_batches(filt, batch_format='pyarrow')
+
+    return out.map_batches(lambda t: _snap_round(t, 'src_mean_tokens', 6),
+                           batch_format='pyarrow')
+
+
+def _source_quality_filter_join(toks, agg, num_partitions: int = 8):
+    """Join tier of :func:`source_quality_filter`: the per-source
+    aggregate stays a Dataset; the exact integer compare runs inside
+    ``map_batches`` over aggregate rows (two broadcast scalars), and
+    kept sources hash-join back onto the (doc_id, source) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _join_safe
+
+    tot = agg.aggregate(Sum('sn'), Sum('cnt'))
+    tsn, tcnt = int(tot['sum(sn)']), int(tot['sum(cnt)'])
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        sn = [int(x) for x in t.column('sn').to_pylist()]
+        cnt = [int(x) for x in t.column('cnt').to_pylist()]
+        mask = [a * tcnt > tsn * b for a, b in zip(sn, cnt)]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        mean = [int(a) / int(b) for a, b in
+                zip(t.column('sn').to_pylist(),
+                    t.column('cnt').to_pylist())]
+        return pa.table({'source': t['source'],
+                         'src_mean_tokens': pa.array(mean, pa.float64())})
+
+    kept = _join_safe(agg.map_batches(keep_rows, batch_format='pyarrow'),
+                      num_partitions)
+    out = toks.select_columns(['doc_id', 'source']).join(
+        kept, 'inner', num_partitions=num_partitions,
+        on=('source',), right_on=('source',))
+    return out.map_batches(
+        lambda t: t.select(['doc_id', 'source', 'src_mean_tokens']),
+        batch_format='pyarrow')
