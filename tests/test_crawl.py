@@ -376,3 +376,33 @@ def test_collect_visits_false_streams_to_sink(ray_session, small_corpus,
     import pytest
     with pytest.raises(ValueError):
         Crawler(tbl, collect_visits=False)   # sink required
+
+
+def test_resume_after_crash_mid_wave_push(ray_session, small_corpus, tmp_path):
+    """Crash AFTER a wave pushed its discovered links but BEFORE that
+    wave's checkpoint committed: resume rewinds the seen set, so the
+    re-run wave re-discovers and re-pushes the same links — the
+    orphaned pre-crash segment must not double-visit every one of
+    them (fifo queue has no dedup index to absorb the re-push)."""
+    tbl, as_dict = small_corpus
+    seeds = seeds_for(as_dict)
+    full = crawl_bfs(tbl, seeds, max_depth=3, max_links=10)
+
+    ckpt = str(tmp_path / 'ckpt')
+    qdir = str(tmp_path / 'fq')
+    kw = dict(max_depth=3, max_links=10, checkpoint_dir=ckpt,
+              frontier_queue_dir=qdir, frontier_spill_threshold=0)
+    c1 = Crawler(tbl, **kw)
+    part1 = c1.run(seeds, stop_after_wave=1)
+    # simulate the in-flight wave 2: its discovered (depth-3) links
+    # were pushed to the queue, then the process died pre-checkpoint
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    q = ParquetQueue(qdir)
+    depth3 = [r['url'] for r in full.to_pylist() if r['depth'] == 3]
+    assert depth3, 'fixture must reach depth 3'
+    q.push([('3|%s' % u, 0) for u in depth3])
+    del q
+    c2 = Crawler(tbl, **kw)
+    part2 = c2.run_resumed()
+    resumed = pa.concat_tables([part1, part2])
+    assert resumed.to_pylist() == full.to_pylist()

@@ -462,3 +462,64 @@ def test_queue_crash_copy_equivalence_randomized(tmp_path):
             live = _drain(q, limits)
             reopened = _drain(q2, limits)
             assert reopened == live, (mode, seed)
+
+
+def test_restore_claims_truncates_post_snapshot_pushes(tmp_path):
+    """restore_claims rewinds PUSHES as well as pulls: rows with
+    seq >= the snapshot's next_seq are physically truncated, so a
+    crash between a wave's push and its checkpoint can't double keys
+    when the resumed run re-discovers and re-pushes them (fifo mode
+    has no hash index to absorb the re-push)."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root, mode='fifo')
+    q.push([('a', 0), ('b', 0)])
+    snap = str(tmp_path / 'ckpt.json')
+    q.checkpoint_claims(snap)
+    q.push([('c', 0), ('d', 0)])       # in-flight wave's push, then crash
+    ParquetQueue.restore_claims(snap, root)
+    q2 = ParquetQueue(root)
+    assert len(q2) == 2
+    # the resumed wave re-pushes the same keys; no duplicates pull
+    q2.push([('c', 0), ('d', 0)])
+    assert q2.pull(limit=10) == ['a', 'b', 'c', 'd']
+    q2.close() if hasattr(q2, 'close') else None
+
+
+def test_restore_claims_trims_compacted_straddle(tmp_path):
+    """A post-checkpoint compaction merges pre- and post-snapshot rows
+    into ONE segment; restore must trim it row-level (drop seq >=
+    next_seq, keep the rest) rather than delete or keep whole files."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root, mode='fifo')
+    q.push([('a', 0), ('b', 0)])
+    snap = str(tmp_path / 'ckpt.json')
+    q.checkpoint_claims(snap)
+    q.push([('c', 0)])
+    q._compact()                        # one straddling segment
+    ParquetQueue.restore_claims(snap, root)
+    q2 = ParquetQueue(root)
+    assert q2.pull(limit=10) == ['a', 'b']
+    # disk-wins counters resume at the snapshot point: the re-push of
+    # 'c' reuses the crashed run's seq, keeping replay order identical
+    q2.push([('c', 0)])
+    assert q2.pull(limit=10) == ['c']
+
+
+def test_restore_claims_truncates_dedup_mode_too(tmp_path):
+    """Same rewind semantics in dedup mode: post-snapshot pushes are
+    truncated (true snapshot-rewind), and the rebuilt hash index
+    forgets them so they can be re-pushed."""
+    from webscraping_ray.pipelines.frontier import ParquetQueue
+    root = str(tmp_path / 'q')
+    q = ParquetQueue(root)
+    q.push([('a', 3)])
+    snap = str(tmp_path / 'ckpt.json')
+    q.checkpoint_claims(snap)
+    q.push([('z', 9)])
+    ParquetQueue.restore_claims(snap, root)
+    q2 = ParquetQueue(root)
+    assert len(q2) == 1
+    q2.push([('z', 9)])                 # re-push is NOT absorbed: row truncated
+    assert q2.pull(limit=10) == ['z', 'a']

@@ -278,3 +278,53 @@ def test_approx_quantiles_dataset_vs_exact(ray_session):
     for q, est in zip(QS, got):
         r = np.searchsorted(vals, est, side='right') / n
         assert abs(r - q) < 0.025
+
+
+def test_kll_all_from_table_parses_coalesced_blocks():
+    """Ray coalesces consecutive map outputs into one block; a block
+    holding TWO serialized summaries must parse as two sketches (the
+    positional parser took n from the first row only)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webscraping_ray.stages.sketch import KLLQuantiles
+
+    h1 = KLLQuantiles(50)
+    h1.add(np.arange(100, dtype=np.float64))
+    h2 = KLLQuantiles(50)
+    h2.add(np.arange(100, 200, dtype=np.float64))
+    spliced = pa.concat_tables([h1.to_table(), h2.to_table()])
+    parts = KLLQuantiles.all_from_table(spliced, 50)
+    assert len(parts) == 2
+    assert sorted(p.n for p in parts) == [100, 100]
+    acc = KLLQuantiles(50)
+    for p in parts:
+        acc.merge(p)
+    assert acc.n == 200
+    assert 80 <= acc.quantile(0.5) <= 120
+
+
+def test_heavy_hitters_count_empty_summary_blocks(ray_session, tmp_path):
+    """A block with more than `capacity` distinct equal-count tokens
+    flushes its Misra-Gries summary EMPTY — its token total must still
+    count, or the HAVING cutoff drops and borderline tokens become
+    false heavy hitters."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import heavy_hitter_tokens
+
+    # 200x 'hot', 7x 'warm', 301 unique singletons; one token per doc.
+    # capacity=4, batch_size=100: the three all-singleton batches
+    # flush empty.  Exact: total=508 -> only hot (200*50 > 508);
+    # dropping the empty batches' 208 tokens gave total=300 and
+    # 'warm' (7*50=350 > 300) leaked in.
+    texts = ['hot'] * 200 + ['warm'] * 7 + ['u%d' % i for i in range(301)]
+    pq.write_table(pa.table({
+        'doc_id': pa.array(range(len(texts)), pa.int64()),
+        'text': pa.array(texts, pa.string())}),
+        str(tmp_path / 'documents.parquet'))
+    out = heavy_hitter_tokens(str(tmp_path), denom=50, capacity=4,
+                              batch_size=100)
+    assert out.column('token').to_pylist() == ['hot']
+    assert out.column('n').to_pylist() == [200]

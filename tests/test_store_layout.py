@@ -304,3 +304,107 @@ def test_resident_tier_matches_parquet_tiers(ray_session, two_layouts):
     c2 = Crawler(cs, resident_corpus=True, **kw)
     c2._cache_pool()
     assert c2._resident[0] is fleet_actors
+
+
+def test_resident_empty_shard_blocks_are_store_typed(ray_session,
+                                                     tmp_path):
+    """A shard whose buckets are all EMPTY (host layout with fewer
+    hosts than buckets) must emit blocks in the store's types: an
+    all-string empty block would fail the as-of/max-age warc_ts cast
+    and schema unification when a wave url routes to it (a seed for a
+    host absent from the corpus)."""
+    from webscraping_ray.pipelines.crawl import (CorpusCacheShard,
+                                                 Crawler,
+                                                 warm_corpus_cache)
+
+    root = str(tmp_path / 'tiny_host')
+    ds = corpus.pages_dataset(80, n_hosts=2, seed=3,
+                              override_num_blocks=2)
+    store.write_corpus(ds, root, num_buckets=8, layout='host')
+    cs = store.CorpusStore(root)
+
+    # unit level: empty shard built with the store schema serves
+    # typed empty blocks
+    import pyarrow.parquet as pq
+    first = next(fs[0] for b in range(cs.num_buckets)
+                 for fs in [cs._bucket_files([b])] if fs)
+    schema = pq.read_schema(first)
+    cols = cs._available_columns(first, ['url', 'html', 'warc_ts'])
+    shard = CorpusCacheShard([], cols, False, False, '', '^$',
+                             schema=pa.schema([schema.field(c)
+                                               for c in cols]))
+    blk = shard.take(['http://nowhere.com/'])
+    assert blk.schema.field('html').type == schema.field('html').type
+    assert blk.schema.field('warc_ts').type == schema.field('warc_ts').type
+
+    # end to end: a crawl with max_age set and a seed on an absent
+    # host (routes to an empty shard) matches the parquet tier
+    cumw = corpus.host_cumweights(2)
+    seeds = []
+    seen = set()
+    for i in range(80):
+        h = corpus.page_host_id(i, 3, cumw)
+        if h not in seen:
+            seen.add(h)
+            seeds.append(corpus.page_url(h, i))
+    seeds.append('http://absent-host.com/')
+    kw = dict(max_depth=2, max_links=20, num_seen_shards=2,
+              max_age_us=10**18, now_ts=10**18)
+    cols_out = ['url', 'depth', 'visit_order', 'status']
+    v_off = Crawler(cs, resident_corpus=False, **kw).run(seeds)
+    assert warm_corpus_cache(cs)
+    v_on = Crawler(cs, resident_corpus=True, **kw).run(seeds)
+    assert (v_on.select(cols_out).to_pylist()
+            == v_off.select(cols_out).to_pylist())
+
+
+def test_fleet_eviction_skips_pinned_entries(ray_session, tmp_path):
+    """LRU eviction must not ray.kill a fleet a live crawler holds:
+    pinned entries survive registration pressure; once released they
+    evict normally."""
+    from webscraping_ray.pipelines import crawl as C
+
+    saved = dict(C._CACHE_FLEETS)
+    C._CACHE_FLEETS.clear()
+    try:
+        def entry(pins):
+            return {'actors': [], 'assign': {}, 'cols': ['url'],
+                    'ready': [], 'pins': pins}
+
+        C._register_fleet('live', entry(pins=1))
+        for i in range(C._CACHE_FLEETS_MAX + 2):
+            C._register_fleet('idle%d' % i, entry(pins=0))
+        assert 'live' in C._CACHE_FLEETS          # pinned: never evicted
+        assert len(C._CACHE_FLEETS) == C._CACHE_FLEETS_MAX
+        # release the pin: the next registration may evict it
+        C._CACHE_FLEETS['live']['pins'] = 0
+        # make it LRU again (oldest insertion order)
+        C._CACHE_FLEETS['live'] = C._CACHE_FLEETS.pop('live')
+        for s in [s for s in C._CACHE_FLEETS if s != 'live']:
+            C._CACHE_FLEETS[s] = C._CACHE_FLEETS.pop(s)
+        C._register_fleet('new', entry(pins=0))
+        assert 'live' not in C._CACHE_FLEETS
+    finally:
+        C._CACHE_FLEETS.clear()
+        C._CACHE_FLEETS.update(saved)
+
+
+def test_crawler_pins_and_releases_fleet(ray_session, tmp_path):
+    """A crawler attach increments the registry pin; end of crawl
+    releases it."""
+    from webscraping_ray.pipelines import crawl as C
+    from webscraping_ray.pipelines.crawl import Crawler
+
+    root = str(tmp_path / 'pincorpus')
+    ds = corpus.pages_dataset(60, n_hosts=2, seed=5,
+                              override_num_blocks=2)
+    store.write_corpus(ds, root, num_buckets=2, layout='url')
+    cs = store.CorpusStore(root)
+    c = Crawler(cs, resident_corpus=True, max_depth=1, max_links=5,
+                num_seen_shards=2)
+    assert c._cache_pool() is not None
+    sig = next(s for s in C._CACHE_FLEETS
+               if s[0] == cs.root)
+    assert C._CACHE_FLEETS[sig]['pins'] == 1
+    c._close_cache()
+    assert C._CACHE_FLEETS[sig]['pins'] == 0

@@ -65,3 +65,29 @@ def test_extract_corpus_resume_skips_finished(ray_session, tmp_path):
     # a third run is a complete no-op
     st3 = sweep.extract_corpus(cs, out, with_contacts=True)
     assert st3 == {'buckets': 4, 'skipped': 4, 'rows': 400}
+
+
+def test_mode_switch_clears_stale_generations(ray_session, tmp_path):
+    """resume=False over a killed resumable run's out_dir must not
+    count (or leave) the stale bucket=K generation; resume=True over a
+    previous one-shot run must clear the untracked flat files."""
+    ds = corpus.pages_dataset(200, n_hosts=4, seed=9,
+                              override_num_blocks=2)
+    root = str(tmp_path / 'store')
+    store.write_corpus(ds, root, num_buckets=2)
+    cs = store.CorpusStore(root)
+    n_pages = cs.read_all(columns=['url']).count()
+
+    out = str(tmp_path / 'out')
+    # killed resumable run: bucket 0 finished, bucket 1 absent
+    r1 = sweep.extract_corpus(cs, out, resume=True)
+    assert r1['rows'] == n_pages
+    # switch to one-shot mode over the same dir
+    r2 = sweep.extract_corpus(cs, out, resume=False)
+    assert r2['rows'] == n_pages                  # was ~2x pre-fix
+    assert not [d for d in os.listdir(out) if d.startswith('bucket=')]
+    assert len(_rows(out)) == n_pages
+    # and back: resumable over the one-shot output clears flat files
+    r3 = sweep.extract_corpus(cs, out, resume=True)
+    assert r3['rows'] == n_pages
+    assert len(_rows(out)) == n_pages

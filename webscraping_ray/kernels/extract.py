@@ -259,22 +259,15 @@ def get_zip_lat_lngs(filename, min_distance=100, scale='miles',
     """Yield (zip, lat, lng) rows of a zip-code CSV whose locations
     are at least ``min_distance`` apart (reference alg.py:187-201 —
     greedy first-wins filter in file order, O(kept) comparisons per
-    row, lat/lng yielded as the file's original strings)."""
+    row, lat/lng yielded as the file's original strings).  The filter
+    itself is :func:`filter_min_distance`; this adds only the CSV
+    framing."""
     import csv
 
-    if min_distance > 0:
-        locations = []
-        for record in csv.DictReader(open(filename)):
-            lat, lng = float(record[lat_key]), float(record[lng_key])
-            for other in locations:
-                if distance((lat, lng), other, scale=scale) < min_distance:
-                    break
-            else:
-                locations.append((lat, lng))
-                yield record[zip_key], record[lat_key], record[lng_key]
-    else:
-        for record in csv.DictReader(open(filename)):
-            yield record[zip_key], record[lat_key], record[lng_key]
+    yield from filter_min_distance(
+        ((r[zip_key], r[lat_key], r[lng_key])
+         for r in csv.DictReader(open(filename))),
+        min_distance, scale)
 
 
 def get_zip_codes(filename, min_distance=100, scale='miles',

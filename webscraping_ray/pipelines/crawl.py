@@ -148,7 +148,7 @@ class CorpusCacheShard(ExtractWorker):
 
     def __init__(self, files, columns, with_contacts: bool,
                  with_excerpt: bool, allowed_urls: str, banned_urls: str,
-                 robots=None, with_redirect: bool = False):
+                 robots=None, with_redirect: bool = False, schema=None):
         super().__init__(with_contacts, with_excerpt, allowed_urls,
                          banned_urls, robots, with_redirect)
         import pyarrow.dataset as pads
@@ -157,6 +157,12 @@ class CorpusCacheShard(ExtractWorker):
             t = pads.dataset(files, format='parquet').to_table(
                 columns=columns)
             self.tbl = t.sort_by('url')
+        elif schema is not None:
+            # a shard whose assigned buckets are all empty (host layout
+            # with fewer hosts than buckets) must still emit blocks in
+            # the STORE's types — an all-string empty table would fail
+            # schema unification / as-of casts downstream
+            self.tbl = schema.empty_table()
         else:
             self.tbl = pa.table({c: pa.array([], pa.string())
                                  for c in (columns or ['url'])})
@@ -291,6 +297,8 @@ def _build_cache_fleet(corpus, with_contacts, with_excerpt,
     if first is None:
         return None
     cols = corpus._available_columns(first, ['url', 'html', 'warc_ts'])
+    file_schema = pq.read_schema(first)
+    shard_schema = pa.schema([file_schema.field(c) for c in cols])
     avail = int(ray.cluster_resources().get('CPU', 8))
     # one shard per bucket when the cluster is at least that wide:
     # balanced extraction load (a k that doesn't divide the bucket
@@ -304,19 +312,29 @@ def _build_cache_fleet(corpus, with_contacts, with_excerpt,
     cls = ray.remote(num_cpus=0)(CorpusCacheShard)  # see ExtractWorker
     actors = [cls.remote(groups[i], cols, with_contacts, with_excerpt,
                          allowed_urls, banned_urls, robots,
-                         with_redirect)
+                         with_redirect, schema=shard_schema)
               for i in range(k)]
     return {'actors': actors, 'assign': assign, 'cols': cols,
-            'ready': [a.ping.remote() for a in actors]}
+            'ready': [a.ping.remote() for a in actors], 'pins': 0}
 
 
 def _register_fleet(sig, entry):
-    """Insert into the shared registry, evicting LRU beyond the cap."""
+    """Insert into the shared registry, evicting LRU beyond the cap.
+
+    Eviction only considers UNPINNED entries (pins = crawlers currently
+    attached via ``_cache_pool``): killing a fleet a live crawler still
+    holds would fail its next wave mid-crawl.  When every entry is
+    pinned the cap is allowed to overflow — the attached crawlers
+    release their pins at ``_close_cache`` and the next registration
+    reclaims."""
     import ray
 
     _CACHE_FLEETS[sig] = entry
     while len(_CACHE_FLEETS) > _CACHE_FLEETS_MAX:
-        old_sig = next(iter(_CACHE_FLEETS))
+        old_sig = next((s for s, e in _CACHE_FLEETS.items()
+                        if s != sig and not e.get('pins', 0)), None)
+        if old_sig is None:
+            break
         old = _CACHE_FLEETS.pop(old_sig)
         for a in old['actors']:
             try:
@@ -923,6 +941,9 @@ class Crawler:
         self._resident_cols = entry['cols']
         self._resident = (entry['actors'], entry['assign'])
         self._cache_entry = entry
+        if getattr(self, '_resident_shared', False):
+            # pin against LRU eviction while this crawler is attached
+            entry['pins'] = entry.get('pins', 0) + 1
         return self._resident
 
     def _cache_ready(self) -> bool:
@@ -945,15 +966,30 @@ class Crawler:
         return True
 
     def _cache_refs(self, urls, columns=None, extract=False):
-        """Route urls to their cache shards; one RPC ref per shard."""
+        """Route urls to their cache shards; one RPC ref per shard.
+
+        Vectorized (the ``AddBucket``/``_touched_buckets`` shape): one
+        netloc pass + one blake2b per DISTINCT host under the host
+        layout, numpy argsort grouping — no per-url urlsplit+hash
+        driver loop (a measured ~2.5 us/url serialization at mega-wave
+        sizes)."""
+        from ..sources.store import bucket_ids
+
         actors, assign = self._cache_pool()
-        by_actor: dict = {}
-        for u in urls:
-            a = assign[self.corpus._bucket_of(u)]
-            by_actor.setdefault(a, []).append(u)
-        return [actors[a].take_extract.remote(us) if extract
-                else actors[a].take.remote(us, columns)
-                for a, us in sorted(by_actor.items())]
+        urls = list(urls)
+        bids = bucket_ids(urls, self.corpus.num_buckets,
+                          self.corpus.layout)
+        actor_of = np.array([assign[b]
+                             for b in range(self.corpus.num_buckets)],
+                            dtype=np.int32)
+        aids = actor_of[bids]
+        order = np.argsort(aids, kind='stable')
+        urls_arr = np.asarray(urls, dtype=object)[order]
+        uniq, starts = np.unique(aids[order], return_index=True)
+        return [actors[int(a)].take_extract.remote(list(us)) if extract
+                else actors[int(a)].take.remote(list(us), columns)
+                for a, us in zip(uniq,
+                                 np.split(urls_arr, starts[1:]))]
 
     def _lookup_wave_ds(self, urls, columns):
         """Wave fetch as a Dataset: resident cache shards when the
@@ -1127,6 +1163,10 @@ class Crawler:
 
             for a in self._resident[0]:
                 ray.kill(a)
+        entry = getattr(self, '_cache_entry', None)
+        if (entry is not None and getattr(self, '_resident_shared', False)
+                and entry.get('pins', 0) > 0):
+            entry['pins'] -= 1
         self._resident = None
         self._cache_entry = None
 

@@ -285,15 +285,63 @@ class ParquetQueue:
 
     @staticmethod
     def restore_claims(src: str, queue_dir: str):
-        """Rewind a queue directory's claim state to a checkpointed
-        snapshot (crawl resume).  Removes any claims.log: its lines
-        belong to the pre-restore generation (the gen check would
-        orphan them anyway — this is belt and braces)."""
+        """Rewind a queue directory's WHOLE state to a checkpointed
+        snapshot (crawl resume): claims come from the snapshot, any
+        claims.log is removed (its lines belong to the pre-restore
+        generation — the gen check would orphan them anyway), and rows
+        PUSHED after the snapshot (seq >= the snapshot's next_seq) are
+        physically truncated.  Truncating pushes matters because the
+        crawl's seen set rewinds with the same checkpoint: the resumed
+        wave re-discovers and re-pushes exactly those keys, and in
+        fifo mode there is no hash index to absorb the re-push — an
+        orphaned pre-crash segment would double-visit every key in it.
+        Disk-wins counter derivation then resumes next_seq at the
+        snapshot value, so the re-push reuses the crashed run's seqs
+        and replay order is byte-identical.
+
+        Cost: footer statistics decide whole-file keep/delete; only a
+        segment that straddles the boundary (a post-checkpoint
+        compaction merged pre- and post-snapshot rows) is decoded and
+        rewritten row-level."""
         import shutil
         shutil.copy(src, os.path.join(queue_dir, 'claims.json'))
         log = os.path.join(queue_dir, 'claims.log')
         if os.path.exists(log):
             os.remove(log)
+        with open(src) as f:
+            nseq = json.load(f).get('next_seq')
+        if nseq is None:
+            return
+        for name in os.listdir(queue_dir):
+            if not (name.startswith('seg_') and name.endswith('.parquet')):
+                continue
+            path = os.path.join(queue_dir, name)
+            md = pq.read_metadata(path)
+            seq_i = md.schema.to_arrow_schema().get_field_index('seq')
+            lo = hi = None
+            have_stats = md.num_row_groups > 0
+            for g in range(md.num_row_groups):
+                stats = md.row_group(g).column(seq_i).statistics
+                if stats is None or not stats.has_min_max:
+                    have_stats = False
+                    break
+                lo = stats.min if lo is None else min(lo, stats.min)
+                hi = stats.max if hi is None else max(hi, stats.max)
+            if have_stats and hi < nseq:
+                continue                    # wholly pre-snapshot: keep
+            if have_stats and lo >= nseq:
+                os.remove(path)             # wholly post-snapshot: drop
+                continue
+            import pyarrow.compute as pc
+            tbl = pq.read_table(path)       # straddle (or no stats)
+            kept = tbl.filter(pc.less(tbl.column('seq'),
+                                      pa.scalar(nseq, pa.int64())))
+            if kept.num_rows == 0:
+                os.remove(path)
+            elif kept.num_rows < tbl.num_rows:
+                tmp = path + '.tmp'
+                pq.write_table(kept, tmp)
+                os.replace(tmp, path)
 
     def _write_segment(self, tbl: pa.Table) -> str:
         name = 'seg_%05d.parquet' % self._next_seg

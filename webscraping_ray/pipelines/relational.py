@@ -3155,7 +3155,8 @@ def hll_user_counts(sf_dir: str, p: int = 14, rel_bound: float = 0.03):
 
 
 def heavy_hitter_tokens(sf_dir: str, denom: int = 50,
-                        capacity: int = 2048):
+                        capacity: int = 2048,
+                        batch_size: int | None = None):
     """Driver-visible Misra-Gries quality gate: exact corpus heavy
     hitters (word tokens with count*denom > total tokens) recovered
     through the sketch's candidate-then-verify shape.  Pass 1 folds
@@ -3176,6 +3177,8 @@ def heavy_hitter_tokens(sf_dir: str, denom: int = 50,
     ds = _read(sf_dir, 'documents', ['text'])
 
     def fold(t: pa.Table) -> pa.Table:
+        import uuid
+
         c: collections.Counter = collections.Counter()
         for txt in t.column('text').to_pylist():
             c.update(_TOKEN_RE.findall((txt or '').lower()))
@@ -3183,28 +3186,42 @@ def heavy_hitter_tokens(sf_dir: str, denom: int = 50,
         mg = MisraGries(capacity)
         mg.add_counter(c)
         toks = list(mg.counts)
+        # self-describing summary: a sid groups this summary's rows
+        # (Ray coalesces map outputs, so one block can carry several
+        # summaries) and a tok=None header row ALWAYS rides along —
+        # a summary whose counts all decremented away (> capacity
+        # distinct equal-count tokens) must still contribute its
+        # n_block to the corpus total or the HAVING cutoff drops
+        sid = uuid.uuid4().hex
+        n = len(toks) + 1
         return pa.table({
-            'tok': pa.array(toks, pa.string()),
-            'c': pa.array([mg.counts[k] for k in toks], pa.int64()),
-            'err': pa.array([mg.err] * len(toks), pa.int64()),
-            'n_block': pa.array([n_toks] * len(toks), pa.int64())})
+            'sid': pa.array([sid] * n, pa.string()),
+            'tok': pa.array(toks + [None], pa.string()),
+            'c': pa.array([mg.counts[k] for k in toks] + [0], pa.int64()),
+            'err': pa.array([mg.err] * n, pa.int64()),
+            'n_block': pa.array([n_toks] * n, pa.int64())})
 
+    fold_kw = {} if batch_size is None else {'batch_size': batch_size}
     acc = MisraGries(capacity)
     total = 0
-    # one summary per BLOCK (to_arrow_refs, not iter_batches): a
-    # rebatcher splicing two summaries into one table would double the
-    # per-summary err/n_block scalars
-    for ref in ds.map_batches(fold,
-                              batch_format='pyarrow').to_arrow_refs():
+    for ref in ds.map_batches(fold, batch_format='pyarrow',
+                              **fold_kw).to_arrow_refs():
         b = ray.get(ref)
-        if not b.num_rows:
-            continue
-        part = MisraGries(capacity)
-        part.counts = dict(zip(b.column('tok').to_pylist(),
-                               b.column('c').to_pylist()))
-        part.err = b.column('err')[0].as_py()
-        total += b.column('n_block')[0].as_py()
-        acc.merge(part)
+        summaries: dict = {}
+        for sid, tok, cc, err, nb in zip(
+                b.column('sid').to_pylist(), b.column('tok').to_pylist(),
+                b.column('c').to_pylist(), b.column('err').to_pylist(),
+                b.column('n_block').to_pylist()):
+            e = summaries.setdefault(sid, {'counts': {}, 'err': err,
+                                           'n_block': nb})
+            if tok is not None:
+                e['counts'][tok] = cc
+        for e in summaries.values():
+            part = MisraGries(capacity)
+            part.counts = e['counts']
+            part.err = e['err']
+            total += e['n_block']
+            acc.merge(part)
 
     cands = sorted(acc.counts)
     cref = ray.put(set(cands))
@@ -3262,11 +3279,12 @@ def kll_token_quantiles(sf_dir: str, k: int = 200,
     import ray
 
     acc = KLLQuantiles(k)
-    # one summary per BLOCK: merge whole blocks so a rebatcher can
-    # never splice two summaries into one table
+    # block refs (no re-batch splits) + sid grouping (a block may
+    # hold several coalesced summaries): every summary merges whole
     for ref in toks.map_batches(
             fold, batch_format='pyarrow').to_arrow_refs():
-        acc.merge(KLLQuantiles.from_table(ray.get(ref), k))
+        for part in KLLQuantiles.all_from_table(ray.get(ref), k):
+            acc.merge(part)
 
     hist = (toks.groupby('n_tokens')
             .aggregate(Count(alias_name='cnt'))).take_all()

@@ -54,12 +54,24 @@ def extract_corpus(cs, out_dir: str, with_links: bool = True,
     os.makedirs(out_dir, exist_ok=True)
 
     if not resume:
+        # a previous run's output is NOT marker-tracked in this mode:
+        # stale bucket=K dirs (killed resumable run) or flat files
+        # would be double-counted by _parquet_rows and double-read by
+        # any consumer of out_dir
+        _clear_output(out_dir)
         (cs.read_all(columns=['url', 'html'])
          .map_batches(stage, batch_format='pyarrow',
                       batch_size=batch_size)
          .write_parquet(out_dir))
         return {'buckets': cs.num_buckets, 'skipped': 0,
                 'rows': _parquet_rows(out_dir)}
+
+    # flat files from a previous resume=False run are outside the
+    # marker protocol — clear them (bucket dirs are handled per bucket)
+    for x in os.listdir(out_dir):
+        p = os.path.join(out_dir, x)
+        if os.path.isfile(p) and x.endswith('.parquet'):
+            os.remove(p)
 
     done = skipped = rows = 0
     for b in range(cs.num_buckets):
@@ -91,6 +103,19 @@ def extract_corpus(cs, out_dir: str, with_links: bool = True,
         rows += n
         done += 1
     return {'buckets': done + skipped, 'skipped': skipped, 'rows': rows}
+
+
+def _clear_output(d: str) -> None:
+    """Remove every prior sweep artifact under ``d`` (flat parquet
+    files and bucket=K partitions), leaving unrelated files alone."""
+    import shutil
+
+    for x in os.listdir(d):
+        p = os.path.join(d, x)
+        if os.path.isdir(p) and x.startswith('bucket='):
+            shutil.rmtree(p)
+        elif os.path.isfile(p) and x.endswith('.parquet'):
+            os.remove(p)
 
 
 def _parquet_rows(d: str) -> int:

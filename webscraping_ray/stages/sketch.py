@@ -305,17 +305,29 @@ class KLLQuantiles:
                            .clip(0, len(items) - 1)])
 
     def to_table(self) -> pa.Table:
+        # sid makes the serialized summary SELF-DESCRIBING: Ray Data
+        # coalesces consecutive map-task outputs into one block, so a
+        # block can carry several summaries — parsing by position
+        # (n = first row's n) would silently drop the others' weight
+        import uuid
+
+        sid = uuid.uuid4().hex
+        n_rows = sum(len(b) for b in self.levels)
         return pa.table({
+            'sid': pa.array([sid] * n_rows, pa.string()),
             'lvl': pa.array(
                 [l for l, buf in enumerate(self.levels)
                  for _ in range(len(buf))], pa.int32()),
-            'item': pa.array(np.concatenate(self.levels), pa.float64()),
-            'n': pa.array([self.n] * sum(len(b) for b in self.levels),
-                          pa.int64())})
+            'item': pa.array(
+                np.concatenate(self.levels) if n_rows
+                else np.empty(0, np.float64), pa.float64()),
+            'n': pa.array([self.n] * n_rows, pa.int64())})
 
     @classmethod
     def from_table(cls, t: pa.Table, k: int = 200,
                    seed: int = 42) -> 'KLLQuantiles':
+        """Parse ONE summary (table must not mix sids — use
+        :meth:`all_from_table` on raw blocks)."""
         h = cls(k, seed)
         if not t.num_rows:
             return h
@@ -327,6 +339,22 @@ class KLLQuantiles:
             h.levels[lvl] = items[lvls == lvl].astype(np.float64)
         h.n = int(t.column('n')[0].as_py())
         return h
+
+    @classmethod
+    def all_from_table(cls, t: pa.Table, k: int = 200,
+                       seed: int = 42) -> 'list[KLLQuantiles]':
+        """Every summary in a block: one sketch per distinct sid (a
+        sid-less legacy table parses as a single summary).  Summaries
+        are KBs, far below the block-split threshold, so a block holds
+        only WHOLE summaries."""
+        if not t.num_rows:
+            return []
+        if 'sid' not in t.column_names:
+            return [cls.from_table(t, k, seed)]
+        sids = t.column('sid').to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sids, return_inverse=True)
+        return [cls.from_table(t.filter(pa.array(inv == i)), k, seed)
+                for i in range(len(uniq))]
 
 
 def approx_quantiles(ds, col: str, qs, k: int = 200) -> list[float]:
@@ -342,9 +370,13 @@ def approx_quantiles(ds, col: str, qs, k: int = 200) -> list[float]:
         h.add(t.column(col).to_numpy(zero_copy_only=False))
         return h.to_table()
 
+    import ray
+
     acc = KLLQuantiles(k)
-    for b in ds.select_columns([col]).map_batches(
-            fold, batch_format='pyarrow').iter_batches(
-                batch_format='pyarrow'):
-        acc.merge(KLLQuantiles.from_table(b, k))
+    # block refs, not iter_batches: re-batching could SPLIT one
+    # summary across two batches, which no parser can reassemble
+    for ref in ds.select_columns([col]).map_batches(
+            fold, batch_format='pyarrow').to_arrow_refs():
+        for part in KLLQuantiles.all_from_table(ray.get(ref), k):
+            acc.merge(part)
     return [acc.quantile(q) for q in qs]
