@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'inlink_anchors_ds': R.inlink_anchors_ds,
         'perplexity_buckets': R.perplexity_buckets,
         'source_quality_filter': R.source_quality_filter,
+        'cdx_index': R.cdx_index,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -814,6 +815,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         'url_parse': """
             SELECT doc_id, source || '.com' AS domain, 'pdf' AS extension
+            FROM documents
+        """,
+        'cdx_index': """
+            -- expected url AND surt key stated by construction, per the
+            -- public SURT rules (lowercase; drop scheme/fragment/www./
+            -- default port; reverse host labels; sort query params)
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'HTTP://WWW.Src' || (doc_id % 8)
+                          || '.COM:80/D/' || doc_id || '?b=2&a=1#frag'
+                     WHEN 1 THEN 'https://src' || (doc_id % 8)
+                          || '.com:8443/d/' || doc_id
+                     WHEN 2 THEN 'http://src' || (doc_id % 8)
+                          || '.com/d/' || doc_id || '?b=2&a=1&a=0'
+                     ELSE 'http://src' || (doc_id % 8) || '.com/d/' || doc_id
+                   END AS url,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'com,src' || (doc_id % 8) || ')/d/'
+                          || doc_id || '?a=1&b=2'
+                     WHEN 1 THEN 'com,src' || (doc_id % 8) || ':8443)/d/'
+                          || doc_id
+                     WHEN 2 THEN 'com,src' || (doc_id % 8) || ')/d/'
+                          || doc_id || '?a=0&a=1&b=2'
+                     ELSE 'com,src' || (doc_id % 8) || ')/d/' || doc_id
+                   END AS surt_key
             FROM documents
         """,
         'xpath_titles': """

@@ -88,3 +88,39 @@ def test_get_redirect():
     html = '<meta http-equiv="refresh" content="0; url=/new.html">'
     assert U.get_redirect('http://example.com/old', html) == 'http://example.com/new.html'
     assert U.get_redirect('http://example.com/old', '<p>no redirect</p>') is None
+
+
+# --- surt (public web-archive SURT convention) ---
+
+def test_surt_docstring_example():
+    assert U.surt('HTTP://WWW.Ex.COM:80/A?b=2&a=1#f') == 'com,ex)/a?a=1&b=2'
+
+
+def test_surt_rules():
+    # plain
+    assert U.surt('http://src3.com/d/123') == 'com,src3)/d/123'
+    # https default port dropped, non-default kept
+    assert U.surt('https://src1.com:443/d/9') == 'com,src1)/d/9'
+    assert U.surt('https://src1.com:8443/d/9') == 'com,src1:8443)/d/9'
+    # one leading www. label dropped only when >=2 dots remain overall
+    assert U.surt('http://www.example.com/') == 'com,example)/'
+    assert U.surt('http://www.com/') == 'com,www)/'
+    # subdomain sorts under parent domain (the CDX range-scan property)
+    parent = U.surt('http://example.com/')
+    sub = U.surt('http://a.example.com/')
+    assert sub.startswith('com,example,')
+    assert parent.split(')')[0] == 'com,example'
+    # duplicate query keys: stable sort by full k=v text
+    assert U.surt('http://x.com/p?b=2&a=1&a=0') == 'com,x)/p?a=0&a=1&b=2'
+    # empty path -> '/', fragment dropped, path lowercased
+    assert U.surt('http://X.com#frag') == 'com,x)/'
+
+
+def test_surt_host_sort_contiguity():
+    # all keys of one host share a prefix that no other host's keys match
+    keys = sorted(U.surt('http://src%d.com/d/%d' % (i % 8, i)) for i in range(64))
+    import itertools
+    for host, grp in itertools.groupby(keys, key=lambda k: k.split(')')[0]):
+        grp = list(grp)
+        lo, hi = keys.index(grp[0]), keys.index(grp[-1])
+        assert hi - lo + 1 == len(grp)

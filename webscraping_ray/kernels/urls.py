@@ -137,3 +137,30 @@ def extract_raw_links(html):
     """All href values in document order, un-normalized
     (reference download.py:1033-1034)."""
     return CRAWL_LINK_RE.findall(html)
+
+
+def surt(url: str) -> str:
+    """Sort-friendly URI Reordering Transform of a url — the canonical
+    key of web-archive CDX indexes (the public SURT convention used by
+    Internet Archive tooling): lowercase; scheme and fragment dropped;
+    one leading ``www.`` label dropped; default ports (80/443)
+    dropped; host labels REVERSED and comma-joined, then ``)`` and the
+    path; query parameters sorted by full ``k=v`` text (stable for
+    duplicates).  ``surt('HTTP://WWW.Ex.COM:80/A?b=2&a=1#f')`` →
+    ``'com,ex)/a?a=1&b=2'``.  Keys of one host sort contiguously and
+    subdomains sort under their parent domain — the property CDX
+    range scans rely on."""
+    parts = urllib.parse.urlsplit(url.strip())
+    host = (parts.hostname or '').lower()
+    if host.startswith('www.') and host.count('.') >= 2:
+        host = host[4:]
+    port = parts.port
+    default = {'http': 80, 'https': 443}.get(parts.scheme.lower())
+    key = ','.join(reversed(host.split('.'))) if host else ''
+    if port and port != default:
+        key += ':%d' % port
+    path = parts.path.lower() or '/'
+    key += ')' + path
+    if parts.query:
+        key += '?' + '&'.join(sorted(parts.query.lower().split('&')))
+    return key

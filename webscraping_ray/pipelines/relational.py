@@ -524,6 +524,39 @@ def url_parse(sf_dir: str):
     return ds.map_batches(parse, batch_format='pyarrow')
 
 
+def cdx_index(sf_dir: str):
+    """CDX-style url index rows: the SURT key (``kernels.urls.surt``,
+    the public web-archive Sort-friendly URI Reordering Transform) per
+    page url.  Urls are constructed with deterministic per-doc
+    variations — mixed case, a ``www.`` label, default and non-default
+    ports, unsorted/duplicate query params, a fragment — so every surt
+    rule is exercised and the oracle can state the expected key by
+    construction.  Pure map_batches, shuffle-free; a real CDX build
+    would feed this into ``sort('surt_key')`` + a partitioned sink."""
+    from ..kernels.urls import surt
+
+    ds = _read(sf_dir, 'documents', ['doc_id'])
+
+    def idx(t: pa.Table) -> pa.Table:
+        urls = []
+        for i in t.column('doc_id').to_pylist():
+            h, m = i % 8, i % 4
+            if m == 0:
+                urls.append('HTTP://WWW.Src%d.COM:80/D/%d?b=2&a=1#frag' % (h, i))
+            elif m == 1:
+                urls.append('https://src%d.com:8443/d/%d' % (h, i))
+            elif m == 2:
+                urls.append('http://src%d.com/d/%d?b=2&a=1&a=0' % (h, i))
+            else:
+                urls.append('http://src%d.com/d/%d' % (h, i))
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'url': pa.array(urls, pa.string()),
+                         'surt_key': pa.array([surt(u) for u in urls],
+                                              pa.string())})
+
+    return ds.map_batches(idx, batch_format='pyarrow')
+
+
 def _derived_pages(sf_dir: str):
     from ..sources.docs_pages import pages_ds_from_documents
 
