@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'perplexity_buckets': R.perplexity_buckets,
         'source_quality_filter': R.source_quality_filter,
         'cdx_index': R.cdx_index,
+        'line_dedup': R.line_dedup,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -841,6 +842,57 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'com,src' || (doc_id % 8) || ')/d/' || doc_id
                    END AS surt_key
             FROM documents
+        """,
+        'line_dedup': """
+            -- C4/RefinedWeb line-level exact dedup: lines are the
+            -- 10-word windows of text (the synthetic corpus has no
+            -- newlines); every repeated line keeps only its first
+            -- (doc_id, line_no) occurrence, empty lines exempt
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            exp AS (
+              SELECT doc_id, w,
+                     unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                       AS line_no
+              FROM toks
+            ),
+            lns AS (
+              SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+                     array_to_string(w[(line_no*10 + 1):(line_no*10 + 10)],
+                                     ' ') AS line
+              FROM exp
+            ),
+            firsts AS (
+              SELECT line, min(printf('%015d.%09d', doc_id, line_no)) AS fk
+              FROM lns WHERE line <> ''
+              GROUP BY line HAVING count(*) >= 2
+            ),
+            kept AS (
+              SELECT l.doc_id, l.line_no, l.line,
+                     (f.line IS NULL OR
+                      printf('%015d.%09d', l.doc_id, l.line_no) = f.fk)
+                       AS keep
+              FROM lns l LEFT JOIN firsts f ON l.line = f.line
+            ),
+            per AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lines_kept,
+                     CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_lines_removed,
+                     coalesce(string_agg(CASE WHEN keep THEN line END,
+                                         chr(10) ORDER BY line_no), '')
+                       AS text_clean
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_lines_kept, CAST(0 AS BIGINT))
+                     AS n_lines_kept,
+                   coalesce(p.n_lines_removed, CAST(0 AS BIGINT))
+                     AS n_lines_removed,
+                   coalesce(p.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         'xpath_titles': """
             SELECT doc_id, 'Doc ' || doc_id AS title, 'Doc ' || doc_id AS h1

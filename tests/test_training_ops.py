@@ -554,6 +554,52 @@ def test_remove_repeated_spans_join_tier_equals_broadcast(ray_session):
     assert (a['n_tokens_removed'] > 0).any()
 
 
+def test_line_dedup_join_tier_equals_broadcast(ray_session):
+    """line_dedup's join tier (exploded digest rows inner-join the dup
+    table, removed line_nos fold per doc) must equal the broadcast tier
+    row for row, and the corpus must actually exercise removals."""
+    from webscraping_ray.pipelines.relational import line_dedup
+
+    sf = '/root/testdata/sf0.001'
+    a = (line_dedup(sf).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    b = (line_dedup(sf, force_join=True).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    assert a.equals(b)
+    assert (a['n_lines_removed'] > 0).any()
+    assert (a['n_lines_kept'] > 0).any()
+
+
+def test_line_dedup_planted_first_occurrence(ray_session, tmp_path):
+    """On a crafted corpus with a line repeated across and within docs,
+    only the (doc_id, line_no)-first occurrence survives; empty lines
+    are exempt (newline mode, words_per_line=None)."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import line_dedup
+
+    docs = pa.table({
+        'doc_id': pa.array([0, 1, 2], pa.int64()),
+        'text': pa.array([
+            "alpha beta\nshared line\n\nunique zero",
+            "shared line\ngamma delta\nshared line",
+            "\nshared line\nunique two",
+        ], pa.string())})
+    d = tmp_path / 'corpus'
+    d.mkdir()
+    pq.write_table(docs, str(d / 'documents.parquet'))
+
+    out = (line_dedup(str(d), words_per_line=None).to_pandas()
+           .sort_values('doc_id').reset_index(drop=True))
+    # doc 0 holds the first 'shared line' (line_no 1); later copies go
+    assert out.loc[0, 'text_clean'] == "alpha beta\nshared line\n\nunique zero"
+    assert out.loc[0, 'n_lines_removed'] == 0
+    assert out.loc[1, 'text_clean'] == "gamma delta"
+    assert out.loc[1, 'n_lines_removed'] == 2
+    assert out.loc[2, 'text_clean'] == "\nunique two"  # empty line kept
+    assert out.loc[2, 'n_lines_removed'] == 1
+
+
 def test_band_join_time_bucket_tier_equals_per_key(ray_session):
     """The hot-key time-bucket tier of events_band_join (3-way row
     replication into adjacent band buckets, same searchsorted kernel,

@@ -2213,6 +2213,203 @@ def _remove_repeated_spans_join(sf_dir: str, k: int = 16,
     return joined.map_batches(rewrite, batch_format='pyarrow')
 
 
+def _doc_lines(txt: str, words_per_line: int | None) -> list:
+    """Deterministic line segmentation for :func:`line_dedup` on the
+    newline-free synthetic corpus: consecutive ``words_per_line``-word
+    windows of ``text.split(' ')`` (the oracle recomputes the same
+    windows with DuckDB list slicing).  On real webtext pass
+    ``words_per_line=None`` to split on newlines instead."""
+    if words_per_line is None:
+        return (txt or '').split('\n')
+    words = (txt or '').split(' ')
+    return [' '.join(words[i:i + words_per_line])
+            for i in range(0, len(words), words_per_line)]
+
+
+def line_dedup(sf_dir: str, words_per_line: int | None = 10,
+               force_join: bool = False, num_partitions: int = 8):
+    """Corpus-wide line-level exact dedup — C4 / RefinedWeb / Dolma's
+    "drop every repeated line, keep only its first occurrence" (Raffel
+    et al. 2020 §2.2 dedup unit; Penedo et al. 2023 line-wise
+    corrections), first-occurrence order = (doc_id, line_no).  Returns
+    (doc_id, n_lines_kept, n_lines_removed, text_clean) for every
+    document, ``text_clean`` = surviving lines joined by newline.
+    Empty lines are exempt (always kept) — on real webtext deduping
+    blank separator lines would strip paragraph structure corpus-wide.
+
+    100-TB shape: pass 1 ships only 16-byte blake2b line digests,
+    pre-counted per block (Counter fold inside map_batches), into a
+    groupby-sum; the >=2 survivors with their min (doc_id, line_no)
+    key are answer-scale for realistic dup rates — broadcast once via
+    ``ray.put`` under ``BROADCAST_KEY_LIMIT``, else (or under
+    ``force_join``) the exploded (doc_id, line_no, digest) rows
+    hash-join the dup table and the removed line_nos fold to one
+    compact row per affected doc (coarse-bucket
+    :func:`_per_key_groups`, no per-key Ray group-apply) that
+    left-joins the documents.  Line TEXT never enters a shuffle in
+    either tier; pass 2 rewrites docs in place per batch.  Tiers are
+    test-pinned equal (tests/test_training_ops.py).
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.dedup import BROADCAST_KEY_LIMIT, _join_safe
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    w = words_per_line
+
+    def digest16(line: str) -> bytes:
+        return hashlib.blake2b(line.encode('utf-8', 'surrogatepass'),
+                               digest_size=16).digest()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import collections
+        cnt = collections.Counter()
+        mk = {}
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            for ln, line in enumerate(_doc_lines(txt, w)):
+                if not line:
+                    continue
+                d = digest16(line)
+                cnt[d] += 1
+                key = '%015d.%09d' % (i, ln)
+                if d not in mk or key < mk[d]:
+                    mk[d] = key
+        ks = list(cnt)
+        return pa.table({
+            'h1': pa.array([int.from_bytes(d[:8], 'little') - (1 << 63)
+                            for d in ks], pa.int64()),
+            'h2': pa.array([int.from_bytes(d[8:], 'little') - (1 << 63)
+                            for d in ks], pa.int64()),
+            'c': pa.array([cnt[d] for d in ks], pa.int64()),
+            'mk': pa.array([mk[d] for d in ks], pa.string())})
+
+    counts = (ds.map_batches(count_partial, batch_format='pyarrow')
+              .groupby(['h1', 'h2'])
+              .aggregate(Sum('c', alias_name='n'),
+                         Min('mk', alias_name='fk')))
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t['n'], 2)),
+        batch_format='pyarrow').select_columns(['h1', 'h2', 'fk'])
+    dup = dup.materialize()
+    n_dup = dup.count()
+
+    def rewrite_broadcast(dref):
+        def rewrite(t: pa.Table) -> pa.Table:
+            dm = ray.get(dref) if dref is not None else {}
+            kept_n, rem_n, clean = [], [], []
+            for i, txt in zip(t.column('doc_id').to_pylist(),
+                              t.column('text').to_pylist()):
+                kept, nrem = [], 0
+                for ln, line in enumerate(_doc_lines(txt, w)):
+                    if line and dm:
+                        d = digest16(line)
+                        fk = dm.get((int.from_bytes(d[:8], 'little')
+                                     - (1 << 63),
+                                     int.from_bytes(d[8:], 'little')
+                                     - (1 << 63)))
+                        if (fk is not None
+                                and '%015d.%09d' % (i, ln) != fk):
+                            nrem += 1
+                            continue
+                    kept.append(line)
+                kept_n.append(len(kept))
+                rem_n.append(nrem)
+                clean.append('\n'.join(kept))
+            return pa.table({
+                'doc_id': t.column('doc_id'),
+                'n_lines_kept': pa.array(kept_n, pa.int64()),
+                'n_lines_removed': pa.array(rem_n, pa.int64()),
+                'text_clean': pa.array(clean, pa.string())})
+        return rewrite
+
+    if n_dup == 0:
+        return ds.map_batches(rewrite_broadcast(None),
+                              batch_format='pyarrow')
+
+    if not force_join and n_dup <= BROADCAST_KEY_LIMIT:
+        dmap = {}
+        for b in dup.iter_batches(batch_format='pyarrow'):
+            dmap.update(zip(zip(b.column('h1').to_pylist(),
+                                b.column('h2').to_pylist()),
+                            b.column('fk').to_pylist()))
+        return ds.map_batches(rewrite_broadcast(ray.put(dmap)),
+                              batch_format='pyarrow')
+
+    # join tier: explode (doc_id, line_no, digest, key) for non-empty
+    # lines (no text), inner-join the dup digests, keep the non-first
+    # occurrences, fold removed line_nos to one row per doc
+    def explode(t: pa.Table) -> pa.Table:
+        ids, lns, hs1, hs2, mks = [], [], [], [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            for ln, line in enumerate(_doc_lines(txt, w)):
+                if not line:
+                    continue
+                d = digest16(line)
+                ids.append(i)
+                lns.append(ln)
+                hs1.append(int.from_bytes(d[:8], 'little') - (1 << 63))
+                hs2.append(int.from_bytes(d[8:], 'little') - (1 << 63))
+                mks.append('%015d.%09d' % (i, ln))
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'line_no': pa.array(lns, pa.int64()),
+                         'h1': pa.array(hs1, pa.int64()),
+                         'h2': pa.array(hs2, pa.int64()),
+                         'mk': pa.array(mks, pa.string())})
+
+    removed = (ds.map_batches(explode, batch_format='pyarrow')
+               .join(_join_safe(dup), 'inner',
+                     num_partitions=num_partitions,
+                     on=('h1', 'h2'), right_on=('h1', 'h2'))
+               .map_batches(
+                   lambda t: t.filter(pc.not_equal(t['mk'], t['fk'])),
+                   batch_format='pyarrow')
+               .select_columns(['doc_id', 'line_no']))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        rem = ','.join(str(int(x))
+                       for x in np.sort(g['line_no'].to_numpy()))
+        return pd.DataFrame({'doc_id': [g['doc_id'].iloc[0]],
+                             'rem': [rem]})
+
+    # _join_safe on the group-apply output: shuffle outputs carry
+    # schemaless empty blocks (Ray 2.49 defect) that break Acero joins.
+    # materialize() so the executed plan never holds two JoinOperators
+    # at once — two concurrent joins' aggregator actors deadlock on
+    # narrow clusters (reproduced at num_cpus=4); `per` is one compact
+    # row per affected doc, bounded by the dup rate.
+    per = _join_safe(_per_key_groups(removed, 'doc_id', per_doc),
+                     num_partitions).materialize()
+    joined = ds.join(per, 'left_outer', num_partitions=num_partitions,
+                     on=('doc_id',), right_on=('doc_id',))
+
+    def rewrite_join(t: pa.Table) -> pa.Table:
+        kept_n, rem_n, clean = [], [], []
+        for txt, rem in zip(t.column('text').to_pylist(),
+                            t.column('rem').to_pylist()):
+            lines = _doc_lines(txt, w)
+            if not rem:
+                kept, nrem = lines, 0
+            else:
+                rs = {int(x) for x in rem.split(',')}
+                kept = [l for j, l in enumerate(lines) if j not in rs]
+                nrem = len(rs)
+            kept_n.append(len(kept))
+            rem_n.append(nrem)
+            clean.append('\n'.join(kept))
+        return pa.table({
+            'doc_id': t.column('doc_id'),
+            'n_lines_kept': pa.array(kept_n, pa.int64()),
+            'n_lines_removed': pa.array(rem_n, pa.int64()),
+            'text_clean': pa.array(clean, pa.string())})
+
+    return joined.map_batches(rewrite_join, batch_format='pyarrow')
+
+
 def redact_pii(sf_dir: str):
     """PII redaction over the derived web pages (stages/redact.py):
     every email (plain or 'AT/DOT'-obfuscated — the corpus convention
