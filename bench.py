@@ -163,6 +163,7 @@ def run_bench():
         'join_orders_customers': R.join_orders_customers,
         'topk_priority': R.topk_priority,
         'dedup_exact_text': R.dedup_exact_text,
+        'line_dedup': R.line_dedup,
         'asof_latest_event': R.asof_latest_event,
         'knn_query0': R.knn_query0,
         'minhash_dups': R.minhash_dups,
