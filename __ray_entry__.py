@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_quality_filter': R.source_quality_filter,
         'cdx_index': R.cdx_index,
         'line_dedup': R.line_dedup,
+        'dedup_incremental': R.dedup_incremental,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -893,6 +894,24 @@ def oracle_sql() -> dict[str, str]:
                      AS n_lines_removed,
                    coalesce(p.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        'dedup_incremental': """
+            -- cross-snapshot incremental dedup: prior dump = even
+            -- doc_id half, new batch = odd half; keep new docs whose
+            -- exact text never appears in the prior dump, min doc_id
+            -- per identical text within the new batch
+            WITH hashed AS (
+              SELECT doc_id, md5(text) AS content_md5 FROM documents
+            ),
+            new_batch AS (
+              SELECT min(doc_id) AS doc_id, content_md5
+              FROM hashed WHERE doc_id % 2 = 1 GROUP BY content_md5
+            ),
+            prior AS (
+              SELECT DISTINCT content_md5 FROM hashed WHERE doc_id % 2 = 0
+            )
+            SELECT n.doc_id, n.content_md5
+            FROM new_batch n ANTI JOIN prior p USING (content_md5)
         """,
         'xpath_titles': """
             SELECT doc_id, 'Doc ' || doc_id AS title, 'Doc ' || doc_id AS h1

@@ -600,6 +600,70 @@ def test_line_dedup_planted_first_occurrence(ray_session, tmp_path):
     assert out.loc[2, 'n_lines_removed'] == 1
 
 
+def test_dedup_incremental_join_tier_equals_broadcast(ray_session):
+    """dedup_incremental's bloom-prefiltered anti-join tier must equal
+    the broadcast-set tier row for row (the bloom path runs: prior is
+    small, so the filter fits INCR_BLOOM_MAX_BITS)."""
+    from webscraping_ray.pipelines.relational import dedup_incremental
+
+    sf = '/root/testdata/sf0.001'
+    a = (dedup_incremental(sf).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    b = (dedup_incremental(sf, force_join=True).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_dedup_incremental_planted(ray_session, tmp_path):
+    """Planted two-dump corpus: odd (new) docs drop when their text
+    exists in the even (prior) dump or repeats an earlier new doc."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import dedup_incremental
+
+    texts = {0: 'in prior', 2: 'also prior',        # prior dump (even)
+             1: 'in prior',                         # dup of prior -> drop
+             3: 'fresh text',                       # keep
+             5: 'fresh text',                       # dup of 3 -> drop
+             7: 'another new'}                      # keep
+    docs = pa.table({'doc_id': pa.array(sorted(texts), pa.int64()),
+                     'text': pa.array([texts[k] for k in sorted(texts)],
+                                      pa.string())})
+    d = tmp_path / 'corpus'
+    d.mkdir()
+    pq.write_table(docs, str(d / 'documents.parquet'))
+
+    for force in (False, True):
+        out = dedup_incremental(str(d), force_join=force).to_pandas()
+        assert sorted(out['doc_id']) == [3, 7], f'force_join={force}'
+
+    # third tier: bloom disabled (filter "too big") -> plain anti-join
+    from webscraping_ray.pipelines import relational as RL
+    saved = RL.INCR_BLOOM_MAX_BITS
+    try:
+        RL.INCR_BLOOM_MAX_BITS = 0
+        out = dedup_incremental(str(d), force_join=True).to_pandas()
+        assert sorted(out['doc_id']) == [3, 7]
+    finally:
+        RL.INCR_BLOOM_MAX_BITS = saved
+
+
+def test_bloom_view_matches_restore():
+    """BloomFilter.view (zero-copy, read-only) must answer membership
+    identically to restore on the same snapshot."""
+    from webscraping_ray.state.cuckoo import BloomFilter
+
+    bf = BloomFilter(1000, fpp=1e-3)
+    keys = np.arange(1, 500, dtype=np.uint64) * np.uint64(2654435761)
+    bf.add_batch(keys)
+    blob = bf.snapshot()
+    v, r = BloomFilter.view(blob), BloomFilter.restore(blob)
+    probe = np.arange(1, 2000, dtype=np.uint64) * np.uint64(2654435761)
+    assert (v.contains_batch(probe) == r.contains_batch(probe)).all()
+    assert v.contains_batch(keys).all()  # no false negatives
+
+
 def test_band_join_time_bucket_tier_equals_per_key(ray_session):
     """The hot-key time-bucket tier of events_band_join (3-way row
     replication into adjacent band buckets, same searchsorted kernel,

@@ -333,6 +333,168 @@ def dedup_exact_text(sf_dir: str):
     return exact_dedup(ds, 'text', 'doc_id')
 
 
+#: skip the bloom prefilter in :func:`dedup_incremental` when the
+#: prior-snapshot filter would exceed this many BITS (128 MiB of bit
+#: array at 2^30).  Below it the filter is built distributed (one
+#: partial per block, OR-fold) and broadcast once via ray.put; above
+#: it (≳7×10^7 prior keys at fpp 1e-3) the plain hash anti-join runs
+#: alone — still exact, just without the shuffle-shrinking prefilter.
+#: At 10^10 prior docs the right scale path is a coarser fpp or a
+#: tree-OR of partials instead of the driver fold; the constant keeps
+#: the driver fold honest on one node.
+INCR_BLOOM_MAX_BITS = 1 << 30
+
+
+def dedup_incremental(sf_dir: str, force_join: bool = False,
+                      num_partitions: int = 8):
+    """Cross-snapshot incremental exact dedup — the "don't re-keep what
+    an earlier crawl already kept" step every periodically-refreshed
+    corpus needs (CCNet / Dolma dedup against prior dumps).  The prior
+    snapshot is the even-``doc_id`` half of documents, the new batch is
+    the odd half (a deterministic stand-in for two crawl dumps over the
+    driver's fixed input shape).  Survivors = new docs whose exact text
+    (md5) appears nowhere in the prior snapshot, keeping the min
+    ``doc_id`` per identical text within the new batch.  Returns
+    (doc_id, content_md5).
+
+    100-TB shape: only (doc_id, md5) pairs ever shuffle — text stays in
+    the pruned read.  Within-new dedup is one groupby-min over those
+    40-byte rows.  The prior-membership probe tiers: (a) distinct prior
+    md5s broadcast once via ``ray.put`` under ``BROADCAST_KEY_LIMIT``;
+    (b) above it (or under ``force_join``) a bloom filter over the
+    prior's 64-bit hashes — built distributed as one partial bit-array
+    per block and OR-folded — prefilters the new side per batch, so
+    only bloom-positive candidates (true dups + ~fpp·new false
+    positives) enter the md5-keyed anti-join; bloom-negative rows are
+    exact keeps by the filter's no-false-negative guarantee, and the
+    join verifies candidates on the FULL md5 string, so 64-bit
+    collisions cannot flip an answer.  Tiers are test-pinned equal
+    (tests/test_training_ops.py).
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.dedup import BROADCAST_KEY_LIMIT, _join_safe
+    from ..state.cuckoo import BloomFilter
+
+    docs = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def hashed(want_prior: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column('doc_id')
+            keep = pc.equal(pc.bit_wise_and(ids, 1),
+                            0 if want_prior else 1)
+            t = t.filter(keep)
+            md5s, hs = [], []
+            for x in t.column('text').to_pylist():
+                d = hashlib.md5(
+                    (x or '').encode('utf-8', 'surrogatepass')).digest()
+                md5s.append(d.hex())
+                h = int.from_bytes(d[8:], 'little')  # md5_hash64 layout
+                hs.append(h - (1 << 64) if h >= (1 << 63) else h)
+            out = {'content_md5': pa.array(md5s, pa.string()),
+                   'h': pa.array(hs, pa.int64())}
+            if not want_prior:
+                out = {'doc_id': t.column('doc_id'), **out}
+            return pa.table(out)
+        return fn
+
+    # materialized: consumed 2-3 times below (count + membership probe
+    # [+ bloom build]); O(prior)×40-byte pairs in the object store
+    prior = docs.map_batches(hashed(True),
+                             batch_format='pyarrow').materialize()
+    survivors = (docs.map_batches(hashed(False), batch_format='pyarrow')
+                 .groupby('content_md5')
+                 .aggregate(Min('doc_id', alias_name='doc_id'),
+                            Min('h', alias_name='h')))
+
+    n_prior = prior.count()
+    # empty prior: nothing to probe — the broadcast filter with an
+    # empty set keeps everything (join tier would feed Acero an empty,
+    # schemaless right side)
+    if n_prior == 0 or (not force_join and n_prior <= BROADCAST_KEY_LIMIT):
+        ref = ray.put(pa.array(prior.unique('content_md5'), pa.string()))
+
+        def flt(t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t['content_md5'],
+                                      value_set=ray.get(ref)))
+            return t.filter(mask).select(['doc_id', 'content_md5'])
+
+        return survivors.map_batches(flt, batch_format='pyarrow')
+
+    # join tier: bloom prefilter (when it fits) + md5-keyed anti-join
+    proto = BloomFilter(max(n_prior, 1), fpp=1e-3)
+    bloom_ref = None
+    if proto.m <= INCR_BLOOM_MAX_BITS:
+        cap = max(n_prior, 1)
+
+        def bloom_partial(t: pa.Table) -> pa.Table:
+            bf = BloomFilter(cap, fpp=1e-3)  # same (m, k) every block
+            bf.add_batch(t.column('h').to_numpy().astype(np.uint64))
+            return pa.table({'bits': pa.array([bf.snapshot()],
+                                              pa.binary())})
+
+        folded = None
+        for b in prior.map_batches(
+                bloom_partial, batch_format='pyarrow').iter_batches(
+                    batch_format='pyarrow'):
+            for blob in b.column('bits').to_pylist():
+                part = np.frombuffer(blob[24:], dtype=np.uint8)
+                folded = part.copy() if folded is None else folded | part
+        if folded is not None:
+            bloom_ref = ray.put(proto.snapshot()[:24] + folded.tobytes())
+
+    # materialized: the bloom split consumes it twice (keep + candidate
+    # branches); also breaks the plan so the aggregate never shares an
+    # executed DAG with the JoinOperator below
+    survivors = _join_safe(survivors, num_partitions).materialize()
+    if bloom_ref is not None:
+        def bloom_split(flag: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                bf = BloomFilter.view(ray.get(bloom_ref))
+                got = bf.contains_batch(
+                    t.column('h').to_numpy().astype(np.uint64))
+                return t.filter(pa.array(got if flag else ~got))
+            return fn
+
+        keeps = survivors.map_batches(
+            bloom_split(False),
+            batch_format='pyarrow').select_columns(
+                ['doc_id', 'content_md5'])
+        candidates = survivors.map_batches(bloom_split(True),
+                                           batch_format='pyarrow')
+    else:
+        keeps = None
+        candidates = survivors
+
+    # materialize + count guard: when the bloom flags NOTHING (no
+    # cross-snapshot dups at all), candidates is all schemaless empty
+    # blocks and Acero would die on the join; the candidate set is
+    # bounded (true dups + fpp·new), so the extra materialize is cheap
+    # relative to the join it feeds
+    cand = _join_safe(candidates, num_partitions).materialize()
+    if cand.count() == 0:
+        if keeps is not None:
+            return keeps
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {'doc_id': pa.array([], pa.int64()),
+             'content_md5': pa.array([], pa.string())}))
+
+    prior_keys = _join_safe(
+        prior.groupby('content_md5').aggregate(Count(alias_name='_n')),
+        num_partitions)
+    joined = cand.join(
+        prior_keys, 'left_outer', num_partitions=num_partitions,
+        on=('content_md5',), right_on=('content_md5',))
+    anti = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t['_n'])),
+        batch_format='pyarrow').select_columns(['doc_id', 'content_md5'])
+    return anti if keeps is None else keeps.union(anti)
+
+
 # ---------------------------------------------------------------------------
 # joins / lookups (reference cache lookup / exists, download.py:194-310)
 

@@ -236,6 +236,21 @@ class BloomFilter:
         self.bits = np.frombuffer(blob[24:], dtype=np.uint8).copy()
         return self
 
+    @classmethod
+    def view(cls, blob: bytes) -> 'BloomFilter':
+        """Zero-copy read-only restore: ``bits`` aliases ``blob``
+        (e.g. a ``ray.get`` of a broadcast snapshot — shared object
+        store memory, no per-task copy).  ``contains_batch`` only;
+        ``add_batch`` would raise on the read-only buffer."""
+        head = np.frombuffer(blob[:24], dtype=np.int64)
+        m, k, count = map(int, head)
+        self = cls.__new__(cls)
+        self.m = m
+        self.k = k
+        self.count = count
+        self.bits = np.frombuffer(blob[24:], dtype=np.uint8)
+        return self
+
 
 class ExactSet:
     """Exact 64-bit membership (the authority for byte-matched crawls).
