@@ -467,6 +467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'cdx_index': R.cdx_index,
         'line_dedup': R.line_dedup,
         'dedup_incremental': R.dedup_incremental,
+        'knn_join': R.knn_join,
+        'knn_join_ivf': R.knn_join_ivf,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -895,6 +897,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
+        'knn_join': _KNN_JOIN_SQL,
+        # exhaustive-probe IVF: exact result, same oracle (the
+        # knn_ivf_query0 argument); sub-exhaustive nprobe recall is a
+        # pytest-measured trade, not a correctness claim
+        'knn_join_ivf': _KNN_JOIN_SQL,
         'dedup_incremental': """
             -- cross-snapshot incremental dedup: prior dump = even
             -- doc_id half, new batch = odd half; keep new docs whose
@@ -1477,6 +1484,29 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+
+_KNN_JOIN_SQL = """
+    -- exact cosine 5-NN self-join, rank-only output: cosine VALUES
+    -- are excluded because DuckDB's list_cosine_similarity
+    -- accumulates in float32 (≤2.4e-7 off the engine's float64
+    -- matmul — no rounding makes the hashes match), while rank ORDER
+    -- is stable: measured adjacent top-k gaps ≥1.4e-6 at every sf
+    -- (the knn_query0 contract); ties by neighbor_id
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.embedding, b.embedding) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id,
+             CAST(row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, rank, neighbor_id
+    FROM ranked WHERE rank <= 5
+"""
 
 _KNN_EXACT_SQL = """
     SELECT vec_id, CAST(row_number() OVER (

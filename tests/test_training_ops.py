@@ -664,6 +664,43 @@ def test_bloom_view_matches_restore():
     assert v.contains_batch(keys).all()  # no false negatives
 
 
+def test_knn_join_ivf_exhaustive_equals_brute(ray_session):
+    """knn_join_ivf at nprobe=n_clusters (exhaustive probing) must
+    equal the exact broadcast self-join row for row."""
+    from webscraping_ray.pipelines.relational import knn_join, knn_join_ivf
+
+    sf = '/root/testdata/sf0.001'
+    a = (knn_join(sf).to_pandas()
+         .sort_values(['vec_id', 'rank']).reset_index(drop=True))
+    b = (knn_join_ivf(sf).to_pandas()
+         .sort_values(['vec_id', 'rank']).reset_index(drop=True))
+    assert a.equals(b)
+    assert set(a['rank']) == {1, 2, 3, 4, 5}
+    assert (a['vec_id'] != a['neighbor_id']).all()   # self excluded
+
+
+def test_knn_join_subexhaustive_recall(ray_session):
+    """Sub-exhaustive probing recall curve, pinned at measured values
+    minus margin.  The synthetic embeddings are near-uniform (top-5
+    cosines ~0.25-0.27 — no cluster structure), which is IVF's WORST
+    case for graph construction; measured: nprobe 4/8 -> 0.789,
+    6/8 -> 0.925.  Clustered real-embedding spaces do far better; the
+    knob trades recall for probing ~nprobe/n_clusters of the data."""
+    from webscraping_ray.pipelines.relational import _read, knn_join
+    from webscraping_ray.stages.similarity import knn_join_ivf
+
+    sf = '/root/testdata/sf0.001'
+    exact = {(r['vec_id'], r['neighbor_id'])
+             for r in knn_join(sf).take_all()}
+    ds = _read(sf, 'embeddings', ['vec_id', 'embedding'])
+    for nprobe, floor in ((4, 0.75), (6, 0.90)):
+        approx = {(r['vec_id'], r['neighbor_id'])
+                  for r in knn_join_ivf(ds, k=5, n_clusters=8,
+                                        nprobe=nprobe).take_all()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= floor, (nprobe, recall)
+
+
 def test_band_join_time_bucket_tier_equals_per_key(ray_session):
     """The hot-key time-bucket tier of events_band_join (3-way row
     replication into adjacent band buckets, same searchsorted kernel,

@@ -875,6 +875,41 @@ def knn_ivf_query0(sf_dir: str):
                      'rank': out.column('rank').cast(pa.int64())})
 
 
+def knn_join(sf_dir: str, k: int = 5):
+    """Exact cosine k-NN self-join over embeddings — the ANN-graph
+    construction primitive (semantic-dedup / RETRO-style neighbor
+    tables).  Returns (vec_id, rank, neighbor_id) — rank-only by
+    design (stages/similarity._topk_rows documents why cosine values
+    can't cross the engine/oracle hash compare), ties by neighbor_id.
+    Broadcast tier:
+    the corpus matrix ships once via ``ray.put`` (gated at the stage
+    by ``KNN_JOIN_BROADCAST_LIMIT``); see :func:`knn_join_ivf` for the
+    100-TB bucketed path."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import KNN_JOIN_BROADCAST_LIMIT, knn_join_brute
+
+    # footer-metadata row count (free): above the broadcast gate the
+    # matrix can't ship whole — fall through to the bucketed tier
+    n = pq.ParquetFile(f'{sf_dir}/embeddings.parquet').metadata.num_rows
+    if n > KNN_JOIN_BROADCAST_LIMIT:
+        return knn_join_ivf(sf_dir, k=k)
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return knn_join_brute(ds, k=k)
+
+
+def knn_join_ivf(sf_dir: str, k: int = 5):
+    """IVF-bucketed k-NN self-join (the scale path: per-bucket
+    matmuls, probe-replicated queries, no broadcast matrix).  Runs
+    exhaustive-probe here (nprobe = n_clusters), so it shares the
+    exact SQL oracle — the same argument as knn_ivf_query0;
+    sub-exhaustive recall is measured in pytest."""
+    from ..stages.similarity import knn_join_ivf as _kji
+
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    return _kji(ds, k=k, n_clusters=8, nprobe=None)
+
+
 def minhash_dups(sf_dir: str):
     from ..stages.dedup import minhash_dup_pairs
 

@@ -205,3 +205,164 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
                                     value_set=pa.array(wanted, pa.int32()))),
         batch_format='pyarrow')
     return knn_brute(sub, Q, k, emb_col, id_col, query_ids)
+
+
+# ---------------------------------------------------------------------------
+# k-NN self-join (ANN-graph construction: every row's top-k neighbors)
+
+#: corpora at or below this many rows broadcast their (id, embedding)
+#: matrix once via ray.put for the exact self-join; above it the
+#: IVF-bucketed tier is the path (at 10^10 x 768-dim the matrix is
+#: tens of TB -- nothing to broadcast).
+KNN_JOIN_BROADCAST_LIMIT = 2_000_000
+
+
+def _topk_rows(qids, nids, cosines, k: int):
+    """Per-query top-k over partial candidate rows (answer-scale
+    arrays): higher cosine first, then smaller neighbor id.  Emits
+    ranks WITHOUT the cosine value: DuckDB's list_cosine_similarity
+    accumulates in float32 (measured ≤2.4e-7 off the float64 matmul),
+    so raw cosines can't survive a value-hash compare at any rounding;
+    rank ORDER is compare-stable because adjacent top-k gaps on the
+    testdata (≥1.4e-6, measured at every sf) exceed the combined
+    engine error — the same contract knn_query0 relies on."""
+    out_q, out_r, out_n = [], [], []
+    order = np.lexsort((nids, -cosines, qids))
+    qids, nids = qids[order], nids[order]
+    start = 0
+    for qi in range(len(qids)):
+        if qi + 1 == len(qids) or qids[qi + 1] != qids[qi]:
+            take = min(k, qi + 1 - start)
+            out_q.extend(qids[start:start + take].tolist())
+            out_r.extend(range(1, take + 1))
+            out_n.extend(nids[start:start + take].tolist())
+            start = qi + 1
+    return pa.table({'vec_id': pa.array(out_q, pa.int64()),
+                     'rank': pa.array(out_r, pa.int64()),
+                     'neighbor_id': pa.array(out_n, pa.int64())})
+
+
+def knn_join_brute(ds, k: int = 5, emb_col: str = 'embedding',
+                   id_col: str = 'vec_id'):
+    """Exact cosine k-NN self-join: (vec_id, rank, neighbor_id) for
+    every row, self excluded (see _topk_rows for why no cosine col).
+
+    The corpus matrix is broadcast ONCE (``ray.put``; gated by
+    ``KNN_JOIN_BROADCAST_LIMIT`` at the caller) and the query side
+    streams as a Dataset — one numpy matmul per batch, no shuffle.
+    """
+    import ray
+
+    ids_all = np.empty(0, dtype=np.int64)
+    M_parts = []
+    for b in ds.iter_batches(batch_format='pyarrow'):
+        if not b.num_rows:
+            continue
+        ids_all = np.concatenate(
+            [ids_all, np.asarray(b.column(id_col), dtype=np.int64)])
+        M_parts.append(_emb_matrix(b.column(emb_col)))
+    M = _normalize(np.vstack(M_parts)) if M_parts else np.zeros((0, 1))
+    ref = ray.put((ids_all, M))
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids_d, M_d = ray.get(ref)          # zero-copy shared memory
+        q_ids = np.asarray(t.column(id_col), dtype=np.int64)
+        Q = _normalize(_emb_matrix(t.column(emb_col)))
+        S = Q @ M_d.T
+        S[q_ids[:, None] == ids_d[None, :]] = -np.inf   # exclude self
+        kk = min(k, max(S.shape[1] - 1, 0))
+        qs, ns, cs = [], [], []
+        for qi in range(S.shape[0]):
+            order = np.lexsort((ids_d, -S[qi]))[:kk]
+            qs.extend([q_ids[qi]] * kk)
+            ns.extend(ids_d[order].tolist())
+            cs.extend(S[qi][order].tolist())
+        return _topk_rows(np.array(qs, np.int64), np.array(ns, np.int64),
+                          np.array(cs, np.float64), kk)
+
+    return ds.map_batches(per_batch, batch_format='pyarrow',
+                          batch_size=4096)
+
+
+def knn_join_ivf(ds, k: int = 5, n_clusters: int = 8,
+                 nprobe: int | None = None, emb_col: str = 'embedding',
+                 id_col: str = 'vec_id', seed: int = 42):
+    """IVF-bucketed k-NN self-join — the 100-TB path.
+
+    Every vector homes in its nearest-centroid bucket; as a QUERY it
+    replicates into its ``nprobe`` nearest buckets.  Each bucket group
+    runs one local matmul (its probe-replicated queries x its home
+    rows) and emits per-bucket top-k partials; partials fold to the
+    global top-k per query with a coarse-bucketed group-apply — no
+    full matrix, no all-pairs, O(nprobe x k) partial rows per vector.
+    ``nprobe=None`` probes every bucket (exhaustive: exact result, the
+    oracle-shared configuration, like ``knn_ivf_query0``).
+    """
+    import pandas as pd
+
+    from ..pipelines.relational import _per_key_groups
+
+    if nprobe is None:
+        nprobe = n_clusters
+    C, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col,
+                            id_col=id_col, seed=seed)
+    nb = len(C)
+    nprobe = min(nprobe, nb)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        M = _normalize(_emb_matrix(t.column(emb_col)))
+        home = np.asarray(t.column('ivf_bucket'), dtype=np.int32)
+        probe = np.argsort(-(M @ C.T), axis=1)[:, :nprobe]
+        # data rows (home bucket) + query replicas (probe buckets)
+        bkt = np.concatenate([home.astype(np.int64),
+                              probe.astype(np.int64).ravel()])
+        kind = np.concatenate([np.zeros(len(ids), np.int8),
+                               np.ones(len(ids) * nprobe, np.int8)])
+        rid = np.concatenate([ids, np.repeat(ids, nprobe)])
+        emb = np.vstack([M, np.repeat(M, nprobe, axis=0)])
+        return pa.table({'bkt': pa.array(bkt, pa.int64()),
+                         'kind': pa.array(kind, pa.int8()),
+                         'rid': pa.array(rid, pa.int64()),
+                         'emb': pa.array(emb.tolist(),
+                                         pa.list_(pa.float64()))})
+
+    tagged = bucketed.map_batches(emit, batch_format='pyarrow')
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g['kind'] == 0]
+        q = g[g['kind'] == 1]
+        if not len(d) or not len(q):
+            return pd.DataFrame({'qid': pd.Series([], dtype='int64'),
+                                 'nid': pd.Series([], dtype='int64'),
+                                 'cos': pd.Series([], dtype='float64')})
+        D = np.vstack(d['emb'].to_numpy())
+        Q = np.vstack(q['emb'].to_numpy())
+        ids_d = d['rid'].to_numpy(dtype=np.int64)
+        ids_q = q['rid'].to_numpy(dtype=np.int64)
+        S = Q @ D.T
+        S[ids_q[:, None] == ids_d[None, :]] = -np.inf
+        kk = min(k, S.shape[1])
+        qs, ns, cs = [], [], []
+        for qi in range(S.shape[0]):
+            order = np.lexsort((ids_d, -S[qi]))[:kk]
+            keep = S[qi][order] > -np.inf
+            qs.extend([ids_q[qi]] * int(keep.sum()))
+            ns.extend(ids_d[order][keep].tolist())
+            cs.extend(S[qi][order][keep].tolist())
+        return pd.DataFrame({'qid': np.array(qs, np.int64),
+                             'nid': np.array(ns, np.int64),
+                             'cos': np.array(cs, np.float64)})
+
+    partials = _per_key_groups(tagged, 'bkt', per_bucket)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.drop_duplicates(subset=['nid'])  # same pair via 2 probes
+        gg = gg.sort_values(['cos', 'nid'],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            'vec_id': gg['qid'].to_numpy(dtype=np.int64),
+            'rank': np.arange(1, len(gg) + 1, dtype=np.int64),
+            'neighbor_id': gg['nid'].to_numpy(dtype=np.int64)})
+
+    return _per_key_groups(partials, 'qid', merge_topk)
