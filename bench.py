@@ -166,6 +166,7 @@ def run_bench():
         'line_dedup': R.line_dedup,
         'asof_latest_event': R.asof_latest_event,
         'knn_query0': R.knn_query0,
+        'knn_join': R.knn_join,
         'minhash_dups': R.minhash_dups,
         'quality': R.quality,
         'dup_clusters': R.dup_clusters,

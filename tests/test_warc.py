@@ -80,3 +80,56 @@ def test_read_warc_dataset_and_extract(ray_session, tmp_path):
                 ds.select_columns(['warc_ts']).take_all())
     assert [t.timestamp() for t in ts] == [1700000000.0, 1700000060.0,
                                            1700000120.0]
+
+
+def test_wet_export_and_read_roundtrip(ray_session, tmp_path):
+    """documents → WET conversion shards → read back equal (Common
+    Crawl's extracted-text format); re-export is idempotent."""
+    from webscraping_ray.pipelines.relational import _read
+    from webscraping_ray.sources.warc import export_wet, read_wet
+
+    docs = _read('/root/testdata/sf0.001', 'documents',
+                 ['doc_id', 'text'])
+
+    import pyarrow as pa
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_pylist()
+        return pa.table({
+            'url': pa.array(['http://ex.com/%d' % i for i in ids]),
+            'warc_ts': pa.array([1700000000_000000 + i for i in ids],
+                                pa.timestamp('us')),
+            'text': t.column('text')})
+
+    pages = docs.map_batches(to_pages, batch_format='pyarrow')
+    out = str(tmp_path / 'wet')
+    n = export_wet(pages, out)
+    assert n == docs.count()
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith('.warc.wet.gz') for f in files)
+
+    back = read_wet([os.path.join(out, f) for f in files]).to_pandas()
+    orig = pages.to_pandas()
+    for df in (back, orig):
+        df.sort_values('url', inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert back[['url', 'text']].equals(orig[['url', 'text']])
+    assert (back['warc_ts'].astype('int64') // 10**6).equals(
+        orig['warc_ts'].astype('int64') // 10**6)  # WET dates: 1s grain
+
+    n2 = export_wet(pages, out)
+    assert n2 == n and sorted(os.listdir(out)) == files
+
+
+def test_parse_wet_skips_warcinfo():
+    from webscraping_ray.sources.warc import parse_wet, wet_record_bytes
+
+    info = (b'WARC/1.0\r\nWARC-Type: warcinfo\r\n'
+            b'WARC-Date: 2023-11-14T22:13:20Z\r\n'
+            b'Content-Length: 3\r\n\r\nabc\r\n\r\n')
+    conv = wet_record_bytes('http://a.com/1', 1700000000_000000,
+                            'plain text é')
+    got = list(parse_wet(info + conv))
+    assert len(got) == 1
+    assert got[0]['url'] == 'http://a.com/1'
+    assert got[0]['text'] == 'plain text é'

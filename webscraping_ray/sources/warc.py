@@ -157,3 +157,118 @@ def write_warc(path: str, records, gzip_members: bool = False) -> None:
         chunks.append(gzip.compress(rec) if gzip_members else rec)
     with open(path, 'wb') as f:
         f.write(b''.join(chunks))
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — Common Crawl's sibling
+# format: same WARC/1.0 container, ``WARC-Type: conversion`` records
+# whose payload is the page's plain text (no HTTP head).
+
+def parse_wet(data: bytes):
+    """Yield dicts (url, warc_ts_us, text) for every conversion record
+    in one WET file's bytes (gzipped or plain)."""
+    if data[:2] == b'\x1f\x8b':
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.index(_CRLF + _CRLF, pos)
+        headers = _parse_headers(data[pos:hdr_end])
+        if not data[pos:pos + 5] == b'WARC/':
+            raise ValueError('not a WARC record at offset %d' % pos)
+        length = int(headers['content-length'])
+        body_start = hdr_end + 4
+        payload = data[body_start:body_start + length]
+        pos = body_start + length
+        if headers.get('warc-type') != 'conversion':
+            continue
+        yield {'url': headers.get('warc-target-uri', ''),
+               'warc_ts_us': _warc_ts_us(
+                   headers.get('warc-date', '1970-01-01T00:00:00Z')),
+               'text': payload.decode('utf-8', 'replace')}
+
+
+def wet_batch_to_rows(batch: pa.Table) -> pa.Table:
+    """map_batches kernel over ``read_binary_files`` output: one input
+    row = one WET file → (url, warc_ts, text) rows."""
+    urls, tss, texts = [], [], []
+    for data in batch.column('bytes').to_pylist():
+        for rec in parse_wet(data):
+            urls.append(rec['url'])
+            tss.append(rec['warc_ts_us'])
+            texts.append(rec['text'])
+    return pa.table({
+        'url': pa.array(urls, pa.string()),
+        'warc_ts': pa.array(tss, pa.timestamp('us')),
+        'text': pa.array(texts, pa.string()),
+    })
+
+
+def read_wet(paths):
+    """WET file(s) → text Dataset (url, warc_ts, text); one file per
+    read task, like :func:`read_warc`."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(wet_batch_to_rows, batch_format='pyarrow')
+
+
+def wet_record_bytes(url: str, ts_us: int, text: str) -> bytes:
+    """One WARC/1.0 conversion record (deterministic bytes)."""
+    body = text.encode('utf-8')
+    dt = datetime.fromtimestamp(ts_us / 1e6, timezone.utc)
+    head = (
+        'WARC/1.0\r\n'
+        'WARC-Type: conversion\r\n'
+        'WARC-Target-URI: %s\r\n'
+        'WARC-Date: %s\r\n'
+        'Content-Type: text/plain\r\n'
+        'Content-Length: %d\r\n'
+        % (url, dt.strftime('%Y-%m-%dT%H:%M:%SZ'), len(body))
+    ).encode('latin-1')
+    return head + _CRLF + body + _CRLF + _CRLF
+
+
+def export_wet(ds, out_dir: str, url_col: str = 'url',
+               ts_col: str = 'warc_ts', text_col: str = 'text',
+               gz: bool = True) -> int:
+    """Distributed WET export: one shard per block, written inside the
+    map task (driver never sees text), gzip one member per record (the
+    Common Crawl layout, records stay independently seekable),
+    content-addressed names + atomic rename → idempotent re-runs.
+    Returns rows written."""
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = '.warc.wet.gz' if gz else '.warc.wet'
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({'rows': pa.array([], pa.int64())})
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())     # already microseconds
+        chunks = []
+        for url, ts_us, text in zip(t.column(url_col).to_pylist(),
+                                    ts.to_pylist(),
+                                    t.column(text_col).to_pylist()):
+            rec = wet_record_bytes(url, int(ts_us or 0), text or '')
+            chunks.append(_gzip.compress(rec, mtime=0) if gz else rec)
+        blob = b''.join(chunks)
+        tag = hashlib.md5(blob).hexdigest()[:16]
+        tmp = os.path.join(out_dir, '.%s%s.tmp' % (tag, ext))
+        final = os.path.join(out_dir, 'part-%s%s' % (tag, ext))
+        if not os.path.exists(final):
+            with open(tmp, 'wb') as f:
+                f.write(blob)
+            os.replace(tmp, final)
+        return pa.table({'rows': pa.array([t.num_rows], pa.int64())})
+
+    counts = ds.map_batches(write_shard, batch_format='pyarrow')
+    return sum(r['rows'] for r in counts.take_all())
