@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dedup_incremental': R.dedup_incremental,
         'knn_join': R.knn_join,
         'knn_join_ivf': R.knn_join_ivf,
+        'recrawl_schedule': R.recrawl_schedule,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -896,6 +897,31 @@ def oracle_sql() -> dict[str, str]:
                      AS n_lines_removed,
                    coalesce(p.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        'recrawl_schedule': """
+            -- Cho/Garcia-Molina recrawl planning over the fetch log:
+            -- changes = consecutive observations (ts, event_id order)
+            -- whose event_type differs; next fetch = last + base/(c+1)
+            WITH ordered AS (
+              SELECT user_id, ts, event_type,
+                     lag(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+              FROM events
+            ),
+            agg AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_fetches,
+                     CAST(sum(CASE WHEN prev_type IS NOT NULL
+                                    AND event_type <> prev_type
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     max(ts) AS last_ts
+              FROM ordered GROUP BY user_id
+            )
+            SELECT user_id, n_fetches, n_changes, last_ts,
+                   last_ts + to_microseconds(
+                       86400000000 // (n_changes + 1)) AS next_fetch_ts
+            FROM agg
         """,
         'knn_join': _KNN_JOIN_SQL,
         # exhaustive-probe IVF: exact result, same oracle (the

@@ -182,6 +182,44 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     return _per_key_groups(ds, 'user_id', sessionize)
 
 
+def recrawl_schedule(sf_dir: str, base_interval_s: int = 86400):
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina 2003's
+    change-frequency estimator, applied the way an incremental crawler
+    plans its frontier): the events log is the fetch history — each
+    row one observation of a page (``user_id``), ``event_type`` the
+    observed content class.  Per page: number of observations, number
+    of CHANGES (consecutive observations, ts-then-event_id order, with
+    a different event_type), last-observation ts, and
+    ``next_fetch_ts = last_ts + base_interval / (n_changes + 1)``
+    (integer-microsecond floor division — hot pages refetch sooner).
+
+    100-TB shape: one coarse-bucketed group-apply over (user_id, ts,
+    event_type) — the same `_per_key_groups` pattern as
+    sessionization; no driver state, output one row per page.
+    """
+    ds = _read(sf_dir, 'events',
+               ['user_id', 'event_id', 'ts', 'event_type'])
+    base_us = base_interval_s * 1_000_000
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'])
+        changed = g['event_type'].ne(g['event_type'].shift())
+        n_changes = int(changed.iloc[1:].sum())
+        last_us = int(g['ts'].iloc[-1].value // 1000)  # ns -> us
+        return pd.DataFrame({
+            'user_id': [g['user_id'].iloc[0]],
+            'n_fetches': np.array([len(g)], np.int64),
+            'n_changes': np.array([n_changes], np.int64),
+            'last_ts': pd.Series(
+                [g['ts'].iloc[-1]]).astype('datetime64[us]'),
+            'next_fetch_ts': pd.Series(
+                [pd.Timestamp(
+                    (last_us + base_us // (n_changes + 1)) * 1000)]
+            ).astype('datetime64[us]')})
+
+    return _per_key_groups(ds, 'user_id', schedule)
+
+
 def distinct_event_types(sf_dir: str):
     """Distinct values (ds.unique — a shuffle-backed set op)."""
     ds = _read(sf_dir, 'events', ['event_type'])
