@@ -470,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'knn_join': R.knn_join,
         'knn_join_ivf': R.knn_join_ivf,
         'recrawl_schedule': R.recrawl_schedule,
+        'dsir_weights': R.dsir_weights,
+        'nb_classify': R.nb_classify,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -928,6 +930,77 @@ def oracle_sql() -> dict[str, str]:
         # knn_ivf_query0 argument); sub-exhaustive nprobe recall is a
         # pytest-measured trade, not a correctness claim
         'knn_join_ivf': _KNN_JOIN_SQL,
+        # DSIR (Xie et al. 2023): hashed-unigram importance log-weights
+        # ln p_target/p_raw, target = lang='en', 4096 md5 buckets,
+        # add-1 smoothing (ln-sum drift absorbed by round(4))
+        'dsir_weights': r"""
+            WITH tk AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '\w+'))
+                              AS w
+                        FROM documents),
+            f AS (SELECT doc_id, md5_number_lower(w) % 4096 AS b FROM tk),
+            raw AS (SELECT b, CAST(count(*) AS BIGINT) c FROM f GROUP BY b),
+            tgt AS (SELECT b, CAST(count(*) AS BIGINT) c
+                    FROM f JOIN documents USING (doc_id)
+                    WHERE lang = 'en' GROUP BY b),
+            nr AS (SELECT CAST(sum(c) AS DOUBLE) n FROM raw),
+            nt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) n FROM tgt),
+            per AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) n_tokens,
+                      SUM(ln((COALESCE(t.c, 0) + 1)
+                              / ((SELECT n FROM nt) + 4096))
+                        - ln((r.c + 1)
+                              / ((SELECT n FROM nr) + 4096))) lw
+                    FROM f JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
+                    GROUP BY f.doc_id)
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                   round(COALESCE(p.lw, 0.0), 4) AS dsir_logweight
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # multinomial NB lang classifier, train = even doc_id, add-1
+        # smoothing over the train vocab, OOV ignored, ties -> smallest
+        # class (ORDER BY score DESC, cls ASC on both sides)
+        'nb_classify': r"""
+            WITH tk AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '\w+'))
+                              AS w
+                        FROM documents),
+            dtok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) c
+                     FROM tk GROUP BY doc_id, w),
+            tr AS (SELECT d.lang, t.w, CAST(sum(t.c) AS BIGINT) cw
+                   FROM dtok t JOIN documents d USING (doc_id)
+                   WHERE d.doc_id % 2 = 0 GROUP BY d.lang, t.w),
+            vocab AS (SELECT DISTINCT w FROM tr),
+            vn AS (SELECT CAST(count(*) AS DOUBLE) v FROM vocab),
+            nl AS (SELECT lang, CAST(sum(cw) AS DOUBLE) n
+                   FROM tr GROUP BY lang),
+            pri AS (SELECT lang, CAST(count(*) AS DOUBLE) nd
+                    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+            ntr AS (SELECT CAST(count(*) AS DOUBLE) n
+                    FROM documents WHERE doc_id % 2 = 0),
+            tdoc AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) tt
+                     FROM dtok JOIN vocab USING (w) GROUP BY doc_id),
+            s1 AS (SELECT t.doc_id, tr.lang AS cls,
+                          SUM(t.c * ln(tr.cw + 1)) s
+                   FROM dtok t JOIN tr USING (w)
+                   GROUP BY t.doc_id, tr.lang),
+            scores AS (SELECT d.doc_id, d.lang, p.lang AS cls,
+                         ln(p.nd / (SELECT n FROM ntr))
+                         - COALESCE(td.tt, 0)
+                             * ln(COALESCE(nl.n, 0) + (SELECT v FROM vn))
+                         + COALESCE(s1.s, 0) AS score
+                       FROM documents d
+                       CROSS JOIN pri p
+                       LEFT JOIN nl ON nl.lang = p.lang
+                       LEFT JOIN tdoc td ON td.doc_id = d.doc_id
+                       LEFT JOIN s1 ON s1.doc_id = d.doc_id
+                                   AND s1.cls = p.lang)
+            SELECT doc_id, lang, cls AS pred_lang
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, cls ASC) rn
+                  FROM scores)
+            WHERE rn = 1
+        """,
         'dedup_incremental': """
             -- cross-snapshot incremental dedup: prior dump = even
             -- doc_id half, new batch = odd half; keep new docs whose

@@ -821,3 +821,51 @@ def test_asof_match_matches_bruteforce_random(ray_session):
     got = (pd.concat(g_all).sort_values('event_id')
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights + NB classifier (round-4 late additions)
+
+def test_nb_classify_join_tier_equals_broadcast(ray_session):
+    """The hash-join tier of nb_classify (parquet-persisted per-doc
+    token counts, Dataset model joins, per-doc Max argmax with
+    min-class tie-break) must reproduce the broadcast tier's labels
+    exactly."""
+    from webscraping_ray.pipelines.relational import nb_classify
+
+    sf = '/root/testdata/sf0.001'
+    a = (nb_classify(sf).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True))
+    b = (nb_classify(sf, force_join=True).to_pandas()
+         .sort_values('doc_id').reset_index(drop=True)[a.columns])
+    assert a.equals(b)
+
+
+def test_nb_classify_beats_chance(ray_session):
+    """The fitted classifier must beat the 1/n_classes chance rate on
+    the full corpus (the synthetic langs share a token generator, so
+    the bar is chance, not fluency)."""
+    from webscraping_ray.pipelines.relational import nb_classify
+
+    df = nb_classify('/root/testdata/sf0.001').to_pandas()
+    n_classes = df['pred_lang'].nunique()
+    assert n_classes >= 2
+    acc = float((df['lang'] == df['pred_lang']).mean())
+    assert acc > 1.5 / n_classes, acc
+
+
+def test_dsir_weights_prefer_target_lang(ray_session):
+    """DSIR's defining property: target-domain docs (lang='en') carry
+    the highest mean importance log-weight of any lang."""
+    import duckdb
+    from webscraping_ray.pipelines.relational import dsir_weights
+
+    sf = '/root/testdata/sf0.001'
+    d = dsir_weights(sf).to_pandas()
+    lang = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{sf}/documents.parquet'").df()
+    m = d.merge(lang, on='doc_id').groupby('lang')['dsir_logweight'].mean()
+    assert m.idxmax() == 'en', m.to_dict()
+    # token-less docs (if any) must weigh exactly 0.0
+    z = d[d['n_tokens'] == 0]
+    assert (z['dsir_logweight'] == 0.0).all()

@@ -4071,3 +4071,364 @@ def _source_quality_filter_join(toks, agg, num_partitions: int = 8):
     return out.map_batches(
         lambda t: t.select(['doc_id', 'source', 'src_mean_tokens']),
         batch_format='pyarrow')
+
+
+#: DSIR feature-hash width.  The hashed generative models are EXACTLY
+#: this many buckets no matter the corpus size — feature hashing is the
+#: paper's device for a fixed-size model — so the broadcast path IS the
+#: 100-TB path; no join tier is needed by construction.
+DSIR_BUCKETS = 4096
+
+
+def dsir_weights(sf_dir: str, target_lang: str = 'en',
+                 n_buckets: int = DSIR_BUCKETS):
+    """DSIR importance log-weights (Xie et al. 2023, *Data Selection
+    for Language Models via Importance Resampling*): score each
+    document ln p_target(x) − ln p_raw(x) under two hashed-unigram
+    bag-of-words models, the target model fit on docs whose ``lang``
+    equals ``target_lang`` and the raw model on the whole corpus,
+    add-1 smoothing over the fixed ``n_buckets`` feature space.  High
+    weights mark docs that look like the target domain; selection
+    resamples by these weights (the deterministic keep-rule analogue
+    here is thresholding, cf. :func:`clean_corpus_quantile`).
+
+    Scale shape: ONE corpus pass builds both models' bucket counts
+    (per-batch ``np.bincount`` partials → groupby-sum; each block
+    ships at most ``n_buckets`` partial rows), the fitted models are
+    O(n_buckets) floats broadcast once via ``ray.put``, and pass 2
+    scores every doc vectorized (per-doc bincount · log-ratio dot).
+    The feature hash is ``md5_number_lower(token) % n_buckets`` — the
+    repo's DuckDB-reproducible hash (see :func:`sample_hash`) — so the
+    oracle recomputes identical buckets.  Token-less docs weigh 0.0.
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text', 'lang'])
+
+    def _buckets(txt: str, memo: dict) -> np.ndarray:
+        toks = _TOKEN_RE.findall((txt or '').lower())
+        out = np.empty(len(toks), np.int64)
+        for j, w in enumerate(toks):
+            b = memo.get(w)
+            if b is None:
+                b = memo[w] = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[8:],
+                    'little') % n_buckets
+            out[j] = b
+        return out
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        memo: dict = {}
+        raw = np.zeros(n_buckets, np.int64)
+        tgt = np.zeros(n_buckets, np.int64)
+        for txt, lang in zip(t.column('text').to_pylist(),
+                             t.column('lang').to_pylist()):
+            bs = _buckets(txt, memo)
+            cnt = np.bincount(bs, minlength=n_buckets)
+            raw += cnt
+            if lang == target_lang:
+                tgt += cnt
+        nz = np.flatnonzero(raw)
+        return pa.table({'b': pa.array(nz, pa.int64()),
+                         'raw_c': pa.array(raw[nz], pa.int64()),
+                         'tgt_c': pa.array(tgt[nz], pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format='pyarrow')
+              .groupby('b')
+              .aggregate(Sum('raw_c', alias_name='raw_c'),
+                         Sum('tgt_c', alias_name='tgt_c')))
+
+    raw = np.zeros(n_buckets, np.int64)
+    tgt = np.zeros(n_buckets, np.int64)
+    for blk in counts.iter_batches(batch_format='pyarrow'):
+        idx = blk.column('b').to_numpy(zero_copy_only=False)
+        raw[idx] = blk.column('raw_c').to_numpy(zero_copy_only=False)
+        tgt[idx] = blk.column('tgt_c').to_numpy(zero_copy_only=False)
+    n_raw, n_tgt = float(raw.sum()), float(tgt.sum())
+    logratio = (np.log((tgt + 1.0) / (n_tgt + n_buckets))
+                - np.log((raw + 1.0) / (n_raw + n_buckets)))
+    lref = ray.put(logratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = ray.get(lref)
+        memo: dict = {}
+        ns, ws = [], []
+        for txt in t.column('text').to_pylist():
+            bs = _buckets(txt, memo)
+            ns.append(len(bs))
+            ws.append(float(np.bincount(bs, minlength=n_buckets)
+                            .dot(lr)) if len(bs) else 0.0)
+        return pa.table({'doc_id': t['doc_id'],
+                         'n_tokens': pa.array(ns, pa.int64()),
+                         'dsir_logweight': pa.array(ws, pa.float64())})
+
+    return (ds.map_batches(score, batch_format='pyarrow')
+            .map_batches(lambda t: _snap_round(t, 'dsir_logweight', 4),
+                         batch_format='pyarrow'))
+
+
+def nb_classify(sf_dir: str, force_join: bool = False):
+    """Multinomial Naive-Bayes token classifier — the supervised
+    classifier-filter shape of GPT-3/LLaMA-style curation (a linear
+    model over token counts scoring every document), with a
+    deterministic train/predict split: fit on even ``doc_id`` docs
+    predicting ``lang``, classify EVERY doc.  Add-1 smoothing over the
+    training vocabulary V; OOV tokens are ignored (standard NB);
+    per-class score = ln prior + Σ_w c_w·ln((c(class,w)+1)/(n_class+V));
+    ties break to the lexicographically smallest class.
+
+    Scale shape: the model is per-(class, token) counts — ONE pass of
+    Counter partials → groupby-sum (only (class, token, count) rows
+    shuffle, never text).  At or below ``BIGRAM_BROADCAST_LIMIT``
+    entries the model broadcasts once via ``ray.put`` and scoring is a
+    pure map; above it (or under ``force_join``) the model stays a
+    Dataset and :func:`_nb_classify_join` scores through hash joins
+    with no O(vocab) structure on any node — tiers test-pinned equal.
+    Returns (doc_id, lang, pred_lang).
+    """
+    import collections
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _TOKEN_RE
+
+    if force_join:
+        return _nb_classify_join(sf_dir)
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text', 'lang'])
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for i, txt, lang in zip(t.column('doc_id').to_pylist(),
+                                t.column('text').to_pylist(),
+                                t.column('lang').to_pylist()):
+            if i % 2 == 0:
+                for w in _TOKEN_RE.findall((txt or '').lower()):
+                    c[(lang, w)] += 1
+        langs = pa.array([k[0] for k in c], pa.string())
+        ws = pa.array([k[1] for k in c], pa.string())
+        return pa.table({'lang': langs, 'w': ws,
+                         'c': pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(train_partial, batch_format='pyarrow')
+              .groupby(['lang', 'w']).aggregate(Sum('c', alias_name='c'))
+              .materialize())
+    if counts.count() > BIGRAM_BROADCAST_LIMIT:
+        return _nb_classify_join(sf_dir)
+
+    model: dict = {}
+    vocab: set = set()
+    n_class: dict = {}
+    for b in counts.iter_batches(batch_format='pyarrow'):
+        for lang, w, c in zip(b.column('lang').to_pylist(),
+                              b.column('w').to_pylist(),
+                              b.column('c').to_pylist()):
+            model[(lang, w)] = c
+            vocab.add(w)
+            n_class[lang] = n_class.get(lang, 0) + c
+    # priors from the training-doc class counts (answer-sized pull)
+    pri = (ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t['doc_id'], 1), 0))
+                   .select(['lang']),
+        batch_format='pyarrow')
+        .groupby('lang').count().to_pandas())
+    n_train = float(pri['count()'].sum())
+    lnprior = {l: math.log(c / n_train)
+               for l, c in zip(pri['lang'], pri['count()'])}
+    V = float(len(vocab))
+    labels = sorted(lnprior)
+    # per-class OOV/normalizer term ln(n_class + V) (missing class
+    # counts only arise if a class has train docs but zero tokens)
+    lnden = {l: math.log(n_class.get(l, 0) + V) for l in labels}
+    mref = ray.put((model, vocab, lnprior, lnden, labels))
+
+    def classify(t: pa.Table) -> pa.Table:
+        model, vocab, lnprior, lnden, labels = ray.get(mref)
+        preds = []
+        for txt in t.column('text').to_pylist():
+            cnt = collections.Counter(
+                w for w in _TOKEN_RE.findall((txt or '').lower())
+                if w in vocab)
+            tt = sum(cnt.values())
+            best, best_s = None, -math.inf
+            for l in labels:
+                s = lnprior[l] - tt * lnden[l]
+                s += sum(c * math.log(model.get((l, w), 0) + 1)
+                         for w, c in cnt.items())
+                if s > best_s:
+                    best, best_s = l, s
+            preds.append(best)
+        return pa.table({'doc_id': t['doc_id'], 'lang': t['lang'],
+                         'pred_lang': pa.array(preds, pa.string())})
+
+    return ds.map_batches(classify, batch_format='pyarrow')
+
+
+
+
+def _nb_classify_join(sf_dir: str, num_partitions: int = 8):
+    """Hash-join tier of :func:`nb_classify` — no O(vocab) structure
+    on any node.  Per-doc token counts persist to parquet scratch once
+    (read twice: the in-vocab totals and the score join); the
+    (class, token) model stays a Dataset.  The per-class score
+    decomposes as  ln prior + Σ c·ln(c_lw+1) − T_doc·ln(n_class+V)
+    with T_doc the doc's in-vocab token total, so the corpus-side work
+    is token-keyed hash joins plus per-(doc, class) hash aggregates,
+    and the argmax is a per-doc Max aggregate (exact compare of
+    identical doubles) with min-class tie-break."""
+    import math
+    import tempfile
+
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.dedup import _TOKEN_RE, _join_safe
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text', 'lang'])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        import collections
+        ids, ws, cs = [], [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            cnt = collections.Counter(
+                _TOKEN_RE.findall((txt or '').lower()))
+            for w, c in cnt.items():
+                ids.append(i)
+                ws.append(w)
+                cs.append(c)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'w': pa.array(ws, pa.string()),
+                         'c': pa.array(cs, pa.int64())})
+
+    tk_path = tempfile.mkdtemp(prefix='wsray_nb_') + '/toks'
+    ds.map_batches(tok_rows, batch_format='pyarrow').write_parquet(tk_path)
+    toks = ray.data.read_parquet(tk_path).map_batches(
+        _strip_meta, batch_format='pyarrow')
+
+    # training counts need the class label: doc-keyed join against the
+    # (doc_id, lang) projection (token rows never carry text)
+    doc_lang = _join_safe(
+        ds.map_batches(lambda t: t.select(['doc_id', 'lang']),
+                       batch_format='pyarrow'), num_partitions)
+    tr = _join_safe(
+        toks.map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.bit_wise_and(t['doc_id'], 1), 0)),
+            batch_format='pyarrow')
+            .join(doc_lang, 'inner', num_partitions=num_partitions,
+                  on=('doc_id',), right_on=('doc_id',))
+            .groupby(['lang', 'w']).aggregate(Sum('c', alias_name='cw')),
+        num_partitions).materialize()
+
+    # class totals, priors, vocab size: all answer-sized (≤ #classes
+    # rows; V is a count, the vocab itself stays a Dataset)
+    nc = {r['lang']: float(r['sum(cw)'])
+          for r in tr.groupby('lang').aggregate(Sum('cw')).take_all()}
+    vocab_ds = _join_safe(
+        tr.groupby('w').aggregate(Count()).select_columns(['w']),
+        num_partitions).materialize()
+    V = float(vocab_ds.count())
+    pri_rows = (ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t['doc_id'], 1), 0))
+                   .select(['lang']),
+        batch_format='pyarrow').groupby('lang').count().take_all())
+    n_train = float(sum(r['count()'] for r in pri_rows))
+    lnprior = {r['lang']: math.log(r['count()'] / n_train)
+               for r in pri_rows}
+    labels = sorted(lnprior)
+    lnden = {l: math.log(nc.get(l, 0.0) + V) for l in labels}
+
+    # T_doc: in-vocab token total per doc (token-keyed semi-join).
+    # Each join-bearing intermediate is materialized so no single
+    # execution plan carries more than one JoinOperator — chained
+    # join actor pools deadlock when the CPU budget is small (same
+    # reason dedup.py materializes between its verify joins).
+    tdoc = _join_safe(
+        toks.join(vocab_ds, 'inner', num_partitions=num_partitions,
+                  on=('w',), right_on=('w',))
+            .groupby('doc_id').aggregate(Sum('c', alias_name='tt')),
+        num_partitions).materialize()
+
+    # s1(doc, class) = Σ c·ln(c_lw + 1) over the doc's in-vocab tokens
+    def term(t: pa.Table) -> pa.Table:
+        c = t.column('c').to_numpy(zero_copy_only=False)
+        cw = t.column('cw').to_numpy(zero_copy_only=False)
+        return pa.table({'doc_id': t['doc_id'],
+                         'cls': t['lang'],
+                         'term': pa.array(c * np.log(cw + 1.0),
+                                          pa.float64())})
+
+    s1 = _join_safe(
+        toks.join(tr, 'inner', num_partitions=num_partitions,
+                  on=('w',), right_on=('w',))
+            .map_batches(term, batch_format='pyarrow')
+            .groupby(['doc_id', 'cls']).aggregate(Sum('term',
+                                                      alias_name='s1')),
+        num_partitions).materialize()
+
+    # base(doc, class) = ln prior − T_doc·ln(n_class + V); expand each
+    # doc into one row per class (classes are answer-sized constants)
+    base = _join_safe(
+        ds.map_batches(lambda t: t.select(['doc_id', 'lang']),
+                       batch_format='pyarrow')
+          .join(tdoc, 'left_outer', num_partitions=num_partitions,
+                on=('doc_id',), right_on=('doc_id',)),
+        num_partitions).materialize()
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tt = t.column('tt').to_numpy(zero_copy_only=False)
+        tt = np.where(np.isnan(tt), 0.0, tt)
+        ids, langs, clss, bases = [], [], [], []
+        for l in labels:
+            ids.append(t.column('doc_id'))
+            langs.append(t.column('lang'))
+            clss.extend([l] * n)
+            bases.append(lnprior[l] - tt * lnden[l])
+        return pa.table({
+            'doc_id': pa.concat_arrays(
+                [a.combine_chunks() for a in ids]),
+            'lang': pa.concat_arrays(
+                [a.combine_chunks() for a in langs]),
+            'cls': pa.array(clss, pa.string()),
+            'base': pa.array(np.concatenate(bases), pa.float64())})
+
+    scored = _join_safe(
+        base.map_batches(expand, batch_format='pyarrow')
+            .join(s1, 'left_outer', num_partitions=num_partitions,
+                  on=('doc_id', 'cls'), right_on=('doc_id', 'cls')),
+        num_partitions)
+
+    def total(t: pa.Table) -> pa.Table:
+        s = t.column('s1').to_numpy(zero_copy_only=False)
+        s = np.where(np.isnan(s), 0.0, s)
+        b = t.column('base').to_numpy(zero_copy_only=False)
+        return pa.table({'doc_id': t['doc_id'], 'lang': t['lang'],
+                         'cls': t['cls'],
+                         'score': pa.array(b + s, pa.float64())})
+
+    scores = _join_safe(
+        scored.map_batches(total, batch_format='pyarrow'),
+        num_partitions).materialize()
+    best = _join_safe(
+        scores.groupby('doc_id').aggregate(Max('score',
+                                               alias_name='best')),
+        num_partitions)
+    out = (scores.join(best, 'inner', num_partitions=num_partitions,
+                       on=('doc_id',), right_on=('doc_id',))
+           .map_batches(
+               lambda t: t.filter(pc.equal(t['score'], t['best'])),
+               batch_format='pyarrow')
+           .groupby(['doc_id', 'lang'])
+           .aggregate(Min('cls', alias_name='pred_lang')))
+    return out.map_batches(
+        lambda t: t.select(['doc_id', 'lang', 'pred_lang']),
+        batch_format='pyarrow')
