@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'recrawl_schedule': R.recrawl_schedule,
         'dsir_weights': R.dsir_weights,
         'nb_classify': R.nb_classify,
+        'budget_select': R.budget_select,
+        'host_boilerplate': R.host_boilerplate,
+        'semdedup_recall': R.semdedup_recall,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -1018,6 +1021,93 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n.doc_id, n.content_md5
             FROM new_batch n ANTI JOIN prior p USING (content_md5)
+        """,
+        'budget_select': r"""
+            -- token-budget data selection: docs ordered by type-token
+            -- ratio DESC (ties doc_id), selected while the inclusive
+            -- running token total fits 25% of the corpus tokens
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '\w+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(
+                          regexp_extract_all(lower(text), '\w+')))
+                          AS BIGINT) AS u
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE CAST(u AS DOUBLE) / n_tokens END AS score
+              FROM q
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                       AS cum
+              FROM s
+            )
+            SELECT doc_id, n_tokens FROM c
+            WHERE cum <= (SELECT sum(n_tokens) * 0.25 FROM q)
+        """,
+        'host_boilerplate': """
+            -- per-host template lines: a non-empty 10-word-window line
+            -- is boilerplate for source s iff it appears in
+            -- >= max(2, ceil(0.05 * docs(s))) distinct docs of s
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+            ),
+            exp AS (
+              SELECT doc_id, source, w,
+                     unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                       AS line_no
+              FROM toks
+            ),
+            lns AS (
+              SELECT doc_id, source,
+                     array_to_string(w[(line_no*10 + 1):(line_no*10 + 10)],
+                                     ' ') AS line
+              FROM exp
+            ),
+            sd AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+              FROM documents GROUP BY source
+            ),
+            cnt AS (
+              SELECT source, line,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM lns WHERE line <> '' GROUP BY source, line
+            )
+            SELECT c.source, c.line, c.n_docs
+            FROM cnt c JOIN sd USING (source)
+            WHERE c.n_docs >= greatest(
+                2, CAST(ceil(0.05 * sd.src_docs) AS BIGINT))
+        """,
+        'semdedup_recall': """
+            -- SemDeDup quality gate: n_exact_removed recomputed from
+            -- the exact cosine dup graph (non-min members of each
+            -- connected component); recall_ok stated 1 (the query
+            -- gates cluster-pruned recall >= 0.95 and precision = 1)
+            WITH RECURSIVE pr AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.95
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pr
+              UNION SELECT id_b, id_a FROM pr
+            ), cc(node, lbl) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, c.lbl FROM edges e JOIN cc c ON e.v = c.node
+            ), comp AS (
+              SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node
+            )
+            SELECT CAST(count(*) FILTER (node <> lbl) AS BIGINT)
+                     AS n_exact_removed,
+                   CAST(1 AS BIGINT) AS recall_ok
+            FROM comp
         """,
         'xpath_titles': """
             SELECT doc_id, 'Doc ' || doc_id AS title, 'Doc ' || doc_id AS h1

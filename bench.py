@@ -179,6 +179,8 @@ def run_bench():
         'robots_filter': R.robots_filter,
         'events_asof_match': R.events_asof_match,
         'redact_pii': R.redact_pii,
+        'budget_select': R.budget_select,
+        'host_boilerplate': R.host_boilerplate,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

@@ -869,3 +869,145 @@ def test_dsir_weights_prefer_target_lang(ray_session):
     # token-less docs (if any) must weigh exactly 0.0
     z = d[d['n_tokens'] == 0]
     assert (z['dsir_logweight'] == 0.0).all()
+
+
+def test_budget_select_matches_exact_greedy(ray_session):
+    """budget_select's two-level histogram cut must reproduce the
+    exact greedy prefix (sort all docs by (-score, doc_id), take while
+    cum <= budget) — and the cut must land strictly inside the corpus
+    so the boundary machinery is exercised."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import budget_select
+
+    sf = '/root/testdata/sf0.001'
+    t = pq.read_table(f'{sf}/documents.parquet', columns=['doc_id', 'text'])
+    tok = re.compile(r'\w+', re.UNICODE)
+    rows = []
+    for i, s in zip(t.column('doc_id').to_pylist(),
+                    t.column('text').to_pylist()):
+        ws = tok.findall((s or '').lower())
+        n, u = len(ws), len(set(ws))
+        rows.append((i, n, 0.0 if n == 0 else u / n))
+    budget = sum(n for _, n, _ in rows) * 0.25
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    want, cum = set(), 0
+    for i, n, _ in rows:
+        if cum + n <= budget:
+            cum += n
+            want.add(i)
+        else:
+            break
+
+    got = budget_select(sf).to_pandas()
+    assert set(got['doc_id']) == want
+    assert 0 < len(got) < t.num_rows
+
+
+def test_budget_select_full_budget_keeps_all(ray_session):
+    from webscraping_ray.pipelines.relational import budget_select
+
+    sf = '/root/testdata/sf0.001'
+    got = budget_select(sf, budget_frac=1.0).to_pandas()
+    assert len(got) == 500
+
+
+def test_host_boilerplate_join_tier_equals_broadcast(ray_session):
+    from webscraping_ray.pipelines.relational import host_boilerplate
+
+    sf = '/root/testdata/sf0.001'
+    def canon(t):
+        return (t.to_pandas().sort_values(['source', 'line'])
+                .reset_index(drop=True))
+    a = canon(host_boilerplate(sf))
+    b = canon(host_boilerplate(sf, force_join=True))
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_host_boilerplate_planted(ray_session, tmp_path):
+    """A line shared by >= ceil(frac*docs) docs of ONE source is
+    detected for that source only; a single occurrence elsewhere and
+    sub-threshold lines stay out."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import host_boilerplate
+
+    tpl = 'nav home about contact terms privacy copyright foo bar baz'
+    docs = []
+    # source A: 4 docs, 3 carry the template line (plus unique filler)
+    for i in range(4):
+        body = ' '.join('worda%d_%d' % (i, j) for j in range(10))
+        text = (tpl + ' ' + body) if i < 3 else body
+        docs.append((i, 'hostA', text))
+    # source B: 4 docs, only one carries the template line
+    for i in range(4):
+        body = ' '.join('wordb%d_%d' % (i, j) for j in range(10))
+        text = (tpl + ' ' + body) if i == 0 else body
+        docs.append((10 + i, 'hostB', text))
+    t = pa.table({'doc_id': pa.array([d[0] for d in docs], pa.int64()),
+                  'source': pa.array([d[1] for d in docs]),
+                  'text': pa.array([d[2] for d in docs])})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = host_boilerplate(str(tmp_path), frac=0.5).to_pandas()
+    assert set(zip(out['source'], out['line'])) == {('hostA', tpl)}
+    assert out['n_docs'].tolist() == [3]
+
+
+def test_semdedup_precision_and_recall(ray_session):
+    """On a planted corpus with real near-dup groups (the embeddings
+    fixture has no >=0.95 cosine pairs — same as the embedding_dups
+    family), every SemDeDup removal must be a true dup (precision
+    1.0), recall vs the exact dup graph must hold the gate's 0.95 pin,
+    and each group must keep exactly its min-id representative."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraping_ray.stages.clusters import connected_components
+    from webscraping_ray.stages.dedup import (embedding_dup_pairs,
+                                              semdedup_removed)
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = [base[i] for i in range(40)]
+    # plant 6 dup groups: tiny perturbations of shared anchors
+    for g in range(6):
+        for j in range(2 + g % 3):
+            rows.append(base[g] + rng.normal(scale=1e-3, size=16))
+    M = np.array(rows)
+    ds = ray.data.from_items(
+        [{'vec_id': i, 'embedding': M[i].tolist()}
+         for i in range(len(rows))])
+
+    pairs = embedding_dup_pairs(ds, threshold=0.95, method='brute')
+    cc = connected_components(pairs)
+    exact_removed = {d for d, c in zip(cc.column('doc_id').to_pylist(),
+                                       cc.column('cluster_id').to_pylist())
+                     if d != c}
+    in_graph = set(cc.column('doc_id').to_pylist())
+    assert exact_removed, 'planted corpus must contain exact dups'
+
+    sem = semdedup_removed(ds, n_clusters=8)
+    sem_ids = set(sem.column('vec_id').to_pylist())
+    assert sem_ids <= in_graph  # precision 1.0
+    assert len(sem_ids & exact_removed) / len(exact_removed) >= 0.95
+    # kept representative is the component min id whenever the whole
+    # component shares one IVF bucket
+    for vid, keep in zip(sem.column('vec_id').to_pylist(),
+                         sem.column('keep_id').to_pylist()):
+        assert keep < vid
+
+
+def test_semdedup_recall_gate_green(ray_session):
+    """The registered quality-gate query must emit recall_ok=1 on the
+    driver fixture (trivially: no >=0.95 pairs exist there) — the
+    planted-corpus test above pins the non-trivial behavior."""
+    from webscraping_ray.pipelines.relational import semdedup_recall
+
+    out = semdedup_recall('/root/testdata/sf0.001').to_pylist()
+    assert out == [{'n_exact_removed': 0, 'recall_ok': 1}]

@@ -4432,3 +4432,336 @@ def _nb_classify_join(sf_dir: str, num_partitions: int = 8):
     return out.map_batches(
         lambda t: t.select(['doc_id', 'lang', 'pred_lang']),
         batch_format='pyarrow')
+
+
+BUDGET_GRID = 4096
+#: boundary fold guard: the exact fold only ever sees the docs of ONE
+#: fine histogram cell (expected corpus/GRID² plus exact-score ties)
+BUDGET_BOUNDARY_LIMIT = 2_000_000
+
+
+def budget_select(sf_dir: str, budget_frac: float = 0.25):
+    """Token-budget data selection (the data-curation step after
+    scoring: keep the best documents until the training-token budget
+    is spent).  Documents are ordered by type-token ratio
+    (n_unique_tokens / n_tokens, the :func:`quality` contract)
+    descending, ties by doc_id, and selected while the inclusive
+    running token total stays within ``budget_frac`` of the corpus
+    token count.  Returns (doc_id, n_tokens) of the selected set.
+
+    100-TB shape — NO global sort: the cut point is found with a
+    two-level distributed score histogram (the :func:`token_quantiles`
+    trick applied to selection).  Pass 1 folds each block to
+    (score-bucket, tokens, docs) partials → a BUDGET_GRID-sized
+    groupby; the driver scans the ≤4k buckets descending to find the
+    boundary bucket.  Pass 2 re-histograms ONLY that bucket's docs on
+    a GRID²-fine key; the single boundary CELL (expected
+    corpus/GRID² docs) is folded exactly on the driver.  Pass 3
+    streams the corpus once more, keeping docs above the cut plus the
+    broadcast boundary winners.  Driver state: two histograms + one
+    cell; scores never shuffle with text."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    G = BUDGET_GRID
+
+    def score_of(texts):
+        ns, us, sc = [], [], []
+        for s in texts:
+            toks = _TOKEN_RE.findall((s or '').lower())
+            n, u = len(toks), len(set(toks))
+            ns.append(n)
+            us.append(u)
+            sc.append(0.0 if n == 0 else u / n)
+        return (np.asarray(ns, np.int64), np.asarray(us, np.int64),
+                np.asarray(sc, np.float64))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n, _, sc = score_of(t.column('text').to_pylist())
+        b = np.floor(sc * G).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            'bucket': pa.array(uniq, pa.int64()),
+            'tk': pa.array(np.bincount(inv, weights=n).astype(np.int64),
+                           pa.int64()),
+            'd': pa.array(np.bincount(inv), pa.int64())})
+
+    rows = (ds.map_batches(hist_partial, batch_format='pyarrow')
+            .groupby('bucket')
+            .aggregate(Sum('tk', alias_name='tokens'),
+                       Sum('d', alias_name='docs'))
+            .take_all())
+    rows.sort(key=lambda r: -r['bucket'])
+    total = sum(r['tokens'] for r in rows)
+    budget = total * budget_frac
+
+    cum_hi = 0
+    b_star = None
+    for r in rows:
+        if cum_hi + r['tokens'] <= budget:
+            cum_hi += r['tokens']
+        else:
+            b_star = r['bucket']
+            break
+
+    def out_cols(t: pa.Table, keep: np.ndarray, n: np.ndarray) -> pa.Table:
+        return pa.table({
+            'doc_id': t.column('doc_id').filter(pa.array(keep)),
+            'n_tokens': pa.array(n[keep], pa.int64())})
+
+    if b_star is None:
+        # whole corpus fits the budget
+        def all_docs(t: pa.Table) -> pa.Table:
+            n, _, _ = score_of(t.column('text').to_pylist())
+            return out_cols(t, np.ones(len(n), bool), n)
+        return ds.map_batches(all_docs, batch_format='pyarrow')
+
+    # ---- refine within the boundary bucket on a GRID²-fine key ----
+    def fine_partial(t: pa.Table) -> pa.Table:
+        n, _, sc = score_of(t.column('text').to_pylist())
+        m = np.floor(sc * G).astype(np.int64) == b_star
+        f = np.floor(sc[m] * G * G).astype(np.int64)
+        uniq, inv = np.unique(f, return_inverse=True)
+        return pa.table({
+            'fine': pa.array(uniq, pa.int64()),
+            'tk': pa.array(
+                np.bincount(inv, weights=n[m]).astype(np.int64),
+                pa.int64())})
+
+    frows = (ds.map_batches(fine_partial, batch_format='pyarrow')
+             .groupby('fine')
+             .aggregate(Sum('tk', alias_name='tokens'))
+             .take_all())
+    frows = [r for r in frows if r['fine'] is not None]
+    frows.sort(key=lambda r: -r['fine'])
+    f_star = None
+    for r in frows:
+        if cum_hi + r['tokens'] <= budget:
+            cum_hi += r['tokens']
+        else:
+            f_star = r['fine']
+            break
+
+    sel_ids: set = set()
+    if f_star is not None:
+        # exact fold of the one boundary cell
+        def cell(t: pa.Table) -> pa.Table:
+            n, _, sc = score_of(t.column('text').to_pylist())
+            m = np.floor(sc * G * G).astype(np.int64) == f_star
+            return pa.table({
+                'doc_id': t.column('doc_id').filter(pa.array(m)),
+                'n_tokens': pa.array(n[m], pa.int64()),
+                'score': pa.array(sc[m], pa.float64())})
+
+        cell_rows = (ds.map_batches(cell, batch_format='pyarrow')
+                     .take_all())
+        if len(cell_rows) > BUDGET_BOUNDARY_LIMIT:
+            raise RuntimeError(
+                'budget_select boundary cell exceeds %d docs — raise '
+                'BUDGET_GRID' % BUDGET_BOUNDARY_LIMIT)
+        cell_rows.sort(key=lambda r: (-r['score'], r['doc_id']))
+        for r in cell_rows:
+            if cum_hi + r['n_tokens'] <= budget:
+                cum_hi += r['n_tokens']
+                sel_ids.add(r['doc_id'])
+            else:
+                break
+
+    sel_ref = ray.put(sel_ids)
+    fine_cut = f_star
+
+    def pick(t: pa.Table) -> pa.Table:
+        sel = ray.get(sel_ref)
+        n, _, sc = score_of(t.column('text').to_pylist())
+        b = np.floor(sc * G).astype(np.int64)
+        keep = b > b_star
+        mb = b == b_star
+        if mb.any():
+            f = np.floor(sc * G * G).astype(np.int64)
+            if fine_cut is not None:
+                keep |= mb & (f > fine_cut)
+            if sel:
+                ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+                in_sel = np.array([i in sel for i in ids], bool)
+                keep |= mb & in_sel
+        return out_cols(t, keep, n)
+
+    return ds.map_batches(pick, batch_format='pyarrow')
+
+
+def host_boilerplate(sf_dir: str, frac: float = 0.05, min_docs: int = 2,
+                     words_per_line: int | None = 10,
+                     force_join: bool = False, num_partitions: int = 8):
+    """Per-host boilerplate line detection (CCNet / Dolma's "strip the
+    nav bars": a line appearing across many pages of one host is
+    template, not content).  A non-empty line (10-word window, the
+    :func:`line_dedup` contract — the synthetic corpus has no
+    newlines) is boilerplate for ``source`` s iff it occurs in at
+    least ``max(min_docs, ceil(frac · docs(s)))`` DISTINCT documents
+    of s.  Returns (source, line, n_docs) — the detected template
+    lines with their document frequency.
+
+    100-TB shape: pass 1 folds each block to per-(source, digest)
+    distinct-doc partial counts — 16-byte blake2b digests, line TEXT
+    never shuffles — into a groupby-sum; per-source doc totals are a
+    20-entry (domain-cardinality) aggregate, broadcast under
+    ``BROADCAST_KEY_LIMIT`` or hash-joined above it (``force_join``
+    tier, test-pinned equal).  The qualifying (source, digest) set is
+    answer-scale; pass 2 re-reads only matching lines' text and
+    groupby-min picks one canonical text per digest."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.dedup import BROADCAST_KEY_LIMIT, _join_safe
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source', 'text'])
+    w = words_per_line
+
+    def digest2(line: str):
+        d = hashlib.blake2b(line.encode('utf-8', 'surrogatepass'),
+                            digest_size=16).digest()
+        return (int.from_bytes(d[:8], 'little') - (1 << 63),
+                int.from_bytes(d[8:], 'little') - (1 << 63))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import collections
+        cnt = collections.Counter()
+        for src, txt in zip(t.column('source').to_pylist(),
+                            t.column('text').to_pylist()):
+            seen = set()
+            for line in _doc_lines(txt, w):
+                if line:
+                    seen.add(digest2(line))
+            for h in seen:
+                cnt[(src, h)] += 1
+        ks = list(cnt)
+        return pa.table({
+            'source': pa.array([k[0] for k in ks], pa.string()),
+            'h1': pa.array([k[1][0] for k in ks], pa.int64()),
+            'h2': pa.array([k[1][1] for k in ks], pa.int64()),
+            'c': pa.array([cnt[k] for k in ks], pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format='pyarrow')
+              .groupby(['source', 'h1', 'h2'])
+              .aggregate(Sum('c', alias_name='n_docs')))
+
+    sdocs = (ds.map_batches(
+        lambda t: pa.table({
+            'source': t.column('source'),
+            'one': pa.array(np.ones(t.num_rows, np.int64), pa.int64())}),
+        batch_format='pyarrow')
+        .groupby('source').aggregate(Sum('one', alias_name='src_docs'))
+        .materialize())
+
+    n_src = sdocs.count()
+    if not force_join and n_src <= BROADCAST_KEY_LIMIT:
+        smap = {r['source']: r['src_docs']
+                for b in sdocs.iter_batches(batch_format='pyarrow')
+                for r in b.to_pylist()}
+        sref = ray.put(smap)
+
+        def qualify(t: pa.Table) -> pa.Table:
+            sm = ray.get(sref)
+            srcs = t.column('source').to_pylist()
+            nd = t.column('n_docs').to_numpy(zero_copy_only=False)
+            import math
+            keep = np.array(
+                [n >= max(min_docs, math.ceil(frac * sm[s]))
+                 for s, n in zip(srcs, nd)], bool)
+            return t.filter(pa.array(keep))
+    else:
+        counts = _join_safe(counts, num_partitions).join(
+            _join_safe(sdocs, num_partitions), 'inner',
+            num_partitions=num_partitions,
+            on=('source',), right_on=('source',))
+
+        def qualify(t: pa.Table) -> pa.Table:
+            nd = t.column('n_docs').to_numpy(zero_copy_only=False)
+            sd = t.column('src_docs').to_numpy(zero_copy_only=False)
+            th = np.maximum(min_docs,
+                            np.ceil(frac * sd).astype(np.int64))
+            return (t.filter(pa.array(nd >= th))
+                    .select(['source', 'h1', 'h2', 'n_docs']))
+
+    qual = counts.map_batches(qualify, batch_format='pyarrow')
+    qrows = qual.take_all()
+    if not qrows:
+        return pa.table({'source': pa.array([], pa.string()),
+                         'line': pa.array([], pa.string()),
+                         'n_docs': pa.array([], pa.int64())})
+    qset = {(r['source'], r['h1'], r['h2']): r['n_docs'] for r in qrows}
+    qref = ray.put(qset)
+
+    def recover(t: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        out = {}
+        for src, txt in zip(t.column('source').to_pylist(),
+                            t.column('text').to_pylist()):
+            for line in _doc_lines(txt, w):
+                if not line:
+                    continue
+                h1, h2 = digest2(line)
+                key = (src, h1, h2)
+                nd = qs.get(key)
+                if nd is not None and key not in out:
+                    out[key] = (line, nd)
+        ks = sorted(out)
+        return pa.table({
+            'source': pa.array([k[0] for k in ks], pa.string()),
+            'h1': pa.array([k[1] for k in ks], pa.int64()),
+            'h2': pa.array([k[2] for k in ks], pa.int64()),
+            'line': pa.array([out[k][0] for k in ks], pa.string()),
+            'n_docs': pa.array([out[k][1] for k in ks], pa.int64())})
+
+    out = (ds.map_batches(recover, batch_format='pyarrow')
+           .groupby(['source', 'h1', 'h2'])
+           .aggregate(Min('line', alias_name='line'),
+                      Min('n_docs', alias_name='n_docs')))
+    return out.map_batches(
+        lambda t: t.select(['source', 'line', 'n_docs']),
+        batch_format='pyarrow')
+
+
+def semdedup_recall(sf_dir: str, threshold: float = 0.95,
+                    n_clusters: int = 16, min_recall: float = 0.95):
+    """Driver-visible SemDeDup quality gate (the same contract as
+    :func:`knn_ivf_recall`): the cluster-pruned removal set
+    (:func:`stages.dedup.semdedup_removed`) vs the EXACT cosine dup
+    graph — every exact dup component's non-representative members.
+    Emits one row (n_exact_removed, recall_ok): ``n_exact_removed``
+    is SQL-recomputable (recursive-CTE components over all-pairs
+    cosine), ``recall_ok`` = 1 iff (a) every SemDeDup removal is a
+    true dup (precision 1.0 — guaranteed by construction, verified
+    anyway) and (b) recall >= ``min_recall``; the oracle states 1, so
+    a clustering regression goes driver-red."""
+    from ..stages.clusters import connected_components
+    from ..stages.dedup import embedding_dup_pairs, semdedup_removed
+
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+
+    exact_pairs = embedding_dup_pairs(ds, threshold=threshold,
+                                      method='brute')
+    cc = connected_components(exact_pairs)
+    exact_removed = {d for d, c in zip(cc.column('doc_id').to_pylist(),
+                                       cc.column('cluster_id').to_pylist())
+                     if d != c}
+
+    sem = semdedup_removed(ds, threshold=threshold,
+                           n_clusters=n_clusters)
+    sem_removed = set(sem.column('vec_id').to_pylist())
+
+    # precision: every semdedup removal must have a >=threshold
+    # neighbor, i.e. appear somewhere in the exact dup graph
+    in_graph = set(cc.column('doc_id').to_pylist())
+    precision_ok = sem_removed <= in_graph
+    recall = (1.0 if not exact_removed
+              else len(sem_removed & exact_removed) / len(exact_removed))
+    return pa.table({
+        'n_exact_removed': pa.array([len(exact_removed)], pa.int64()),
+        'recall_ok': pa.array(
+            [int(precision_ok and recall >= min_recall)], pa.int64())})

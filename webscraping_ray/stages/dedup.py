@@ -677,3 +677,71 @@ def _embedding_pairs_brute(ds, threshold: float, emb_col: str, id_col: str):
     return pa.table({'id_a': pa.array([r['id_a'] for r in pairs], pa.int64()),
                      'id_b': pa.array([r['id_b'] for r in pairs], pa.int64()),
                      'cosine': pa.array([r['cosine'] for r in pairs], pa.float64())})
+
+
+def semdedup_removed(ds, threshold: float = 0.95,
+                     emb_col: str = 'embedding', id_col: str = 'vec_id',
+                     n_clusters: int = 16):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then WITHIN each cluster drop all
+    but one member of every cosine-≥-threshold duplicate group.
+    Returns the pruned ids as (vec_id, keep_id, n_members): the kept
+    representative is the min id of the within-cluster component
+    (deterministic; the paper keeps the member farthest from the
+    centroid — a policy choice, the pruning set is what matters).
+
+    100-TB shape: reuses :func:`similarity.ivf_build` (deterministic
+    hash-reservoir k-means sample, one distributed assign pass), then
+    one ``map_groups`` per bucket running the O((n/k)²·d) cosine
+    matmul plus a bucket-local union-find — no full similarity matrix,
+    no cross-bucket pair shuffle, output is pruned-set-sized.  Every
+    returned id provably has a ≥ threshold neighbor (precision 1.0 by
+    construction); recall vs the exact all-pairs dup graph is gated by
+    the ``semdedup_recall`` query.
+    """
+    import pandas as pd
+
+    from .similarity import ivf_build
+
+    _, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col,
+                            id_col=id_col)
+
+    def prune_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.array(g[emb_col].tolist(), dtype=np.float64)[order]
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = np.triu(M @ M.T, k=1)
+        r, c = np.nonzero(S >= threshold)
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(r, c):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min index keeps the root = min id (ids are
+                # sorted ascending, so index order IS id order)
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        sizes = np.bincount(roots, minlength=n)
+        removed = np.flatnonzero(roots != np.arange(n))
+        return pd.DataFrame({
+            id_col: ids[removed],
+            'keep_id': ids[roots[removed]],
+            'n_members': sizes[roots[removed]].astype(np.int64)})
+
+    out = (bucketed.groupby('ivf_bucket')
+           .map_groups(prune_bucket, batch_format='pandas')).take_all()
+    out.sort(key=lambda r: r[id_col])
+    return pa.table({
+        id_col: pa.array([r[id_col] for r in out], pa.int64()),
+        'keep_id': pa.array([r['keep_id'] for r in out], pa.int64()),
+        'n_members': pa.array([r['n_members'] for r in out],
+                              pa.int64())})
