@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'budget_select': R.budget_select,
         'host_boilerplate': R.host_boilerplate,
         'semdedup_recall': R.semdedup_recall,
+        'inverted_index': R.inverted_index,
+        'crawl_budget_alloc': R.crawl_budget_alloc,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -1108,6 +1110,53 @@ def oracle_sql() -> dict[str, str]:
                      AS n_exact_removed,
                    CAST(1 AS BIGINT) AS recall_ok
             FROM comp
+        """,
+        'inverted_index': r"""
+            -- inverted-index build: sorted distinct posting list per
+            -- term with document frequency >= 2
+            WITH tk AS (
+              SELECT DISTINCT doc_id, w
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\w+'))
+                             AS w
+                    FROM documents)
+            )
+            SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM tk GROUP BY w HAVING count(*) >= 2
+        """,
+        'crawl_budget_alloc': r"""
+            -- Hamilton largest-remainder apportionment of 1000 crawl
+            -- slots across sources, proportional to token mass
+            WITH s AS (
+              SELECT source,
+                     CAST(sum(len(regexp_extract_all(lower(text), '\w+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS W FROM s),
+            base AS (
+              SELECT source, n_tokens,
+                     1000.0 * n_tokens / (SELECT W FROM tot) AS quota
+              FROM s
+            ),
+            fl AS (
+              SELECT source, n_tokens,
+                     CAST(floor(quota) AS BIGINT) AS fl,
+                     quota - floor(quota) AS frac
+              FROM base
+            ),
+            rem AS (SELECT 1000 - sum(fl) AS r FROM fl),
+            rk AS (
+              SELECT source, n_tokens, fl,
+                     row_number() OVER (ORDER BY frac DESC, source) AS rn
+              FROM fl
+            )
+            SELECT source, n_tokens,
+                   fl + CASE WHEN rn <= (SELECT r FROM rem)
+                             THEN 1 ELSE 0 END AS alloc
+            FROM rk
         """,
         'xpath_titles': """
             SELECT doc_id, 'Doc ' || doc_id AS title, 'Doc ' || doc_id AS h1

@@ -1011,3 +1011,41 @@ def test_semdedup_recall_gate_green(ray_session):
 
     out = semdedup_recall('/root/testdata/sf0.001').to_pylist()
     assert out == [{'n_exact_removed': 0, 'recall_ok': 1}]
+
+
+def test_inverted_index_planted(ray_session, tmp_path):
+    """Posting lists are sorted distinct doc ids; terms below min_df
+    drop; within-doc repeats count once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import inverted_index
+
+    t = pa.table({
+        'doc_id': pa.array([3, 1, 7], pa.int64()),
+        'text': pa.array(['apple banana apple', 'banana Cherry',
+                          'cherry banana apple'])})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = (inverted_index(str(tmp_path)).to_pandas()
+           .sort_values('term').reset_index(drop=True))
+    got = {r['term']: (r['df'], r['postings'])
+           for _, r in out.iterrows()}
+    assert got == {'apple': (2, '3,7'),
+                   'banana': (3, '1,3,7'),
+                   'cherry': (2, '1,7')}
+
+
+def test_crawl_budget_alloc_hamilton(ray_session):
+    """Allocations sum exactly to the budget, every floor quota is
+    honored, and no source gets more than floor(quota)+1."""
+    import numpy as np
+
+    from webscraping_ray.pipelines.relational import crawl_budget_alloc
+
+    out = crawl_budget_alloc('/root/testdata/sf0.001',
+                             budget=997).to_pandas()
+    assert out['alloc'].sum() == 997
+    quota = 997.0 * out['n_tokens'] / out['n_tokens'].sum()
+    fl = np.floor(quota)
+    assert ((out['alloc'] == fl) | (out['alloc'] == fl + 1)).all()

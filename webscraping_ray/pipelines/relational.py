@@ -4765,3 +4765,105 @@ def semdedup_recall(sf_dir: str, threshold: float = 0.95,
         'n_exact_removed': pa.array([len(exact_removed)], pa.int64()),
         'recall_ok': pa.array(
             [int(precision_ok and recall >= min_recall)], pa.int64())})
+
+
+def inverted_index(sf_dir: str, min_df: int = 2):
+    """Inverted-index build (the search-engine primitive over crawled
+    text): for every term with document frequency >= ``min_df``, the
+    sorted distinct posting list.  Returns (term, df, postings) with
+    postings comma-joined for compare stability.
+
+    100-TB shape: the classic two-phase index build — each block folds
+    to PARTIAL posting lists (one row per distinct term per block,
+    docs pre-sorted and pre-deduped, so a term string ships once per
+    block, not once per occurrence), then one shuffle by term merges
+    partials per key inside :func:`_per_key_groups` coarse buckets (64
+    group-applies, no per-term Ray group).  The output IS
+    corpus-scale for stopword terms — inherent to an inverted index —
+    but the shuffle never carries raw text, only term + docid runs."""
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        post: dict = {}
+        for i, s in zip(t.column('doc_id').to_pylist(),
+                        t.column('text').to_pylist()):
+            for w in set(_TOKEN_RE.findall((s or '').lower())):
+                post.setdefault(w, []).append(i)
+        terms = sorted(post)
+        return pa.table({
+            'term': pa.array(terms, pa.string()),
+            'c': pa.array([len(post[w]) for w in terms], pa.int64()),
+            'docs': pa.array(
+                [','.join(str(d) for d in sorted(post[w]))
+                 for w in terms], pa.string())})
+
+    parts = ds.map_batches(partial, batch_format='pyarrow')
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        df = int(g['c'].sum())
+        if df < min_df:
+            return pd.DataFrame({'term': [], 'df': [], 'postings': []})
+        docs = sorted(int(x) for s in g['docs'] for x in s.split(','))
+        return pd.DataFrame({'term': [g['term'].iloc[0]],
+                             'df': [df],
+                             'postings': [','.join(map(str, docs))]})
+
+    out = _per_key_groups(parts, 'term', merge)
+    return out.map_batches(
+        lambda t: pa.table({'term': t.column('term'),
+                            'df': pc.cast(t.column('df'), pa.int64()),
+                            'postings': t.column('postings')}),
+        batch_format='pyarrow')
+
+
+def crawl_budget_alloc(sf_dir: str, budget: int = 1000):
+    """Crawl-budget apportionment across hosts (the planning step a
+    recrawl scheduler feeds): ``budget`` page slots split across
+    sources proportional to their whitespace-token mass, integerized
+    by Hamilton's largest-remainder method (floor every quota, hand
+    the leftover slots to the largest fractional remainders, ties by
+    source).  Returns (source, n_tokens, alloc).
+
+    Distributed part is the per-source token-mass groupby (per-block
+    partials, host-cardinality result); the apportionment itself runs
+    on the driver over the answer-sized table — exactly the shape of
+    :func:`mixture_weights`."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['source', 'text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import collections
+        toks = collections.Counter()
+        for src, s in zip(t.column('source').to_pylist(),
+                          t.column('text').to_pylist()):
+            toks[src] += len(_TOKEN_RE.findall((s or '').lower()))
+        ks = sorted(toks)
+        return pa.table({'source': pa.array(ks, pa.string()),
+                         'tk': pa.array([toks[k] for k in ks],
+                                        pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format='pyarrow')
+            .groupby('source')
+            .aggregate(Sum('tk', alias_name='n_tokens'))
+            .take_all())
+    rows.sort(key=lambda r: r['source'])
+    tok = np.array([r['n_tokens'] for r in rows], np.float64)
+    W = tok.sum()
+    quota = budget * tok / W
+    fl = np.floor(quota).astype(np.int64)
+    rem = int(budget - fl.sum())
+    # largest remainder, ties by source order (rows sorted by source)
+    order = sorted(range(len(rows)),
+                   key=lambda i: (-(quota[i] - fl[i]), rows[i]['source']))
+    alloc = fl.copy()
+    for i in order[:rem]:
+        alloc[i] += 1
+    return pa.table({
+        'source': pa.array([r['source'] for r in rows], pa.string()),
+        'n_tokens': pa.array([r['n_tokens'] for r in rows], pa.int64()),
+        'alloc': pa.array(alloc, pa.int64())})
