@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'semdedup_recall': R.semdedup_recall,
         'inverted_index': R.inverted_index,
         'crawl_budget_alloc': R.crawl_budget_alloc,
+        'centroid_classify': R.centroid_classify,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -1157,6 +1158,45 @@ def oracle_sql() -> dict[str, str]:
                    fl + CASE WHEN rn <= (SELECT r FROM rem)
                              THEN 1 ELSE 0 END AS alloc
             FROM rk
+        """,
+        'centroid_classify': """
+            -- nearest-centroid classify: cosine argmax against the
+            -- per-label mean embedding (dim 64, 1-based list index);
+            -- ties break to the smaller label
+            WITH e AS (
+              SELECT vec_id, label,
+                     CAST(i AS BIGINT) AS i,
+                     CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)
+                       AS x
+              FROM embeddings CROSS JOIN range(64) t(i)
+            ),
+            cent AS (
+              SELECT label, i, avg(x) AS c
+              FROM e GROUP BY label, i
+            ),
+            cn AS (
+              SELECT label, sqrt(sum(c * c)) AS nrm
+              FROM cent GROUP BY label
+            ),
+            dots AS (
+              SELECT e.vec_id, cent.label AS cls, sum(e.x * cent.c) AS d
+              FROM e JOIN cent ON e.i = cent.i
+              GROUP BY e.vec_id, cent.label
+            ),
+            scored AS (
+              SELECT d.vec_id, d.cls, d.d / cn.nrm AS score
+              FROM dots d JOIN cn ON cn.label = d.cls
+            ),
+            best AS (
+              SELECT vec_id, cls,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY score DESC, cls) AS rn
+              FROM scored
+            )
+            SELECT em.vec_id, CAST(em.label AS BIGINT) AS label,
+                   CAST(b.cls AS BIGINT) AS pred_label
+            FROM embeddings em JOIN best b
+              ON b.vec_id = em.vec_id AND b.rn = 1
         """,
         'xpath_titles': """
             SELECT doc_id, 'Doc ' || doc_id AS title, 'Doc ' || doc_id AS h1

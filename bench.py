@@ -181,6 +181,7 @@ def run_bench():
         'redact_pii': R.redact_pii,
         'budget_select': R.budget_select,
         'host_boilerplate': R.host_boilerplate,
+        'centroid_classify': R.centroid_classify,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

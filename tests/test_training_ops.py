@@ -1049,3 +1049,29 @@ def test_crawl_budget_alloc_hamilton(ray_session):
     quota = 997.0 * out['n_tokens'] / out['n_tokens'].sum()
     fl = np.floor(quota)
     assert ((out['alloc'] == fl) | (out['alloc'] == fl + 1)).all()
+
+
+def test_centroid_classify_planted(ray_session, tmp_path):
+    """On well-separated planted clusters the prototype classifier is
+    perfect; centroids from per-block partials must equal the global
+    per-label mean regardless of block split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import centroid_classify
+
+    rng = np.random.default_rng(11)
+    anchors = rng.normal(size=(3, 8)) * 10
+    vecs, labs = [], []
+    for i in range(90):
+        l = i % 3
+        vecs.append((anchors[l] + rng.normal(scale=0.01, size=8)).tolist())
+        labs.append(l)
+    t = pa.table({'vec_id': pa.array(range(90), pa.int64()),
+                  'label': pa.array(labs, pa.int32()),
+                  'embedding': pa.array(vecs, pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / 'embeddings.parquet'))
+
+    out = centroid_classify(str(tmp_path)).to_pandas()
+    assert len(out) == 90
+    assert (out['label'] == out['pred_label']).all()
