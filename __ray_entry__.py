@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'inverted_index': R.inverted_index,
         'crawl_budget_alloc': R.crawl_budget_alloc,
         'centroid_classify': R.centroid_classify,
+        'snapshot_diff': R.snapshot_diff,
         # ------------------------------------------------------------------
         # round-3 driver-green queries below
         # ------------------------------------------------------------------
@@ -1197,6 +1198,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.cls AS BIGINT) AS pred_label
             FROM embeddings em JOIN best b
               ON b.vec_id = em.vec_id AND b.rn = 1
+        """,
+        'snapshot_diff': """
+            -- cross-snapshot diff: old = docs 0..449, new = docs
+            -- 50..499 with doc_id % 5 = 0 re-rendered (text || 'v2')
+            WITH old AS (
+              SELECT doc_id AS page_key, md5(text) AS h
+              FROM documents WHERE doc_id < 450
+            ),
+            new AS (
+              SELECT doc_id AS page_key,
+                     md5(text || CASE WHEN doc_id % 5 = 0
+                                      THEN 'v2' ELSE '' END) AS h
+              FROM documents WHERE doc_id >= 50
+            )
+            SELECT COALESCE(o.page_key, n.page_key) AS page_key,
+                   CASE WHEN n.page_key IS NULL THEN 'gone'
+                        WHEN o.page_key IS NULL THEN 'added'
+                        WHEN o.h = n.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n USING (page_key)
         """,
         'xpath_titles': """
             SELECT doc_id, 'Doc ' || doc_id AS title, 'Doc ' || doc_id AS h1

@@ -1075,3 +1075,23 @@ def test_centroid_classify_planted(ray_session, tmp_path):
     out = centroid_classify(str(tmp_path)).to_pandas()
     assert len(out) == 90
     assert (out['label'] == out['pred_label']).all()
+
+
+def test_snapshot_diff_classes(ray_session):
+    """The full-outer snapshot diff covers every page key exactly once
+    and produces all four change classes with the constructed counts
+    (old = 0..449, new = 50..499, every doc_id % 5 == 0 re-rendered)."""
+    from webscraping_ray.pipelines.relational import snapshot_diff
+
+    out = snapshot_diff('/root/testdata/sf0.001').to_pandas()
+    assert len(out) == 500
+    assert out['page_key'].is_unique
+    counts = out['status'].value_counts().to_dict()
+    assert counts == {'unchanged': 320, 'changed': 80,
+                      'gone': 50, 'added': 50}
+    # boundary spot checks
+    st = out.set_index('page_key')['status']
+    assert st[0] == 'gone' and st[49] == 'gone'
+    assert st[450] == 'added' and st[499] == 'added'
+    assert st[50] == 'changed'      # 50 % 5 == 0 → re-rendered
+    assert st[51] == 'unchanged'

@@ -4928,3 +4928,62 @@ def centroid_classify(sf_dir: str):
             'pred_label': pa.array(pred, pa.int64())})
 
     return ds.map_batches(classify, batch_format='pyarrow')
+
+
+def snapshot_diff(sf_dir: str, num_partitions: int = 8):
+    """Cross-snapshot change classification (the web-archive diff a
+    recrawl scheduler consumes): every page key is labeled ``gone``
+    (only in the old crawl), ``added`` (only in the new), ``changed``
+    (both, different content hash) or ``unchanged``.  Snapshots are
+    derived deterministically from the documents table (the
+    :func:`cdx_index` convention of constructed fixtures): old = docs
+    0..449, new = docs 50..499 with every doc_id % 5 == 0 page
+    re-rendered (content suffixed 'v2'), so all four classes are
+    non-empty at every sf.  Returns (page_key, status).
+
+    100-TB shape: only (key, md5) pairs enter the one FULL OUTER
+    ``Dataset.join`` — content hashes computed block-local, never
+    text; classification is a vectorized per-batch map over the join
+    output.  This is the engine's full-outer exemplar (inner /
+    left_outer / semi / anti / as-of / band live elsewhere)."""
+    from ..stages.dedup import _join_safe, content_md5
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def side(old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+            texts = t.column('text').to_pylist()
+            keys, h = [], []
+            for i, s in zip(ids, texts):
+                if old and i < 450:
+                    keys.append(int(i))
+                    h.append(content_md5(s or ''))
+                elif not old and i >= 50:
+                    keys.append(int(i))
+                    h.append(content_md5((s or '')
+                                         + ('v2' if i % 5 == 0 else '')))
+            col = 'old_md5' if old else 'new_md5'
+            return pa.table({'page_key': pa.array(keys, pa.int64()),
+                             col: pa.array(h, pa.string())})
+        return f
+
+    old = _join_safe(ds.map_batches(side(True), batch_format='pyarrow'),
+                     num_partitions)
+    new = _join_safe(ds.map_batches(side(False), batch_format='pyarrow'),
+                     num_partitions)
+    joined = old.join(new, 'full_outer', num_partitions=num_partitions,
+                      on=('page_key',), right_on=('page_key',))
+
+    def classify(t: pa.Table) -> pa.Table:
+        o = t.column('old_md5').to_pylist()
+        n = t.column('new_md5').to_pylist()
+        st = ['gone' if b is None else
+              'added' if a is None else
+              'unchanged' if a == b else 'changed'
+              for a, b in zip(o, n)]
+        return pa.table({'page_key': pc.cast(t.column('page_key'),
+                                             pa.int64()),
+                         'status': pa.array(st, pa.string())})
+
+    return joined.map_batches(classify, batch_format='pyarrow')
