@@ -436,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'dup_keep_best': R.dup_keep_best,
+        'chunk_documents': R.chunk_documents,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -1323,6 +1325,44 @@ def oracle_sql() -> dict[str, str]:
         # connected components of the verified near-dup pair graph:
         # the Ray side labels by hash-to-min propagation, the oracle
         # by recursive-CTE transitive closure — both min(id)/component
+        'dup_keep_best': f"""
+            WITH RECURSIVE {_shingle_jaccard_cte('documents')},
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            cc(node, lbl) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, c.lbl FROM edges e JOIN cc c ON e.v = c.node),
+            memb AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+                     FROM cc GROUP BY node),
+            scored AS (
+              SELECT m.cluster_id, m.doc_id,
+                     len(list_distinct(regexp_extract_all(
+                         lower(d.text), '\\w+'))) AS score
+              FROM memb m JOIN documents d ON m.doc_id = d.doc_id)
+            SELECT cluster_id, keep_id, n_members FROM (
+              SELECT cluster_id, doc_id AS keep_id,
+                     CAST(COUNT(*) OVER (PARTITION BY cluster_id)
+                          AS BIGINT) AS n_members,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY score DESC, doc_id) AS rn
+              FROM scored) WHERE rn = 1
+        """,
+        'chunk_documents': """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\S+'))
+                          AS BIGINT) AS n
+              FROM documents),
+            ch AS (
+              SELECT doc_id, n,
+                     unnest(range(0, CASE WHEN n = 0 THEN 0
+                                  ELSE (n - 1) // 192 + 1 END)) AS chunk_id
+              FROM base)
+            SELECT doc_id, chunk_id,
+                   least(256, n - chunk_id * 192) AS chunk_tokens
+            FROM ch
+        """,
         'dup_clusters': f"""
             WITH RECURSIVE {_shingle_jaccard_cte('documents')},
             edges AS (SELECT id_a AS u, id_b AS v FROM pairs

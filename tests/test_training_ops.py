@@ -1095,3 +1095,56 @@ def test_snapshot_diff_classes(ray_session):
     assert st[450] == 'added' and st[499] == 'added'
     assert st[50] == 'changed'      # 50 % 5 == 0 → re-rendered
     assert st[51] == 'unchanged'
+
+
+def test_dup_keep_best_planted(ray_session, tmp_path):
+    """Survivorship keeps the highest-unique-token member of each
+    near-dup component (NOT min id), ties break to the lowest id."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import dup_keep_best
+
+    texts = [
+        BASE,                                     # 0: cluster A
+        BASE,                                     # 1: exact dup of 0
+        BASE + " extra glossary appendix",        # 2: near dup, +3 uniques
+        "completely different tiny text",         # 3: singleton (no row)
+        "shared database storage engine notes",   # 4: cluster B
+        "shared database storage engine notes",   # 5: exact dup, tie on score
+    ]
+    t = pa.table({'doc_id': pa.array(range(len(texts)), pa.int64()),
+                  'text': pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = (dup_keep_best(str(tmp_path)).to_pandas()
+           .sort_values('cluster_id').reset_index(drop=True))
+    got = {r['cluster_id']: (r['keep_id'], r['n_members'])
+           for _, r in out.iterrows()}
+    # cluster 0: doc 2 wins on unique tokens; cluster 4: score tie -> min id
+    assert got == {0: (2, 3), 4: (4, 2)}
+
+
+def test_chunk_documents_boundaries(ray_session, tmp_path):
+    """Window/stride arithmetic: last chunk short, exact-boundary doc,
+    single-token doc, empty and null docs emit nothing; every chunk
+    except a doc's last has exactly `window` tokens."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import chunk_documents
+
+    t = pa.table({
+        'doc_id': pa.array([1, 2, 3, 4, 5], pa.int64()),
+        'text': pa.array(['t ' * 10,      # 10 toks -> 4,4,4,1 @ w4 s3
+                          't ' * 6,       # 6 toks  -> 4,3
+                          'solo',         # 1 tok   -> 1
+                          '   ',          # 0 toks  -> nothing
+                          None])})        # null    -> nothing
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = (chunk_documents(str(tmp_path), window=4, stride=3).to_pandas()
+           .sort_values(['doc_id', 'chunk_id']).reset_index(drop=True))
+    got = [(r['doc_id'], r['chunk_id'], r['chunk_tokens'])
+           for _, r in out.iterrows()]
+    assert got == [(1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 1),
+                   (2, 0, 4), (2, 1, 3),
+                   (3, 0, 1)]

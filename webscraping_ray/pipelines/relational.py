@@ -1528,6 +1528,93 @@ def clean_corpus_clustered(sf_dir: str, min_tokens: int = 20,
         anti, batch_format='pyarrow')
 
 
+def dup_keep_best(sf_dir: str, threshold: float = 0.8):
+    """Quality-aware near-dup survivorship — the FineWeb/Dolma
+    refinement of :func:`dup_clusters`' min-id convention: for every
+    connected component of the verified MinHash-LSH pair graph, keep
+    the member with the MOST distinct word tokens (the :func:`quality`
+    op's ``n_unique_tokens``), ties broken by lowest doc_id.
+
+    Returns (cluster_id, keep_id, n_members), one row per component.
+
+    Shape at scale: the component labeling is answer-sized by the
+    :func:`dup_clusters` contract, so member ids broadcast ONCE
+    (``ray.put``) and scoring is a corpus-side filter + pure
+    ``map_batches`` — document text never enters a shuffle; the
+    per-cluster argmax runs in :func:`_per_key_groups` coarse buckets
+    (64 group-applies total, not O(clusters))."""
+    import ray
+
+    from ..stages.clusters import connected_components
+    from ..stages.dedup import minhash_dup_pairs
+    from ..stages.textstats import _TOKEN_RE
+
+    docs = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    cc = connected_components(
+        minhash_dup_pairs(docs, threshold=threshold))
+    member_ids = cc.column('doc_id').combine_chunks()
+    memb_ref = ray.put((
+        member_ids,
+        member_ids.to_numpy(zero_copy_only=False),   # sorted by contract
+        cc.column('cluster_id').to_numpy(zero_copy_only=False)))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_arr, labels, clusters = ray.get(memb_ref)
+        t = t.filter(pc.is_in(t['doc_id'], value_set=ids_arr))
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        cl = clusters[np.searchsorted(labels, ids)] if len(ids) else \
+            np.empty(0, np.int64)
+        uniq = [len(set(_TOKEN_RE.findall((s or '').lower())))
+                for s in t.column('text').to_pylist()]
+        return pa.table({'cluster_id': pa.array(cl, pa.int64()),
+                         'doc_id': t['doc_id'],
+                         'score': pa.array(uniq, pa.int64())})
+
+    scored = docs.map_batches(score, batch_format='pyarrow')
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['score', 'doc_id'], ascending=[False, True])
+        return pd.DataFrame({'cluster_id': [g['cluster_id'].iloc[0]],
+                             'keep_id': [g['doc_id'].iloc[0]],
+                             'n_members': [np.int64(len(g))]})
+
+    return _per_key_groups(scored, 'cluster_id', best)
+
+
+def chunk_documents(sf_dir: str, window: int = 256, stride: int = 192):
+    """Fixed-token-window chunking with overlap (RAG / long-context
+    training prep): each document's whitespace tokens (the
+    :func:`token_count` ``\\S+`` contract) are cut into windows of
+    ``window`` tokens starting every ``stride`` tokens — the final
+    window is short, empty/null docs emit no chunks.
+
+    Returns (doc_id, chunk_id, chunk_tokens).  Pure vectorized
+    ``map_batches`` — per-doc counts, then ``np.repeat``/``arange``
+    expansion; no shuffle, no text in the output, scale-safe by
+    construction."""
+    from ..stages.textstats import whitespace_token_count
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        n = np.array([whitespace_token_count(s)
+                      for s in t.column('text').to_pylist()], np.int64)
+        n_chunks = np.where(n == 0, 0, (np.maximum(n, 1) - 1) // stride + 1)
+        rep_ids = np.repeat(ids, n_chunks)
+        rep_n = np.repeat(n, n_chunks)
+        base = np.repeat(np.concatenate(
+            ([0], np.cumsum(n_chunks)[:-1])) if len(n_chunks) else
+            np.empty(0, np.int64), n_chunks)
+        chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - base
+        chunk_tokens = np.minimum(window, rep_n - chunk_id * stride)
+        return pa.table({'doc_id': pa.array(rep_ids, pa.int64()),
+                         'chunk_id': pa.array(chunk_id, pa.int64()),
+                         'chunk_tokens': pa.array(chunk_tokens, pa.int64())})
+
+    return ds.map_batches(chunks, batch_format='pyarrow')
+
+
 #: pack_sequences prefix-sum bucket width: bucket = doc_id // this.
 #: Bucket count is n_docs/4096, so the driver-side exclusive scan
 #: holds ~2.4M int64s even at 10^10 docs.
