@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'crawl_contacts': R.crawl_contacts,
         'dup_keep_best': R.dup_keep_best,
         'chunk_documents': R.chunk_documents,
+        'gopher_filter': R.gopher_filter,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -1347,6 +1348,55 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY cluster_id
                                         ORDER BY score DESC, doc_id) AS rn
               FROM scored) WHERE rn = 1
+        """,
+        'gopher_filter': """
+            -- Gopher composite quality rules; every threshold is an
+            -- INTEGER comparison so the verdict is bit-stable vs the
+            -- Ray kernel (no float boundaries).
+            WITH f AS (
+              SELECT doc_id, coalesce(text, '') AS tx,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '\\w+') AS ws
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(
+                          ws, w -> len(w))), 0) AS BIGINT) AS sum_word_len,
+                     CAST(len(list_filter(ws, w ->
+                          regexp_matches(w, '[a-z]'))) AS BIGINT)
+                          AS n_alpha_words,
+                     CAST(len(tx) - len(replace(tx, '#', ''))
+                          AS BIGINT) AS n_hash,
+                     CAST((len(tx) - len(replace(tx, '...', ''))) // 3
+                          AS BIGINT) AS n_dots,
+                     list_filter(str_split(tx, chr(10)),
+                                 l -> trim(l, ' ' || chr(9)) != '') AS lines
+              FROM f),
+            m2 AS (
+              SELECT doc_id, n_words, sum_word_len, n_alpha_words,
+                     n_hash, n_dots,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(lines, l ->
+                          starts_with(ltrim(l, ' ' || chr(9)), '- ') OR
+                          starts_with(ltrim(l, ' ' || chr(9)), '* ') OR
+                          starts_with(ltrim(l, ' ' || chr(9)), '• ')))
+                          AS BIGINT) AS n_bullet,
+                     CAST(len(list_filter(lines, l ->
+                          ends_with(rtrim(l, ' ' || chr(9)), '...')))
+                          AS BIGINT) AS n_ellipsis
+              FROM m)
+            SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_hash,
+                   n_dots, n_lines, n_bullet, n_ellipsis,
+                   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                             AND 3 * n_words <= sum_word_len
+                             AND sum_word_len <= 10 * n_words
+                             AND 10 * (n_hash + n_dots) <= n_words
+                             AND 5 * n_alpha_words >= 4 * n_words
+                             AND 10 * n_bullet <= 9 * n_lines
+                             AND 10 * n_ellipsis <= 3 * n_lines
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM m2
         """,
         'chunk_documents': """
             WITH base AS (

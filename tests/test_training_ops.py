@@ -1148,3 +1148,38 @@ def test_chunk_documents_boundaries(ray_session, tmp_path):
     assert got == [(1, 0, 4), (1, 1, 4), (1, 2, 4), (1, 3, 1),
                    (2, 0, 4), (2, 1, 3),
                    (3, 0, 1)]
+
+
+def test_gopher_filter_rule_boundaries(ray_session, tmp_path):
+    """Each Gopher rule flips keep exactly at its integer boundary."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import gopher_filter
+
+    w50 = ' '.join(['word'] * 50)             # 50 words, len 4 each
+    texts = [
+        w50,                                   # 0: keep (all boundaries pass)
+        ' '.join(['word'] * 49),               # 1: drop (49 < 50 words)
+        w50 + ' #####',                        # 2: keep (5 hashes, 10*5<=50)
+        w50 + ' ######',                       # 3: drop (6 hashes, 60>50)
+        ' '.join(['word'] * 40 + ['123'] * 10),   # 4: keep (alpha 40/50 = 0.8)
+        ' '.join(['word'] * 39 + ['123'] * 11),   # 5: drop (alpha 39/50 < 0.8)
+        '\n'.join(['- ' + ' '.join(['word'] * 6)] * 9
+                  + [' '.join(['word'] * 6)]),    # 6: keep (9/10 bullet lines)
+        '\n'.join(['- ' + ' '.join(['word'] * 6)] * 10),  # 7: drop (10/10 bullets)
+        '\n'.join([' '.join(['word'] * 6) + ' ...'] * 3
+                  + [' '.join(['word'] * 6)] * 7),   # 8: keep (3/10 ellipsis)
+        '\n'.join([' '.join(['word'] * 6) + ' ...'] * 4
+                  + [' '.join(['word'] * 6)] * 6),   # 9: drop (4/10 > 0.3)
+        ' '.join(['ab'] * 50),                 # 10: drop (mean len 2 < 3)
+        ' '.join(['abc'] * 50),                # 11: keep (mean len exactly 3)
+        ' '.join(['abcdefghijk'] * 50),        # 12: drop (mean len 11 > 10)
+    ]
+    t = pa.table({'doc_id': pa.array(range(len(texts)), pa.int64()),
+                  'text': pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = gopher_filter(str(tmp_path)).to_pandas().set_index('doc_id')
+    expect = {0: 1, 1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1, 7: 0,
+              8: 1, 9: 0, 10: 0, 11: 1, 12: 0}
+    assert out['keep'].to_dict() == expect

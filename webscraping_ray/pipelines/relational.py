@@ -1326,6 +1326,63 @@ def repetition(sf_dir: str):
     return ds.map_batches(score, batch_format='pyarrow')
 
 
+def gopher_filter(sf_dir: str):
+    """Gopher-rules composite quality filter (Rae et al. 2021, the
+    published repetition-free subset): per document, the integer
+    signals each rule reads plus the final keep verdict.  Rules —
+    50 <= words <= 100k; mean word length in [3, 10]; symbol-to-word
+    ratio ('#' + '...') <= 0.1; >= 80% of words contain an ASCII
+    letter; <= 90% of non-empty lines start with a bullet
+    ('- ', '* ', '• '); <= 30% end with an ellipsis.
+
+    Every threshold is evaluated in INTEGER arithmetic (e.g.
+    ``10*(n_hash+n_dots) <= n_words``), so the verdict is exact and
+    bit-stable across the Ray side and the SQL oracle — no float
+    boundary cases.  Returns (doc_id, n_words, sum_word_len,
+    n_alpha_words, n_hash, n_dots, n_lines, n_bullet, n_ellipsis,
+    keep).  Embarrassingly parallel per-doc kernel — no shuffle."""
+    import re
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    alpha = re.compile(r'[a-z]')
+
+    def signals(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ('n_words', 'sum_word_len',
+                                'n_alpha_words', 'n_hash', 'n_dots',
+                                'n_lines', 'n_bullet', 'n_ellipsis',
+                                'keep')}
+        for s in t.column('text').to_pylist():
+            tx = s or ''
+            ws = _TOKEN_RE.findall(tx.lower())
+            nw = len(ws)
+            swl = sum(len(w) for w in ws)
+            nalpha = sum(1 for w in ws if alpha.search(w))
+            nhash = tx.count('#')
+            ndots = tx.count('...')
+            lines = [l for l in tx.split('\n') if l.strip(' \t')]
+            nl = len(lines)
+            nbul = sum(1 for l in lines
+                       if l.lstrip(' \t').startswith(('- ', '* ', '• ')))
+            nell = sum(1 for l in lines
+                       if l.rstrip(' \t').endswith('...'))
+            keep = (50 <= nw <= 100_000
+                    and 3 * nw <= swl <= 10 * nw
+                    and 10 * (nhash + ndots) <= nw
+                    and 5 * nalpha >= 4 * nw
+                    and 10 * nbul <= 9 * nl
+                    and 10 * nell <= 3 * nl)
+            for k, v in zip(cols, (nw, swl, nalpha, nhash, ndots,
+                                   nl, nbul, nell, int(keep))):
+                cols[k].append(v)
+        out = {'doc_id': t.column('doc_id')}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        return pa.table(out)
+
+    return ds.map_batches(signals, batch_format='pyarrow')
+
+
 def token_quantiles(sf_dir: str):
     """Exact per-language quantiles (p25/p50/p75) of word-token counts
     — the corpus-statistics op behind length-filter thresholds.
