@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dup_keep_best': R.dup_keep_best,
         'chunk_documents': R.chunk_documents,
         'gopher_filter': R.gopher_filter,
+        'bpe_pair_counts': R.bpe_pair_counts,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -1348,6 +1349,22 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY cluster_id
                                         ORDER BY score DESC, doc_id) AS rn
               FROM scored) WHERE rn = 1
+        """,
+        'bpe_pair_counts': """
+            -- first BPE merge step: adjacent char pairs inside word
+            -- tokens; (n DESC, pair ASC) is a total order (pair is the
+            -- group key), so the LIMIT cut is tie-stable
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+              FROM documents),
+            prs AS (
+              SELECT unnest(list_transform(
+                  range(1, len(w)),
+                  i -> substr(w, CAST(i AS INT), 2))) AS pair
+              FROM words WHERE len(w) >= 2),
+            counts AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+                       FROM prs GROUP BY pair)
+            SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT 100
         """,
         'gopher_filter': """
             -- Gopher composite quality rules; every threshold is an

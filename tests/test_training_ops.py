@@ -1183,3 +1183,21 @@ def test_gopher_filter_rule_boundaries(ray_session, tmp_path):
     expect = {0: 1, 1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1, 7: 0,
               8: 1, 9: 0, 10: 0, 11: 1, 12: 0}
     assert out['keep'].to_dict() == expect
+
+
+def test_bpe_pair_counts_planted(ray_session, tmp_path):
+    """Overlapping pairs count per occurrence; the top-k cut breaks
+    count ties by pair ascending (deterministic total order)."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import bpe_pair_counts
+
+    t = pa.table({'doc_id': pa.array([1, 2], pa.int64()),
+                  'text': pa.array(['Abab x', 'bc bd'])})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = bpe_pair_counts(str(tmp_path), top_k=2).to_pandas()
+    # 'abab' -> ab:2, ba:1; 'bc','bd' -> bc:1, bd:1; 'x' too short.
+    # ties at 1 cut by pair asc -> 'ba' wins the second slot.
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ('ab', 2), ('ba', 1)]

@@ -2116,6 +2116,45 @@ def write_training_shards(sf_dir: str, out_dir: str, ctx: int = 2048,
         'skipped': pa.array([r['skipped'] for r in stats], pa.bool_())})
 
 
+def bpe_pair_counts(sf_dir: str, top_k: int = 100):
+    """The first merge step of BPE tokenizer training (Sennrich et al.
+    2016): corpus-wide counts of adjacent CHARACTER pairs within word
+    tokens (lowercased ``\\w+``), returning the ``top_k`` most frequent
+    pairs — the candidates the first merge would pick from.
+
+    Returns (pair, n) ordered by (n desc, pair asc) — a deterministic
+    total order, so the top-k cut is tie-stable.
+
+    Scale shape: the pair vocabulary is tiny (O(alphabet²)), so each
+    batch emits ONE partially-aggregated count table (a Counter over
+    the batch, not a row per occurrence) and the global
+    ``groupby('pair').sum`` reduces 100 TB of text to a few thousand
+    rows before the driver-side top-k — the canonical
+    combiner-before-shuffle pattern."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column('text').to_pylist():
+            for w in _TOKEN_RE.findall((s or '').lower()):
+                for i in range(len(w) - 1):
+                    c[w[i:i + 2]] += 1
+        return pa.table({'pair': pa.array(list(c.keys()), pa.string()),
+                         'n': pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format='pyarrow')
+              .groupby('pair').aggregate(Sum('n', alias_name='n')))
+    top = counts.sort(['n', 'pair'], descending=[True, False]).limit(top_k)
+    return top.map_batches(
+        lambda t: t.select(['pair', 'n']), batch_format='pyarrow')
+
+
 def unigram_logprob(sf_dir: str, force_join: bool = False):
     """Unigram-LM document scoring (the KenLM-perplexity proxy used by
     CCNet-style quality filtering, reduced to its order-0 core): mean
