@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'chunk_documents': R.chunk_documents,
         'gopher_filter': R.gopher_filter,
         'bpe_pair_counts': R.bpe_pair_counts,
+        'oov_rate': R.oov_rate,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -1349,6 +1350,30 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY cluster_id
                                         ORDER BY score DESC, doc_id) AS rn
               FROM scored) WHERE rn = 1
+        """,
+        'oov_rate': """
+            -- vocab = top-1000 unigrams by (count DESC, token ASC), a
+            -- total order so the cut is tie-stable; every doc appears
+            -- (token-less docs score 0/0)
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+              FROM documents),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS n FROM toks GROUP BY tok
+                ORDER BY n DESC, tok LIMIT 1000)),
+            per AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.n_oov, 0) AS n_oov
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         'bpe_pair_counts': """
             -- first BPE merge step: adjacent char pairs inside word

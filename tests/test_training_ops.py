@@ -1201,3 +1201,21 @@ def test_bpe_pair_counts_planted(ray_session, tmp_path):
     # ties at 1 cut by pair asc -> 'ba' wins the second slot.
     assert list(map(tuple, out.itertuples(index=False))) == [
         ('ab', 2), ('ba', 1)]
+
+
+def test_oov_rate_planted(ray_session, tmp_path):
+    """Vocab cut is (count desc, token asc) tie-stable; OOV counts per
+    doc; token-less and null docs still appear scoring 0/0."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import oov_rate
+
+    t = pa.table({'doc_id': pa.array([1, 2, 3, 4], pa.int64()),
+                  'text': pa.array(['a a a b b c', 'c d', '', None])})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    # counts: a=3, b=2, c=2, d=1; top-2 tie at 2 -> 'b' beats 'c'
+    out = (oov_rate(str(tmp_path), vocab_size=2).to_pandas()
+           .set_index('doc_id').sort_index())
+    got = {i: (r['n_tokens'], r['n_oov']) for i, r in out.iterrows()}
+    assert got == {1: (6, 1), 2: (2, 2), 3: (0, 0), 4: (0, 0)}

@@ -2155,6 +2155,56 @@ def bpe_pair_counts(sf_dir: str, top_k: int = 100):
         lambda t: t.select(['pair', 'n']), batch_format='pyarrow')
 
 
+def oov_rate(sf_dir: str, vocab_size: int = 1000):
+    """Vocabulary-coverage diagnostic (tokenizer-prep): per document,
+    how many word tokens fall outside the corpus's own top
+    ``vocab_size`` unigram vocabulary (count desc, token asc — a total
+    order, so the vocab cut is tie-stable).  Returns (doc_id,
+    n_tokens, n_oov) for EVERY document (token-less docs score 0/0);
+    integer outputs so the oracle compare has no float boundaries.
+
+    Scale shape: per-batch Counter partials shrink the token stream to
+    one (token, count) table per block before the vocab groupby-sum;
+    the vocab itself is ``vocab_size`` rows — broadcast once via
+    ``ray.put`` — and the scoring pass is pure ``map_batches``."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column('text').to_pylist():
+            c.update(_TOKEN_RE.findall((s or '').lower()))
+        return pa.table({'tok': pa.array(list(c.keys()), pa.string()),
+                         'c': pa.array(list(c.values()), pa.int64())})
+
+    top = (ds.map_batches(partial, batch_format='pyarrow')
+           .groupby('tok').aggregate(Sum('c', alias_name='n'))
+           .sort(['n', 'tok'], descending=[True, False])
+           .limit(vocab_size))
+    vocab_ref = ray.put(frozenset(
+        t for b in top.iter_batches(batch_format='pyarrow')
+        for t in b.column('tok').to_pylist()))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        n_tok, n_oov = [], []
+        for s in t.column('text').to_pylist():
+            toks = _TOKEN_RE.findall((s or '').lower())
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for w in toks if w not in vocab))
+        return pa.table({'doc_id': t.column('doc_id'),
+                         'n_tokens': pa.array(n_tok, pa.int64()),
+                         'n_oov': pa.array(n_oov, pa.int64())})
+
+    return ds.map_batches(score, batch_format='pyarrow')
+
+
 def unigram_logprob(sf_dir: str, force_join: bool = False):
     """Unigram-LM document scoring (the KenLM-perplexity proxy used by
     CCNet-style quality filtering, reduced to its order-0 core): mean
