@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'gopher_filter': R.gopher_filter,
         'bpe_pair_counts': R.bpe_pair_counts,
         'oov_rate': R.oov_rate,
+        'wat_links': R.wat_links,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -637,6 +638,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        'wat_links': """
+            -- same construction oracle as page_links: wat_links runs
+            -- the identical link-extraction kernel, round-tripped
+            -- through real WAT metadata record bytes
+            SELECT doc_id,
+                   CAST(LEAST(3, GREATEST(0,
+                        CAST(floor(((SELECT count(*) FROM documents) - 1
+                             - (3*doc_id - 2*(doc_id % 8))) / 8.0) AS BIGINT)
+                   )) + 3 AS BIGINT) AS n_links
+            FROM documents
         """,
         'page_links': """
             -- derived-page link count by construction (docs_pages.py):

@@ -133,3 +133,61 @@ def test_parse_wet_skips_warcinfo():
     assert len(got) == 1
     assert got[0]['url'] == 'http://a.com/1'
     assert got[0]['text'] == 'plain text é'
+
+
+def test_wat_export_and_read_roundtrip(ray_session, tmp_path):
+    """WAT metadata records round-trip: urls, second-grain dates, and
+    link lists (incl. empty) survive export → gz shards → read; the
+    re-export is idempotent (same content-addressed files)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from webscraping_ray.sources.warc import export_wat, read_wat
+
+    rows = pa.table({
+        'url': pa.array(['http://a.com/1', 'http://b.com/2',
+                         'http://c.com/3'], pa.string()),
+        'warc_ts': pa.array([1_700_000_000_000_000] * 3,
+                            pa.timestamp('us')),
+        'links': pa.array([['http://x.com/', 'http://y.com/?q=1'],
+                           [], ['http://z.com/#f']],
+                          pa.list_(pa.string()))})
+    ds = ray.data.from_arrow(rows)
+    out = str(tmp_path / 'wat')
+
+    n = export_wat(ds, out)
+    assert n == 3
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith('.warc.wat.gz') for f in files)
+
+    back = (read_wat([os.path.join(out, f) for f in files])
+            .to_pandas().sort_values('url').reset_index(drop=True))
+    assert list(back['url']) == ['http://a.com/1', 'http://b.com/2',
+                                 'http://c.com/3']
+    assert [list(x) for x in back['links']] == [
+        ['http://x.com/', 'http://y.com/?q=1'], [], ['http://z.com/#f']]
+    assert (back['warc_ts'].astype('int64') // 10**6
+            == 1_700_000_000).all()
+
+    n2 = export_wat(ds, out)
+    assert n2 == n and sorted(os.listdir(out)) == files
+
+
+def test_parse_wat_skips_non_metadata_and_malformed():
+    from webscraping_ray.sources.warc import parse_wat, wat_record_bytes
+
+    good = wat_record_bytes('http://a.com/1', 1_700_000_000_000_000,
+                            ['http://x.com/'])
+    resp = (b'WARC/1.0\r\nWARC-Type: response\r\n'
+            b'WARC-Date: 2023-11-14T22:13:20Z\r\n'
+            b'Content-Length: 3\r\n\r\nabc\r\n\r\n')
+    bad_json = (b'WARC/1.0\r\nWARC-Type: metadata\r\n'
+                b'WARC-Target-URI: http://bad.com/\r\n'
+                b'WARC-Date: 2023-11-14T22:13:20Z\r\n'
+                b'Content-Length: 5\r\n\r\n{oops\r\n\r\n')
+    got = list(parse_wat(resp + bad_json + good))
+    assert len(got) == 1
+    assert got[0]['url'] == 'http://a.com/1'
+    assert got[0]['links'] == ['http://x.com/']

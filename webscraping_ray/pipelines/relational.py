@@ -871,6 +871,59 @@ def page_links(sf_dir: str):
     return pages.map_batches(links, batch_format='pyarrow')
 
 
+def wat_links(sf_dir: str):
+    """Common Crawl WAT round-trip: extract every derived page's links
+    (``xpath.get_links`` — the :func:`page_links` kernel), export them
+    as REAL WAT metadata records (WARC/1.0 + JSON envelope, one gzip
+    member per record, content-addressed shards) to /tmp scratch via
+    :func:`~webscraping_ray.sources.warc.export_wat`, read the shards
+    BACK with :func:`~webscraping_ray.sources.warc.read_wat`, and
+    report (doc_id, n_links) — so the construction oracle checks the
+    whole byte-level format loop, not just the extraction.
+
+    Scratch dir is keyed by the input path and cleared up front
+    (stale shards from a different fixture would double-count);
+    within one input it is content-addressed and idempotent.  Both
+    the export and the re-read are one-file-per-task distributed —
+    the driver never sees link lists."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..kernels import xpath as X
+    from ..kernels.text import html_to_unicode
+    from ..sources.warc import export_wat, read_wat
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def links(t: pa.Table) -> pa.Table:
+        urls = t.column('url').to_pylist()
+        htmls = t.column('html').to_pylist()
+        ls = [X.get_links(html_to_unicode(h), u)
+              for u, h in zip(urls, htmls)]
+        return pa.table({
+            'url': pa.array(urls, pa.string()),
+            'warc_ts': pa.array([0] * len(urls), pa.timestamp('us')),
+            'links': pa.array(ls, pa.list_(pa.string()))})
+
+    out_dir = '/tmp/webscraping_ray_wat/%s' % hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_wat(pages.map_batches(links, batch_format='pyarrow'), out_dir)
+    paths = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith('.warc.wat.gz')]
+    back = read_wat(paths)
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit('/', 1)[1])
+               for u in t.column('url').to_pylist()]
+        n = [len(l) for l in t.column('links').to_pylist()]
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'n_links': pa.array(n, pa.int64())})
+
+    return back.map_batches(counts, batch_format='pyarrow')
+
+
 # ---------------------------------------------------------------------------
 # similarity / dedup pipelines (training-data ops)
 

@@ -272,3 +272,139 @@ def export_wet(ds, out_dir: str, url_col: str = 'url',
 
     counts = ds.map_batches(write_shard, batch_format='pyarrow')
     return sum(r['rows'] for r in counts.take_all())
+
+
+# ---------------------------------------------------------------------------
+# WAT (link/metadata records) — the third Common Crawl sibling format:
+# WARC-Type: metadata records whose JSON payload carries per-page
+# metadata, most importantly the extracted links
+# (Envelope → Payload-Metadata → HTTP-Response-Metadata →
+#  HTML-Metadata → Links: [{"path": "A@/href", "url": ...}]).
+
+def wat_record_bytes(url: str, ts_us: int, links: list) -> bytes:
+    """One WARC/1.0 metadata record with the Common Crawl WAT JSON
+    envelope as payload.  Deterministic bytes: compact separators +
+    sorted keys, so identical inputs give identical shards."""
+    import json
+
+    payload = json.dumps(
+        {'Envelope': {
+            'WARC-Header-Metadata': {'WARC-Target-URI': url},
+            'Payload-Metadata': {'HTTP-Response-Metadata': {
+                'HTML-Metadata': {
+                    'Links': [{'path': 'A@/href', 'url': u}
+                              for u in links]}}}}},
+        separators=(',', ':'), sort_keys=True).encode('utf-8')
+    dt = datetime.fromtimestamp(ts_us / 1e6, timezone.utc)
+    head = (
+        'WARC/1.0\r\n'
+        'WARC-Type: metadata\r\n'
+        'WARC-Target-URI: %s\r\n'
+        'WARC-Date: %s\r\n'
+        'Content-Type: application/json\r\n'
+        'Content-Length: %d\r\n'
+        % (url, dt.strftime('%Y-%m-%dT%H:%M:%SZ'), len(payload))
+    ).encode('latin-1')
+    return head + _CRLF + payload + _CRLF + _CRLF
+
+
+def parse_wat(data: bytes):
+    """Yield dicts (url, warc_ts_us, links) for every metadata record
+    in one WAT file's bytes (gzipped or plain)."""
+    import json
+
+    if data[:2] == b'\x1f\x8b':
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.index(_CRLF + _CRLF, pos)
+        headers = _parse_headers(data[pos:hdr_end])
+        if not data[pos:pos + 5] == b'WARC/':
+            raise ValueError('not a WARC record at offset %d' % pos)
+        length = int(headers['content-length'])
+        body_start = hdr_end + 4
+        payload = data[body_start:body_start + length]
+        pos = body_start + length
+        if headers.get('warc-type') != 'metadata':
+            continue
+        url = headers.get('warc-target-uri', '')
+        ts = _warc_ts_us(headers.get('warc-date', '1970-01-01T00:00:00Z'))
+        try:
+            env = json.loads(payload.decode('utf-8'))
+            links = [l.get('url', '') for l in
+                     env['Envelope']['Payload-Metadata']
+                        ['HTTP-Response-Metadata']
+                        .get('HTML-Metadata', {}).get('Links', [])]
+        except (ValueError, KeyError):
+            continue        # malformed payload: skip, like parse_wet
+        yield {'url': url, 'warc_ts_us': ts, 'links': links}
+
+
+def wat_batch_to_rows(batch: pa.Table) -> pa.Table:
+    """map_batches kernel over ``read_binary_files`` output: one input
+    row = one WAT file → (url, warc_ts, links) rows."""
+    urls, tss, links = [], [], []
+    for data in batch.column('bytes').to_pylist():
+        for rec in parse_wat(data):
+            urls.append(rec['url'])
+            tss.append(rec['warc_ts_us'])
+            links.append(rec['links'])
+    return pa.table({
+        'url': pa.array(urls, pa.string()),
+        'warc_ts': pa.array(tss, pa.timestamp('us')),
+        'links': pa.array(links, pa.list_(pa.string())),
+    })
+
+
+def read_wat(paths):
+    """WAT file(s) → links Dataset (url, warc_ts, links); one file per
+    read task, parsing inside the task."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(wat_batch_to_rows, batch_format='pyarrow')
+
+
+def export_wat(ds, out_dir: str, url_col: str = 'url',
+               ts_col: str = 'warc_ts', links_col: str = 'links',
+               gz: bool = True) -> int:
+    """Distributed WAT export: one shard per block written inside the
+    map task (driver never sees link lists), one gzip member per
+    record, content-addressed names + atomic rename → idempotent
+    re-runs.  Returns rows written."""
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = '.warc.wat.gz' if gz else '.warc.wat'
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({'rows': pa.array([], pa.int64())})
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        chunks = []
+        for url, ts_us, links in zip(t.column(url_col).to_pylist(),
+                                     ts.to_pylist(),
+                                     t.column(links_col).to_pylist()):
+            rec = wat_record_bytes(url, int(ts_us or 0), links or [])
+            chunks.append(_gzip.compress(rec, mtime=0) if gz else rec)
+        blob = b''.join(chunks)
+        tag = hashlib.md5(blob).hexdigest()[:16]
+        tmp = os.path.join(out_dir, '.%s%s.tmp' % (tag, ext))
+        final = os.path.join(out_dir, 'part-%s%s' % (tag, ext))
+        if not os.path.exists(final):
+            with open(tmp, 'wb') as f:
+                f.write(blob)
+            os.replace(tmp, final)
+        return pa.table({'rows': pa.array([t.num_rows], pa.int64())})
+
+    counts = ds.map_batches(write_shard, batch_format='pyarrow')
+    return sum(r['rows'] for r in counts.take_all())
