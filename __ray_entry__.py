@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'bpe_pair_counts': R.bpe_pair_counts,
         'oov_rate': R.oov_rate,
         'wat_links': R.wat_links,
+        'train_test_split': R.train_test_split,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -1900,6 +1901,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(pos AS BIGINT) AS pos,
                    CAST(pos // 256 AS BIGINT) AS shard
             FROM p
+        """,
+        'train_test_split': """
+            -- exact per-source test counts: first n//10 docs per
+            -- source in (md5_number_lower, doc_id) order are 'test'
+            WITH r AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY md5_number_lower(
+                                      CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN rk <= n // 10 THEN 'test' ELSE 'train'
+                   END AS split
+            FROM r
         """,
         'sample_hash': """
             SELECT doc_id, lang, n_chars FROM documents

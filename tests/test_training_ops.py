@@ -1219,3 +1219,26 @@ def test_oov_rate_planted(ray_session, tmp_path):
            .set_index('doc_id').sort_index())
     got = {i: (r['n_tokens'], r['n_oov']) for i, r in out.iterrows()}
     assert got == {1: (6, 1), 2: (2, 2), 3: (0, 0), 4: (0, 0)}
+
+
+def test_train_test_split_exact_counts(ray_session):
+    """Every source contributes EXACTLY n_source // 10 test docs, every
+    doc appears once, and the assignment is deterministic across runs."""
+    import duckdb
+
+    from webscraping_ray.pipelines.relational import train_test_split
+
+    sf = '/root/testdata/sf0.001'
+    out = train_test_split(sf).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf}/documents.parquet'").df()
+    assert len(out) == len(docs) and out['doc_id'].is_unique
+
+    m = out.merge(docs, on='doc_id')
+    per = m.groupby('source').agg(n=('split', 'size'),
+                                  n_test=('split', lambda s: (s == 'test').sum()))
+    assert (per['n_test'] == per['n'] // 10).all()
+
+    again = train_test_split(sf).to_pandas().sort_values('doc_id')
+    assert again.reset_index(drop=True).equals(
+        out.sort_values('doc_id').reset_index(drop=True))

@@ -1347,6 +1347,43 @@ def sample_hash(sf_dir: str, rate_pct: int = 10):
     return ds.map_batches(keep, batch_format='pyarrow')
 
 
+def train_test_split(sf_dir: str, test_denom: int = 10):
+    """Deterministic stratified train/test split: within every source,
+    documents ordered by (md5 hash, doc_id) — the :func:`sample_hash`
+    ``md5_number_lower`` layout, so the oracle recomputes it exactly —
+    take the first ``n_source // test_denom`` as 'test', the rest as
+    'train'.  EXACT per-stratum test counts (unlike rate-predicate
+    sampling, which is only exact in expectation), stable across
+    cluster sizes, restarts and repartitioning.
+
+    Returns (doc_id, split).  The per-source ranking runs in
+    :func:`_per_key_groups` coarse buckets (only (doc_id, source,
+    hash) rows shuffle — never text)."""
+    import hashlib
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source'])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ks = np.array([int.from_bytes(
+                           hashlib.md5(str(i).encode()).digest()[8:],
+                           'little')
+                       for i in t.column('doc_id').to_pylist()],
+                      np.uint64)
+        return t.append_column('hkey', pa.array(ks, pa.uint64()))
+
+    keyed = ds.map_batches(add_key, batch_format='pyarrow')
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['hkey', 'doc_id']).reset_index(drop=True)
+        n_test = len(g) // test_denom
+        return pd.DataFrame({
+            'doc_id': g['doc_id'],
+            'split': np.where(np.arange(len(g)) < n_test,
+                              'test', 'train')})
+
+    return _per_key_groups(keyed, 'source', assign)
+
+
 def repetition(sf_dir: str):
     """Within-document repetition score (Gopher-style quality signal):
     the fraction of a document's word bigrams taken by its single most
