@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'oov_rate': R.oov_rate,
         'wat_links': R.wat_links,
         'train_test_split': R.train_test_split,
+        'reservoir_sample': R.reservoir_sample,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -1901,6 +1902,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(pos AS BIGINT) AS pos,
                    CAST(pos // 256 AS BIGINT) AS shard
             FROM p
+        """,
+        'reservoir_sample': """
+            -- deterministic exact-k sample: smallest k md5 keys
+            SELECT doc_id, source FROM documents
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
         """,
         'train_test_split': """
             -- exact per-source test counts: first n//10 docs per

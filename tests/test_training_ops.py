@@ -1242,3 +1242,26 @@ def test_train_test_split_exact_counts(ray_session):
     again = train_test_split(sf).to_pandas().sort_values('doc_id')
     assert again.reset_index(drop=True).equals(
         out.sort_values('doc_id').reset_index(drop=True))
+
+
+def test_reservoir_sample_partial_topk(ray_session):
+    """The per-block partial top-k merge returns exactly the k globally
+    smallest md5 keys — identical to a full driver-side sort."""
+    import hashlib
+
+    import duckdb
+
+    from webscraping_ray.pipelines.relational import reservoir_sample
+
+    sf = '/root/testdata/sf0.001'
+    out = (reservoir_sample(sf, k=37).to_pandas()
+           .sort_values('doc_id').reset_index(drop=True))
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf}/documents.parquet'").df()
+    docs['hkey'] = [int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[8:], 'little')
+        for i in docs['doc_id']]
+    exp = (docs.sort_values(['hkey', 'doc_id']).head(37)
+           [['doc_id', 'source']].sort_values('doc_id')
+           .reset_index(drop=True))
+    assert out.equals(exp)

@@ -1347,6 +1347,37 @@ def sample_hash(sf_dir: str, rate_pct: int = 10):
     return ds.map_batches(keep, batch_format='pyarrow')
 
 
+def reservoir_sample(sf_dir: str, k: int = 100):
+    """Deterministic exact-k corpus sample: the ``k`` documents with
+    the smallest ``md5_number_lower(doc_id)`` (ties by doc_id) —
+    uniform under the hash, but reproducible across cluster sizes,
+    restarts and repartitioning, unlike an RNG reservoir.
+
+    Scale shape: the distributed-reservoir pattern — every block
+    emits AT MOST ``k`` candidate rows (per-block partial top-k, a
+    numpy lexsort), so the global ``sort().limit(k)`` runs over
+    ``#blocks × k`` candidates, never the corpus; no corpus-wide
+    sort or shuffle.  Returns (doc_id, source)."""
+    import hashlib
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'source'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        ks = np.array([int.from_bytes(
+                           hashlib.md5(str(i).encode()).digest()[8:],
+                           'little') for i in ids], np.uint64)
+        top = np.lexsort((ids, ks))[:k]
+        return pa.table({'doc_id': pa.array(ids[top], pa.int64()),
+                         'source': t.column('source').take(
+                             pa.array(top, pa.int64())),
+                         'hkey': pa.array(ks[top], pa.uint64())})
+
+    cand = ds.map_batches(partial, batch_format='pyarrow')
+    return (cand.sort(['hkey', 'doc_id']).limit(k)
+            .select_columns(['doc_id', 'source']))
+
+
 def train_test_split(sf_dir: str, test_denom: int = 10):
     """Deterministic stratified train/test split: within every source,
     documents ordered by (md5 hash, doc_id) — the :func:`sample_hash`
