@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'wat_links': R.wat_links,
         'train_test_split': R.train_test_split,
         'reservoir_sample': R.reservoir_sample,
+        'crawl_depth_hist': R.crawl_depth_hist,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -665,6 +666,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         'crawl_bfs': _CRAWL_BFS_SQL,
+        'crawl_depth_hist': f"""
+            SELECT depth, CAST(count(*) AS BIGINT) AS n_visits
+            FROM ( {_CRAWL_BFS_SQL} ) v GROUP BY depth
+        """,
         # crawl-to-training-corpus: the crawled (status-200) document
         # set fed through the curation pass — the end-to-end pipeline
         # a user of the reference would run, as one oracled query

@@ -182,6 +182,11 @@ def run_bench():
         'budget_select': R.budget_select,
         'host_boilerplate': R.host_boilerplate,
         'centroid_classify': R.centroid_classify,
+        'gopher_filter': R.gopher_filter,
+        'oov_rate': R.oov_rate,
+        'bpe_pair_counts': R.bpe_pair_counts,
+        'train_test_split': R.train_test_split,
+        'dup_keep_best': R.dup_keep_best,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

@@ -406,3 +406,18 @@ def test_resume_after_crash_mid_wave_push(ray_session, small_corpus, tmp_path):
     part2 = c2.run_resumed()
     resumed = pa.concat_tables([part1, part2])
     assert resumed.to_pylist() == full.to_pylist()
+
+
+def test_crawl_depth_hist_matches_visits(ray_session):
+    """The depth histogram is exactly the flagship crawl's visits
+    grouped by depth (seeds at depth 0 = one per host)."""
+    from webscraping_ray.pipelines.relational import (crawl_depth_hist,
+                                                      crawl_documents)
+
+    sf = '/root/testdata/sf0.001'
+    hist = crawl_depth_hist(sf).to_pandas().set_index('depth')['n_visits']
+    visits = crawl_documents(sf).to_pandas()
+    expect = visits.groupby('depth').size()
+    assert hist.to_dict() == expect.to_dict()
+    assert hist[0] == 8          # one seed per host
+    assert hist.sum() == len(visits)

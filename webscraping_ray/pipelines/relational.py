@@ -1601,6 +1601,18 @@ def clean_corpus_quantile(sf_dir: str, q: float = 0.25):
 # ---------------------------------------------------------------------------
 # the flagship crawl over derived pages
 
+def crawl_depth_hist(sf_dir: str, max_depth: int = 6):
+    """Visits per BFS depth over the flagship crawl — the wave-size
+    report a crawl operator watches (and a second driver-gated oracle
+    over the full crawl path).  Runs :func:`crawl_documents` end to
+    end, then groups the answer-sized visits table by depth."""
+    v = crawl_documents(sf_dir, max_depth=max_depth).to_pandas()
+    g = (v.groupby('depth', as_index=False).size()
+         .rename(columns={'size': 'n_visits'}))
+    return pa.table({'depth': pa.array(g['depth'], pa.int64()),
+                     'n_visits': pa.array(g['n_visits'], pa.int64())})
+
+
 def crawl_documents(sf_dir: str, max_depth: int = 6):
     """BFS crawl of the documents-derived web (flagship pipeline).
 
