@@ -157,3 +157,26 @@ def test_mjpeg_avi_container_property(n_frames, seed):
     jpegs, fps, dims = decode_mjpeg_avi(avi)
     assert fps == 7 and dims == (8, 8)
     assert jpegs == [encode_jpeg_baseline(f, quality=85) for f in frames]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2000),
+                min_size=0, max_size=30),
+       st.integers(min_value=1, max_value=64),
+       st.integers(min_value=1, max_value=64))
+def test_chunk_spans_matches_naive(ns, window, stride):
+    """Vectorized chunk expansion == the naive per-doc loop for any
+    token counts / window / stride (stride may exceed window)."""
+    from webscraping_ray.pipelines.relational import _chunk_spans
+
+    row, cid, ctok = _chunk_spans(np.array(ns, np.int64), window, stride)
+
+    exp = []
+    for i, n in enumerate(ns):
+        start, j = 0, 0
+        while start < n:
+            exp.append((i, j, min(window, n - start)))
+            start += stride
+            j += 1
+    assert list(zip(row.tolist(), cid.tolist(), ctok.tolist())) == exp
+    assert (ctok > 0).all() if len(ctok) else True

@@ -1790,19 +1790,30 @@ def chunk_documents(sf_dir: str, window: int = 256, stride: int = 192):
         ids = t.column('doc_id').to_numpy(zero_copy_only=False)
         n = np.array([whitespace_token_count(s)
                       for s in t.column('text').to_pylist()], np.int64)
-        n_chunks = np.where(n == 0, 0, (np.maximum(n, 1) - 1) // stride + 1)
-        rep_ids = np.repeat(ids, n_chunks)
-        rep_n = np.repeat(n, n_chunks)
-        base = np.repeat(np.concatenate(
-            ([0], np.cumsum(n_chunks)[:-1])) if len(n_chunks) else
-            np.empty(0, np.int64), n_chunks)
-        chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - base
-        chunk_tokens = np.minimum(window, rep_n - chunk_id * stride)
-        return pa.table({'doc_id': pa.array(rep_ids, pa.int64()),
+        row, chunk_id, chunk_tokens = _chunk_spans(n, window, stride)
+        return pa.table({'doc_id': pa.array(ids[row], pa.int64()),
                          'chunk_id': pa.array(chunk_id, pa.int64()),
                          'chunk_tokens': pa.array(chunk_tokens, pa.int64())})
 
     return ds.map_batches(chunks, batch_format='pyarrow')
+
+
+def _chunk_spans(n: np.ndarray, window: int, stride: int):
+    """Vectorized window/stride chunk expansion for
+    :func:`chunk_documents`: given per-doc token counts ``n``, return
+    (row_index, chunk_id, chunk_tokens) arrays — one entry per chunk,
+    ``row_index`` pointing back into ``n``.  Property-tested against a
+    naive per-doc loop (tests/test_properties.py)."""
+    n = np.asarray(n, np.int64)
+    n_chunks = np.where(n == 0, 0, (np.maximum(n, 1) - 1) // stride + 1)
+    row = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    rep_n = np.repeat(n, n_chunks)
+    base = np.repeat(np.concatenate(
+        ([0], np.cumsum(n_chunks)[:-1])) if len(n_chunks) else
+        np.empty(0, np.int64), n_chunks)
+    chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - base
+    chunk_tokens = np.minimum(window, rep_n - chunk_id * stride)
+    return row, chunk_id, chunk_tokens
 
 
 #: pack_sequences prefix-sum bucket width: bucket = doc_id // this.
