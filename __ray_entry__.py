@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'train_test_split': R.train_test_split,
         'reservoir_sample': R.reservoir_sample,
         'crawl_depth_hist': R.crawl_depth_hist,
+        'events_user_running': R.events_user_running,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -562,6 +563,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        'events_user_running': """
+            -- per-user running total + inter-arrival gap; first event
+            -- gap_us = 0 by contract
+            SELECT event_id,
+                   SUM(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_value,
+                   CAST(coalesce(date_diff('microseconds',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts), 0)
+                        AS BIGINT) AS gap_us
+            FROM events
         """,
         'events_window': """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

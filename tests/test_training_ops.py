@@ -1265,3 +1265,33 @@ def test_reservoir_sample_partial_topk(ray_session):
            [['doc_id', 'source']].sort_values('doc_id')
            .reset_index(drop=True))
     assert out.equals(exp)
+
+
+def test_events_user_running_planted(ray_session, tmp_path):
+    """Running sum restarts per user; gap_us is the per-user
+    inter-arrival time with 0 on each user's first event; ts ties
+    break by event_id."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import events_user_running
+
+    base = pd.Timestamp('2024-01-01', tz=None)
+    t = pa.table({
+        'event_id': pa.array([1, 2, 3, 4, 5], pa.int64()),
+        'user_id': pa.array([7, 7, 7, 9, 9], pa.int64()),
+        'ts': pa.array([base, base, base + pd.Timedelta(seconds=3),
+                        base, base + pd.Timedelta(microseconds=5)],
+                       pa.timestamp('us')),
+        'value': pa.array([1.5, 2.0, 4.0, 10.0, 0.25], pa.float64())})
+    pq.write_table(t, str(tmp_path / 'events.parquet'))
+
+    out = (events_user_running(str(tmp_path)).to_pandas()
+           .set_index('event_id').sort_index())
+    # user 7: ties at ts=base order by event_id (1 then 2), then +3s
+    assert out.loc[1].tolist() == [1.5, 0]
+    assert out.loc[2].tolist() == [3.5, 0]
+    assert out.loc[3].tolist() == [7.5, 3_000_000]
+    # user 9 restarts
+    assert out.loc[4].tolist() == [10.0, 0]
+    assert out.loc[5].tolist() == [10.25, 5]

@@ -130,6 +130,28 @@ def count_by_lang(sf_dir: str):
         Count(alias_name='n_docs'), Sum('n_chars', alias_name='sum_chars'))
 
 
+def events_user_running(sf_dir: str):
+    """Per-user ORDERED window functions over the event stream — the
+    running value total (``SUM OVER``) and the inter-arrival gap
+    (``LAG``), the per-entity signals session and recrawl models
+    consume.  Events order by (ts, event_id) within user; the first
+    event's ``gap_us`` is 0 by contract.
+
+    Returns (event_id, cum_value, gap_us).  The per-user ordering
+    runs in :func:`_per_key_groups` coarse buckets (64 group-applies,
+    not O(users)); only (event_id, user_id, ts, value) rows shuffle."""
+    ds = _read(sf_dir, 'events', ['event_id', 'user_id', 'ts', 'value'])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'])
+        gap = g['ts'].astype('int64').diff().fillna(0).astype('int64')
+        return pd.DataFrame({'event_id': g['event_id'],
+                             'cum_value': g['value'].cumsum(),
+                             'gap_us': gap})
+
+    return _per_key_groups(ds, 'user_id', run)
+
+
 def events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type (streaming-window analog).
 
