@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'reservoir_sample': R.reservoir_sample,
         'crawl_depth_hist': R.crawl_depth_hist,
         'events_user_running': R.events_user_running,
+        'pivot_user_events': R.pivot_user_events,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -563,6 +564,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        'pivot_user_events': """
+            SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_click,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_view,
+              CAST(SUM(CASE WHEN event_type NOT IN
+                   ('click','error','purchase','signup','view')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+            FROM events GROUP BY user_id
         """,
         'events_user_running': """
             -- per-user running total + inter-arrival gap; first event

@@ -1295,3 +1295,30 @@ def test_events_user_running_planted(ray_session, tmp_path):
     # user 9 restarts
     assert out.loc[4].tolist() == [10.0, 0]
     assert out.loc[5].tolist() == [10.25, 5]
+
+
+def test_pivot_user_events_planted(ray_session, tmp_path):
+    """Crosstab counts land in the right columns; out-of-domain types
+    count into n_other instead of vanishing."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import pivot_user_events
+
+    t = pa.table({
+        'event_id': pa.array(range(6), pa.int64()),
+        'ts': pa.array([0] * 6, pa.timestamp('us')),
+        'user_id': pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        'event_type': pa.array(['click', 'click', 'weird',
+                                'view', 'purchase', 'view']),
+        'value': pa.array([0.0] * 6, pa.float64()),
+        'props': pa.array([''] * 6)})
+    pq.write_table(t, str(tmp_path / 'events.parquet'))
+
+    out = (pivot_user_events(str(tmp_path)).to_pandas()
+           .set_index('user_id').sort_index())
+    assert out.loc[1].to_dict() == {'n_click': 2, 'n_error': 0,
+                                    'n_purchase': 0, 'n_signup': 0,
+                                    'n_view': 0, 'n_other': 1}
+    assert out.loc[2].to_dict() == {'n_click': 0, 'n_error': 0,
+                                    'n_purchase': 1, 'n_signup': 0,
+                                    'n_view': 2, 'n_other': 0}

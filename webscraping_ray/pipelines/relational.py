@@ -130,6 +130,40 @@ def count_by_lang(sf_dir: str):
         Count(alias_name='n_docs'), Sum('n_chars', alias_name='sum_chars'))
 
 
+#: pivot_user_events closed column domain (events.event_type values);
+#: anything outside it counts into n_other.
+PIVOT_EVENT_TYPES = ('click', 'error', 'purchase', 'signup', 'view')
+
+
+def pivot_user_events(sf_dir: str):
+    """Wide pivot / crosstab — the classic PIVOT relational op: one
+    row per user with a count column per event type
+    (:data:`PIVOT_EVENT_TYPES`), plus ``n_other`` for values outside
+    the closed domain so nothing is silently dropped.
+
+    Combiner shape: every batch emits a per-user partial crosstab
+    (≤ users-in-batch rows × 6 int columns), then ONE groupby-sum —
+    event-type strings never enter the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['user_id', 'event_type'])
+    cols = ['n_' + t for t in PIVOT_EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df['user_id'], df['event_type'])
+        known = ct.reindex(columns=list(PIVOT_EVENT_TYPES), fill_value=0)
+        extra = [c for c in ct.columns if c not in PIVOT_EVENT_TYPES]
+        out = known.astype('int64')
+        out.columns = cols
+        out['n_other'] = (ct[extra].sum(axis=1).astype('int64')
+                          if extra else 0)
+        return out.reset_index()
+
+    partials = ds.map_batches(partial, batch_format='pandas')
+    return partials.groupby('user_id').aggregate(
+        *[Sum(c, alias_name=c) for c in cols + ['n_other']])
+
+
 def events_user_running(sf_dir: str):
     """Per-user ORDERED window functions over the event stream — the
     running value total (``SUM OVER``) and the inter-arrival gap
