@@ -447,6 +447,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'crawl_depth_hist': R.crawl_depth_hist,
         'events_user_running': R.events_user_running,
         'pivot_user_events': R.pivot_user_events,
+        'pmi_collocations': R.pmi_collocations,
+        'lexical_diversity': R.lexical_diversity,
+        'zipf_slope': R.zipf_slope,
+        'mirror_sources': R.mirror_sources,
+        'outdeg_hist': R.outdeg_hist,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -581,6 +586,119 @@ def oracle_sql() -> dict[str, str]:
                    ('click','error','purchase','signup','view')
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_other
             FROM events GROUP BY user_id
+        """,
+        'pmi_collocations': r"""
+            -- top-100 bigram collocations by PMI, min bigram count 5;
+            -- ordering on the 1e-6-snapped PMI so ties resolve
+            -- identically in both engines
+            WITH tk AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS ts
+              FROM documents
+            ),
+            uni AS (SELECT unnest(ts) AS w FROM tk),
+            uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                   FROM uni GROUP BY w),
+            nu AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+            bg AS (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                       i -> {'w1': ts[i], 'w2': ts[i+1]}),
+                     recursive := true)
+              FROM tk WHERE len(ts) >= 2
+            ),
+            nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                   FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT b.w1, b.w2, b.cnt,
+                   round(ln((b.cnt / (SELECT n FROM nb)) /
+                            ((u1.c / (SELECT n FROM nu)) *
+                             (u2.c / (SELECT n FROM nu)))), 6) AS pmi
+            FROM bc b
+            JOIN uc u1 ON b.w1 = u1.w
+            JOIN uc u2 ON b.w2 = u2.w
+            ORDER BY pmi DESC, b.w1, b.w2 LIMIT 100
+        """,
+        'lexical_diversity': r"""
+            -- per-doc type-token ratio + hapax-legomena ratio; empty
+            -- docs emit (0, 0, 0.0, 0.0) by contract
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ),
+            per_w AS (SELECT doc_id, w, count(*) AS c
+                      FROM tk GROUP BY doc_id, w),
+            per AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hapax
+              FROM per_w GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.n_types, 0) AS n_types,
+                   round(coalesce(CAST(p.n_types AS DOUBLE) / p.n_tokens,
+                                  0.0), 6) AS ttr,
+                   round(coalesce(CAST(p.n_hapax AS DOUBLE) / p.n_types,
+                                  0.0), 6) AS hapax_ratio
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        """,
+        'zipf_slope': r"""
+            -- OLS slope of ln(count) on ln(rank) over the top-1000
+            -- tokens (rank ties broken by token asc); slope formula
+            -- mirrors the engine's mean-based OLS exactly
+            WITH tk AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ),
+            uc AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+              FROM uc ORDER BY c DESC, w LIMIT 1000
+            )
+            SELECT round((avg(ln(r) * ln(c)) - avg(ln(r)) * avg(ln(c))) /
+                         (avg(ln(r) * ln(r)) - avg(ln(r)) ^ 2), 6)
+                     AS slope,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM ranked
+        """,
+        'mirror_sources': """
+            -- source pairs sharing >= 2 distinct content lines (the
+            -- line_dedup 10-word-window segmentation, empty exempt)
+            WITH toks AS (
+              SELECT source, string_split(text, ' ') AS w FROM documents
+            ),
+            exp AS (
+              SELECT source, w,
+                     unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                       AS line_no
+              FROM toks
+            ),
+            lns AS (
+              SELECT source,
+                     array_to_string(w[(line_no*10 + 1):(line_no*10 + 10)],
+                                     ' ') AS line
+              FROM exp
+            ),
+            d AS (SELECT DISTINCT md5(line) AS h, source
+                  FROM lns WHERE line <> '')
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        'outdeg_hist': """
+            -- outdegree histogram by construction: each page links its
+            -- same-host tree children (0..3) plus the query, cross-host
+            -- and media links (= +3)
+            WITH nd AS (SELECT count(*) AS n FROM documents),
+            d AS (SELECT doc_id, doc_id % 8 AS h FROM documents),
+            c AS (SELECT LEAST(3, GREATEST(0, CAST(floor(
+                    ((SELECT n FROM nd) - 1 - (3 * doc_id - 2 * h))
+                    / 8.0) AS BIGINT))) + 3 AS outdeg
+                  FROM d)
+            SELECT outdeg, CAST(count(*) AS BIGINT) AS n_pages
+            FROM c GROUP BY outdeg
         """,
         'events_user_running': """
             -- per-user running total + inter-arrival gap; first event

@@ -1322,3 +1322,113 @@ def test_pivot_user_events_planted(ray_session, tmp_path):
     assert out.loc[2].to_dict() == {'n_click': 0, 'n_error': 0,
                                     'n_purchase': 1, 'n_signup': 0,
                                     'n_view': 2, 'n_other': 0}
+
+
+def test_pmi_collocations_planted(ray_session, tmp_path):
+    """A bigram repeated verbatim scores the highest PMI; bigrams under
+    min_count are dropped."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import pmi_collocations
+
+    # "zeta omega" appears 5x and its words appear nowhere else →
+    # maximal PMI; "the cat" appears 4x (< min_count) → dropped
+    texts = ['zeta omega'] * 5 + ['the cat sat'] * 4 + ['the dog ran'] * 6
+    t = pa.table({'doc_id': pa.array(range(len(texts)), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * len(texts)),
+                  'source': pa.array(['s'] * len(texts)),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = pmi_collocations(str(tmp_path), k=10, min_count=5).to_pandas()
+    got = set(zip(out['w1'], out['w2']))
+    assert ('zeta', 'omega') in got
+    assert ('the', 'cat') not in got            # min_count guard
+    top = out.sort_values('pmi', ascending=False).iloc[0]
+    assert (top['w1'], top['w2']) == ('zeta', 'omega')
+
+
+def test_mirror_sources_max_group_guard(ray_session, tmp_path):
+    """A line shared by more sources than max_group is dropped
+    (boilerplate guard); a 2-source line still pairs."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import mirror_sources
+
+    boiler = ' '.join(['common'] * 10)      # one full 10-word line
+    rare = ' '.join(['rare'] * 10)
+    texts, srcs = [], []
+    for i in range(5):                      # boilerplate on 5 sources
+        texts.append(boiler)
+        srcs.append(f'h{i}')
+    texts += [rare, rare]                   # rare line on exactly 2
+    srcs += ['h0', 'h1']
+    t = pa.table({'doc_id': pa.array(range(len(texts)), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * len(texts)),
+                  'source': pa.array(srcs, pa.string()),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = mirror_sources(str(tmp_path), min_shared=1,
+                         max_group=3).to_pandas()
+    pairs = set(zip(out['source_a'], out['source_b']))
+    assert pairs == {('h0', 'h1')}          # boilerplate group dropped
+
+    out2 = mirror_sources(str(tmp_path), min_shared=1,
+                          max_group=64).to_pandas()
+    assert len(out2) == 10 + 1 - 1          # C(5,2)=10 pairs + h0-h1
+    assert int(out2.set_index(['source_a', 'source_b'])
+               .loc[('h0', 'h1'), 'n_shared']) == 2
+
+
+def test_zipf_slope_exact_powerlaw(ray_session, tmp_path):
+    """On an exact power-law corpus (count of rank r = 2^(10-r)) the
+    fitted slope is ln(1/2)/ln-rank-regression — verified against a
+    closed-form numpy fit on the same counts."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import zipf_slope
+
+    words = [f'w{r}' for r in range(1, 9)]
+    texts = []
+    for r, w in enumerate(words, start=1):
+        texts.extend([w] * (2 ** (9 - r)))
+    t = pa.table({'doc_id': pa.array(range(len(texts)), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * len(texts)),
+                  'source': pa.array(['s'] * len(texts)),
+                  'n_chars': pa.array([2] * len(texts), pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = zipf_slope(str(tmp_path), top=100).to_pandas()
+    assert int(out['n_terms'][0]) == 8
+    x = np.log(np.arange(1, 9, dtype=np.float64))
+    y = np.log(np.array([2.0 ** (9 - r) for r in range(1, 9)]))
+    want = (np.mean(x * y) - x.mean() * y.mean()) / (np.mean(x * x)
+                                                     - x.mean() ** 2)
+    assert abs(out['slope'][0] - round(want, 6)) < 1e-9
+
+
+def test_lexical_diversity_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import lexical_diversity
+
+    t = pa.table({'doc_id': pa.array([0, 1, 2], pa.int64()),
+                  'text': pa.array(['a a b', '', 'x y z'], pa.string()),
+                  'lang': pa.array(['en'] * 3),
+                  'source': pa.array(['s'] * 3),
+                  'n_chars': pa.array([5, 0, 5], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = (lexical_diversity(str(tmp_path)).to_pandas()
+           .set_index('doc_id').sort_index())
+    assert out.loc[0].to_dict() == {'n_tokens': 3, 'n_types': 2,
+                                    'ttr': round(2 / 3, 6),
+                                    'hapax_ratio': 0.5}
+    assert out.loc[1].to_dict() == {'n_tokens': 0, 'n_types': 0,
+                                    'ttr': 0.0, 'hapax_ratio': 0.0}
+    assert out.loc[2].to_dict() == {'n_tokens': 3, 'n_types': 3,
+                                    'ttr': 1.0, 'hapax_ratio': 1.0}

@@ -5420,3 +5420,283 @@ def snapshot_diff(sf_dir: str, num_partitions: int = 8):
                          'status': pa.array(st, pa.string())})
 
     return joined.map_batches(classify, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-4 additions: collocations, lexical diversity, Zipf fit,
+# mirror detection, outdegree histogram
+
+def pmi_collocations(sf_dir: str, k: int = 100, min_count: int = 5,
+                     num_partitions: int = 8):
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the classic phrase-mining signal (Church & Hanks 1990) a tokenizer
+    / phrase-vocabulary builder consumes.  PMI = ln(p(w1,w2) /
+    (p(w1)·p(w2))) with bigram probability over the bigram-token total
+    and unigram probabilities over the unigram-token total; bigrams
+    below ``min_count`` are dropped (the standard low-count PMI
+    pathology guard).
+
+    100-TB shape: one corpus pass emits per-batch (kind, w1, w2, c)
+    count partials (the combiner — token streams never shuffle), ONE
+    groupby-sum, then the surviving bigrams hash-join the unigram
+    count table twice (w1, w2) — no broadcast of the vocabulary, no
+    driver-side count table.  The two scalars (unigram / bigram token
+    totals) reduce via Dataset.sum.  Output ordering is (pmi_r6 desc,
+    w1, w2) on the 1e-6-snapped PMI so ties resolve identically in
+    the engine and the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _join_safe
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for txt in t.column('text').to_pylist():
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            for w in toks:
+                c[('u', w, '')] += 1
+            for i in range(len(toks) - 1):
+                c[('b', toks[i], toks[i + 1])] += 1
+        ks = list(c.keys())
+        return pa.table({
+            'kind': pa.array([x[0] for x in ks], pa.string()),
+            'w1': pa.array([x[1] for x in ks], pa.string()),
+            'w2': pa.array([x[2] for x in ks], pa.string()),
+            'c': pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format='pyarrow')
+              .groupby(['kind', 'w1', 'w2'])
+              .aggregate(Sum('c', alias_name='c'))
+              .materialize())
+
+    def just(kind):
+        return lambda t: t.filter(pc.equal(t.column('kind'), kind))
+
+    uni = counts.map_batches(just('u'), batch_format='pyarrow')
+    big = counts.map_batches(just('b'), batch_format='pyarrow')
+
+    n_uni = float(uni.sum('c') or 0)
+    n_big = float(big.sum('c') or 0)
+
+    big = big.map_batches(
+        lambda t: pa.table({'w1': t['w1'], 'w2': t['w2'], 'cnt': t['c']})
+        .filter(pc.greater_equal(t['c'], min_count)),
+        batch_format='pyarrow')
+    u1 = uni.map_batches(
+        lambda t: pa.table({'w1': t['w1'], 'c1': t['c']}),
+        batch_format='pyarrow')
+    u2 = uni.map_batches(
+        lambda t: pa.table({'w2': t['w1'], 'c2': t['c']}),
+        batch_format='pyarrow')
+
+    joined = (_join_safe(big, num_partitions)
+              .join(_join_safe(u1, num_partitions), 'inner',
+                    num_partitions=num_partitions,
+                    on=('w1',), right_on=('w1',))
+              .join(_join_safe(u2, num_partitions), 'inner',
+                    num_partitions=num_partitions,
+                    on=('w2',), right_on=('w2',)))
+
+    def score(t: pa.Table) -> pa.Table:
+        cb = t.column('cnt').to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column('c1').to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t.column('c2').to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((cb / n_big) / ((c1 / n_uni) * (c2 / n_uni)))
+        out = pa.table({'w1': t['w1'], 'w2': t['w2'],
+                        'cnt': pc.cast(t['cnt'], pa.int64()),
+                        'pmi': pa.array(pmi, pa.float64())})
+        return _snap_round(out, 'pmi', 6)
+
+    return (joined.map_batches(score, batch_format='pyarrow')
+            .sort(['pmi', 'w1', 'w2'], descending=[True, False, False])
+            .limit(k))
+
+
+def lexical_diversity(sf_dir: str):
+    """Per-document lexical-diversity quality signals: token count,
+    distinct-type count, type-token ratio, and hapax-legomena ratio
+    (fraction of types occurring exactly once) — the vocabulary-health
+    columns a corpus quality dashboard reads next to the Gopher rules.
+    Empty documents emit (0, 0, 0.0, 0.0) by contract.
+
+    100-TB shape: pure shuffle-free map_batches (per-doc Counter in
+    the batch loop — tokenization is inherently per-row); no state, no
+    shuffle, linear scan."""
+    from collections import Counter
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok, n_typ, ttr, hapax = [], [], [], []
+        for txt in t.column('text').to_pylist():
+            c = Counter(_TOKEN_RE.findall((txt or '').lower()))
+            nt = sum(c.values())
+            ty = len(c)
+            h1 = sum(1 for v in c.values() if v == 1)
+            n_tok.append(nt)
+            n_typ.append(ty)
+            ttr.append(ty / nt if nt else 0.0)
+            hapax.append(h1 / ty if ty else 0.0)
+        out = pa.table({
+            'doc_id': pc.cast(t['doc_id'], pa.int64()),
+            'n_tokens': pa.array(n_tok, pa.int64()),
+            'n_types': pa.array(n_typ, pa.int64()),
+            'ttr': pa.array(ttr, pa.float64()),
+            'hapax_ratio': pa.array(hapax, pa.float64())})
+        out = _snap_round(out, 'ttr', 6)
+        return _snap_round(out, 'hapax_ratio', 6)
+
+    return ds.map_batches(stats, batch_format='pyarrow')
+
+
+def zipf_slope(sf_dir: str, top: int = 1000):
+    """Corpus Zipf-law fit: OLS slope of ln(count) on ln(rank) over
+    the ``top`` most frequent tokens (rank 1 = most frequent; ties
+    broken by token asc).  A healthy natural-language corpus sits
+    near -1; scraped boilerplate / spam shifts it — the single-scalar
+    corpus-health check next to :func:`token_quantiles`.
+
+    Returns one row (slope, n_terms).  100-TB shape: per-batch token
+    count partials → ONE groupby-sum (vocab-sized, ≪ corpus), sort +
+    limit(top) — Ray's distributed top-k — and the O(top) remainder
+    (default 1000 rows) folds on the driver with a closed-form OLS.
+    The slope is computed from exact integer counts so both engines
+    see identical inputs; only the final scalar rounds (1e-6)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(_TOKEN_RE.findall((txt or '').lower()))
+        return pa.table({'w': pa.array(list(c.keys()), pa.string()),
+                         'c': pa.array(list(c.values()), pa.int64())})
+
+    ranked = (ds.map_batches(partial, batch_format='pyarrow')
+              .groupby('w').aggregate(Sum('c', alias_name='c'))
+              .sort(['c', 'w'], descending=[True, False])
+              .limit(top)
+              .take_all())  # O(top) rows — answer-sized by contract
+
+    n = len(ranked)
+    if n < 2:
+        return pa.table({'slope': pa.array([0.0], pa.float64()),
+                         'n_terms': pa.array([n], pa.int64())})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(np.array([r['c'] for r in ranked], dtype=np.float64))
+    slope = (np.mean(x * y) - np.mean(x) * np.mean(y)) / (
+        np.mean(x * x) - np.mean(x) ** 2)
+    return _snap_round(
+        pa.table({'slope': pa.array([slope], pa.float64()),
+                  'n_terms': pa.array([n], pa.int64())}), 'slope', 6)
+
+
+def mirror_sources(sf_dir: str, min_shared: int = 2,
+                   max_group: int = 64,
+                   words_per_line: int | None = 10):
+    """Mirror / template-sharing detection: pairs of sources (hosts,
+    at web scale) that publish ≥ ``min_shared`` identical content
+    LINES (the :func:`line_dedup` segmentation — 10-word windows on
+    the newline-free synthetic corpus, real newlines on webtext) —
+    the signal a crawler uses to collapse mirrored or
+    template-sharing sites before wasting fetch budget.  Returns
+    (source_a, source_b, n_shared) with source_a < source_b, counting
+    DISTINCT shared lines (empty lines exempt).
+
+    100-TB shape: only (md5(line), source) pairs shuffle (never line
+    text), pre-deduplicated per batch; ONE groupby collapses to
+    distinct (hash, source); the pair expansion runs per line-hash
+    group inside :func:`_per_key_groups` coarse buckets and is
+    quadratic only in the DISTINCT sources sharing one line — groups
+    larger than ``max_group`` sources (ubiquitous boilerplate:
+    cookie banners, error pages) are dropped by the standard
+    mirror-detection guard, keeping per-group work O(max_group²).
+    The synthetic corpus has 20 sources, so the guard never fires at
+    test scale and the SQL oracle matches exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import content_md5
+
+    ds = _read(sf_dir, 'documents', ['text', 'source'])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        seen = set()
+        for src, txt in zip(t.column('source').to_pylist(),
+                            t.column('text').to_pylist()):
+            for line in _doc_lines(txt, words_per_line):
+                if line:
+                    seen.add((content_md5(line), src))
+        return pa.table({
+            'h': pa.array([p[0] for p in seen], pa.string()),
+            'source': pa.array([p[1] for p in seen], pa.string())})
+
+    distinct = (ds.map_batches(hashed, batch_format='pyarrow')
+                .groupby(['h', 'source'])
+                .aggregate(Count(alias_name='_n'))
+                .select_columns(['h', 'source']))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(g['source'].unique())
+        if len(srcs) < 2 or len(srcs) > max_group:
+            return pd.DataFrame({'source_a': pd.Series([], dtype=str),
+                                 'source_b': pd.Series([], dtype=str),
+                                 'one': pd.Series([], dtype='int64')})
+        a, b = zip(*[(srcs[i], srcs[j])
+                     for i in range(len(srcs))
+                     for j in range(i + 1, len(srcs))])
+        return pd.DataFrame({'source_a': a, 'source_b': b,
+                             'one': np.ones(len(a), dtype='int64')})
+
+    pair_counts = (_per_key_groups(distinct, 'h', pairs)
+                   .groupby(['source_a', 'source_b'])
+                   .aggregate(Sum('one', alias_name='n_shared')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t['n_shared'], min_shared))
+        return t.set_column(t.schema.get_field_index('n_shared'),
+                            'n_shared', pc.cast(t['n_shared'], pa.int64()))
+
+    return pair_counts.map_batches(fin, batch_format='pyarrow')
+
+
+def outdeg_hist(sf_dir: str):
+    """Outdegree histogram of the url link graph (the degree-
+    distribution companion to :func:`crawl_depth_hist` and the inlink
+    family): (outdeg, n_pages).  Degree is counted over the real link
+    kernels (xpath get_links + canonicalization), so the histogram
+    reflects exactly what the crawler would follow-or-register.
+
+    100-TB shape: a page's outlinks are computed block-local from its
+    own html row, so the degree is exact per batch — per-batch
+    (outdeg → n_pages) Counter partials, ONE groupby-sum over the
+    tiny degree domain.  Zero all-to-all on page or edge
+    cardinality."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels import xpath as X
+    from ..kernels.text import html_to_unicode
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for h in t.column('html').to_pylist():
+            page = html_to_unicode(h)
+            c[len(X.search(page, '//a/@href'))] += 1
+        return pa.table({'outdeg': pa.array(list(c.keys()), pa.int64()),
+                         'n': pa.array(list(c.values()), pa.int64())})
+
+    return (pages.map_batches(partial, batch_format='pyarrow')
+            .groupby('outdeg').aggregate(Sum('n', alias_name='n_pages')))
