@@ -1432,3 +1432,16 @@ def test_lexical_diversity_planted(ray_session, tmp_path):
                                     'ttr': 0.0, 'hapax_ratio': 0.0}
     assert out.loc[2].to_dict() == {'n_tokens': 3, 'n_types': 3,
                                     'ttr': 1.0, 'hapax_ratio': 1.0}
+
+
+def test_pmi_tiers_equal(ray_session):
+    """Broadcast and hash-join PMI tiers produce identical tables."""
+    from webscraping_ray.pipelines.relational import pmi_collocations
+
+    sf = '/root/testdata/sf0.001'
+    bc = (pmi_collocations(sf, k=50).to_pandas()
+          .sort_values(['w1', 'w2']).reset_index(drop=True))
+    jn = (pmi_collocations(sf, k=50, force_join=True).to_pandas()
+          .sort_values(['w1', 'w2']).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(bc, jn)

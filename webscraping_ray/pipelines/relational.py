@@ -5427,7 +5427,7 @@ def snapshot_diff(sf_dir: str, num_partitions: int = 8):
 # mirror detection, outdegree histogram
 
 def pmi_collocations(sf_dir: str, k: int = 100, min_count: int = 5,
-                     num_partitions: int = 8):
+                     num_partitions: int = 8, force_join: bool = False):
     """Top-``k`` bigram collocations by pointwise mutual information —
     the classic phrase-mining signal (Church & Hanks 1990) a tokenizer
     / phrase-vocabulary builder consumes.  PMI = ln(p(w1,w2) /
@@ -5437,10 +5437,15 @@ def pmi_collocations(sf_dir: str, k: int = 100, min_count: int = 5,
     pathology guard).
 
     100-TB shape: one corpus pass emits per-batch (kind, w1, w2, c)
-    count partials (the combiner — token streams never shuffle), ONE
-    groupby-sum, then the surviving bigrams hash-join the unigram
-    count table twice (w1, w2) — no broadcast of the vocabulary, no
-    driver-side count table.  The two scalars (unigram / bigram token
+    count partials (the combiner — token streams never shuffle) and
+    ONE groupby-sum.  Tiered like :func:`bigram_logprob`: a unigram
+    vocabulary at or below ``BIGRAM_BROADCAST_LIMIT`` entries ships
+    once via ``ray.put`` and the bigram rows score in place (two
+    Acero joins cost ~5 s fixed each — pure overhead at answer-scale
+    vocabularies); above the limit (or under ``force_join``) the
+    surviving bigrams hash-join the unigram count table twice (w1,
+    w2) — no broadcast, no driver-side count table.  Tiers are
+    test-pinned equal.  The two scalars (unigram / bigram token
     totals) reduce via Dataset.sum.  Output ordering is (pmi_r6 desc,
     w1, w2) on the 1e-6-snapped PMI so ties resolve identically in
     the engine and the SQL oracle."""
@@ -5480,6 +5485,42 @@ def pmi_collocations(sf_dir: str, k: int = 100, min_count: int = 5,
 
     n_uni = float(uni.sum('c') or 0)
     n_big = float(big.sum('c') or 0)
+
+    n_vocab = counts.map_batches(
+        lambda t: pa.table({'n': pa.array(
+            [t.filter(pc.equal(t.column('kind'), 'u')).num_rows],
+            pa.int64())}),
+        batch_format='pyarrow').sum('n') or 0
+
+    if not force_join and n_vocab <= BIGRAM_BROADCAST_LIMIT:
+        import ray
+
+        uc: dict = {}
+        for b in uni.iter_batches(batch_format='pyarrow'):
+            for w, c in zip(b.column('w1').to_pylist(),
+                            b.column('c').to_pylist()):
+                uc[w] = c
+        uref = ray.put(uc)
+
+        def score_bc(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t['c'], min_count))
+            lk = ray.get(uref)
+            cb = t.column('c').to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            c1 = np.array([lk[w] for w in t.column('w1').to_pylist()],
+                          np.float64)
+            c2 = np.array([lk[w] for w in t.column('w2').to_pylist()],
+                          np.float64)
+            pmi = np.log((cb / n_big) / ((c1 / n_uni) * (c2 / n_uni)))
+            out = pa.table({'w1': t['w1'], 'w2': t['w2'],
+                            'cnt': pc.cast(t['c'], pa.int64()),
+                            'pmi': pa.array(pmi, pa.float64())})
+            return _snap_round(out, 'pmi', 6)
+
+        return (big.map_batches(score_bc, batch_format='pyarrow')
+                .sort(['pmi', 'w1', 'w2'],
+                      descending=[True, False, False])
+                .limit(k))
 
     big = big.map_batches(
         lambda t: pa.table({'w1': t['w1'], 'w2': t['w2'], 'cnt': t['c']})
