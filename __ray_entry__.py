@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'zipf_slope': R.zipf_slope,
         'mirror_sources': R.mirror_sources,
         'outdeg_hist': R.outdeg_hist,
+        'doc_containment': R.doc_containment,
+        'source_lang_mix': R.source_lang_mix,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -686,6 +688,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        'doc_containment': r"""
+            -- asymmetric containment near-dup over distinct word-3-
+            -- shingle sets; report pairs where either direction >= 0.8
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                     ELSE list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' '))
+                END) AS s
+              FROM toks WHERE len(w) >= 1
+            ),
+            ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pcnt AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT p.doc_a, p.doc_b, p.n_common,
+                   round(CAST(p.n_common AS DOUBLE) / na.n, 6)
+                     AS cont_a_in_b,
+                   round(CAST(p.n_common AS DOUBLE) / nb.n, 6)
+                     AS cont_b_in_a
+            FROM pcnt p
+            JOIN ns na ON p.doc_a = na.doc_id
+            JOIN ns nb ON p.doc_b = nb.doc_id
+            WHERE greatest(CAST(p.n_common AS DOUBLE) / na.n,
+                           CAST(p.n_common AS DOUBLE) / nb.n) >= 0.8
+        """,
+        'source_lang_mix': """
+            WITH c AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1, 2
+            ),
+            t AS (SELECT source, sum(n_docs) AS tot FROM c GROUP BY 1)
+            SELECT c.source, c.lang, c.n_docs,
+                   round(CAST(c.n_docs AS DOUBLE) / t.tot, 6) AS frac
+            FROM c JOIN t ON c.source = t.source
         """,
         'outdeg_hist': """
             -- outdegree histogram by construction: each page links its

@@ -187,6 +187,11 @@ def run_bench():
         'bpe_pair_counts': R.bpe_pair_counts,
         'train_test_split': R.train_test_split,
         'dup_keep_best': R.dup_keep_best,
+        'pmi_collocations': R.pmi_collocations,
+        'lexical_diversity': R.lexical_diversity,
+        'zipf_slope': R.zipf_slope,
+        'mirror_sources': R.mirror_sources,
+        'outdeg_hist': R.outdeg_hist,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

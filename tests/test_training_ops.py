@@ -1445,3 +1445,50 @@ def test_pmi_tiers_equal(ray_session):
           .sort_values(['w1', 'w2']).reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_doc_containment_asymmetric(ray_session, tmp_path):
+    """A short doc quoted inside a long one: containment(short in
+    long) = 1.0 while Jaccard is low — the case the op exists for."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import doc_containment
+
+    short = 'alpha beta gamma delta epsilon'
+    long_ = short + ' ' + ' '.join(f'filler{i}' for i in range(40))
+    other = 'totally unrelated words here now'
+    texts = [short, long_, other]
+    t = pa.table({'doc_id': pa.array([0, 1, 2], pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * 3),
+                  'source': pa.array(['s'] * 3),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = doc_containment(str(tmp_path), threshold=0.8).to_pandas()
+    assert set(zip(out['doc_a'], out['doc_b'])) == {(0, 1)}
+    row = out.iloc[0]
+    assert row['cont_a_in_b'] == 1.0          # short fully inside long
+    assert row['cont_b_in_a'] < 0.2           # Jaccard-style would miss
+
+
+def test_doc_containment_hot_shingle_guard(ray_session, tmp_path):
+    """A shingle shared by more docs than max_group contributes no
+    pairs (boilerplate guard)."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import doc_containment
+
+    texts = ['common shingle here'] * 5      # one shared shingle, 5 docs
+    t = pa.table({'doc_id': pa.array(range(5), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * 5),
+                  'source': pa.array(['s'] * 5),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = doc_containment(str(tmp_path), max_group=3).to_pandas()
+    assert len(out) == 0                      # group of 5 > max_group=3
+    out2 = doc_containment(str(tmp_path), max_group=10).to_pandas()
+    assert len(out2) == 10                    # C(5,2) identical pairs
+    assert (out2['cont_a_in_b'] == 1.0).all()

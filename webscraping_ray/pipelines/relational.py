@@ -5741,3 +5741,124 @@ def outdeg_hist(sf_dir: str):
 
     return (pages.map_batches(partial, batch_format='pyarrow')
             .groupby('outdeg').aggregate(Sum('n', alias_name='n_pages')))
+
+
+def doc_containment(sf_dir: str, threshold: float = 0.8, k: int = 3,
+                    max_group: int = 64):
+    """Asymmetric containment near-dup pairs — the signal Jaccard
+    misses: a short document wholly quoted inside a long one has low
+    Jaccard but containment ~1.  For every doc pair sharing at least
+    one word-``k``-shingle, containment(a in b) = |Sa ∩ Sb| / |Sa|
+    over DISTINCT shingle sets; pairs where either direction reaches
+    ``threshold`` are reported as (doc_a, doc_b, n_common,
+    cont_a_in_b, cont_b_in_a), doc_a < doc_b.
+
+    100-TB shape: an inverted shingle index, never all-pairs — each
+    doc emits (shingle_hash64, doc_id, n_shingles) rows block-local
+    (the per-doc distinct count rides WITH the row, so no join is
+    ever needed); pair expansion runs per shingle group inside
+    :func:`_per_key_groups` coarse buckets, quadratic only in the
+    docs sharing ONE shingle, with groups above ``max_group`` docs
+    (stop-word-only shingles, boilerplate) dropped by the standard
+    hot-shingle guard; ONE groupby-sum then yields n_common per pair.
+    Thresholding is on the exact double ratio in both engines; only
+    output columns round (1e-6)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import content_hash64, shingles
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def index_rows(t: pa.Table) -> pa.Table:
+        hs, ids, ns = [], [], []
+        for i, txt in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            s = shingles(txt, k)
+            for sh in s:
+                hs.append(content_hash64(sh))
+                ids.append(i)
+                ns.append(len(s))
+        return pa.table({'h': pa.array(hs, pa.int64()),
+                         'doc_id': pa.array(ids, pa.int64()),
+                         'n_sh': pa.array(ns, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('doc_id')
+        ids = g['doc_id'].to_numpy()
+        ns = g['n_sh'].to_numpy()
+        m = len(ids)
+        if m < 2 or m > max_group:
+            return pd.DataFrame({'doc_a': pd.Series([], dtype='int64'),
+                                 'doc_b': pd.Series([], dtype='int64'),
+                                 'na': pd.Series([], dtype='int64'),
+                                 'nb': pd.Series([], dtype='int64'),
+                                 'one': pd.Series([], dtype='int64')})
+        ii, jj = np.triu_indices(m, 1)
+        return pd.DataFrame({'doc_a': ids[ii], 'doc_b': ids[jj],
+                             'na': ns[ii], 'nb': ns[jj],
+                             'one': np.ones(len(ii), dtype='int64')})
+
+    pair_counts = (_per_key_groups(
+        ds.map_batches(index_rows, batch_format='pyarrow'), 'h', pairs)
+        .groupby(['doc_a', 'doc_b', 'na', 'nb'])
+        .aggregate(Sum('one', alias_name='n_common')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nc = t.column('n_common').to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        na = t.column('na').to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column('nb').to_numpy(zero_copy_only=False).astype(np.float64)
+        ca, cb = nc / na, nc / nb
+        keep = np.maximum(ca, cb) >= threshold
+        out = pa.table({
+            'doc_a': pc.cast(t['doc_a'], pa.int64()),
+            'doc_b': pc.cast(t['doc_b'], pa.int64()),
+            'n_common': pc.cast(t['n_common'], pa.int64()),
+            'cont_a_in_b': pa.array(ca, pa.float64()),
+            'cont_b_in_a': pa.array(cb, pa.float64())}).filter(
+                pa.array(keep))
+        out = _snap_round(out, 'cont_a_in_b', 6)
+        return _snap_round(out, 'cont_b_in_a', 6)
+
+    return pair_counts.map_batches(fin, batch_format='pyarrow')
+
+
+def source_lang_mix(sf_dir: str):
+    """Per-source language mix — the curation dashboard's "is this
+    host multilingual / mislabeled" signal: one row per (source,
+    lang) with the doc count and its fraction of the source's docs.
+
+    100-TB shape: per-batch (source, lang) count partials (combiner),
+    ONE groupby-sum over the tiny source×lang domain, then per-source
+    totals fold inside the same answer-sized table — no second
+    shuffle (the group count is answer-scale by construction)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'documents', ['source', 'lang'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(zip(t.column('source').to_pylist(),
+                                 t.column('lang').to_pylist()))
+        ks = list(c.keys())
+        return pa.table({
+            'source': pa.array([x[0] for x in ks], pa.string()),
+            'lang': pa.array([x[1] for x in ks], pa.string()),
+            'n': pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format='pyarrow')
+              .groupby(['source', 'lang'])
+              .aggregate(Sum('n', alias_name='n_docs'))
+              .take_all())  # source×lang domain — answer-sized
+
+    tot: dict = {}
+    for r in counts:
+        tot[r['source']] = tot.get(r['source'], 0) + r['n_docs']
+    out = pa.table({
+        'source': pa.array([r['source'] for r in counts], pa.string()),
+        'lang': pa.array([r['lang'] for r in counts], pa.string()),
+        'n_docs': pa.array([int(r['n_docs']) for r in counts], pa.int64()),
+        'frac': pa.array([r['n_docs'] / tot[r['source']]
+                          for r in counts], pa.float64())})
+    return _snap_round(out, 'frac', 6)
