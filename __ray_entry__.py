@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'outdeg_hist': R.outdeg_hist,
         'doc_containment': R.doc_containment,
         'source_lang_mix': R.source_lang_mix,
+        'url_template_mining': R.url_template_mining,
+        'reading_ease': R.reading_ease,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -721,6 +723,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN ns nb ON p.doc_b = nb.doc_id
             WHERE greatest(CAST(p.n_common AS DOUBLE) / na.n,
                            CAST(p.n_common AS DOUBLE) / nb.n) >= 0.8
+        """,
+        'url_template_mining': """
+            -- distinct urls per digit-collapsed template, by
+            -- construction: /d/N dst = every non-root doc (doc_id >= 8);
+            -- /q/, /x/ and /img/ links exist once per doc
+            WITH nd AS (SELECT count(*) AS n FROM documents)
+            SELECT 'http://srcN.com/d/N' AS template,
+                   CAST((SELECT n FROM nd) - 8 AS BIGINT) AS n_urls
+            UNION ALL
+            SELECT 'http://srcN.com/q/N?a=N&b=N',
+                   CAST((SELECT n FROM nd) AS BIGINT)
+            UNION ALL
+            SELECT 'http://srcN.com/x/N',
+                   CAST((SELECT n FROM nd) AS BIGINT)
+            UNION ALL
+            SELECT 'http://srcN.com/img/N.png',
+                   CAST((SELECT n FROM nd) AS BIGINT)
+        """,
+        'reading_ease': r"""
+            -- Flesch reading ease with the vowel-group syllable
+            -- heuristic; sentences = [.!?]+ runs (min 1); empty docs
+            -- emit (0, 0, 0.0)
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ),
+            sy AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                     sum(greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                                  1)) AS nsyl
+              FROM tk GROUP BY doc_id
+            ),
+            snt AS (
+              SELECT doc_id,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS ns
+              FROM documents
+            )
+            SELECT d.doc_id,
+                   coalesce(sy.nw, 0) AS n_words,
+                   CAST(CASE WHEN sy.nw IS NULL THEN 0 ELSE snt.ns END
+                        AS BIGINT) AS n_sentences,
+                   round(CASE WHEN sy.nw IS NULL THEN 0.0
+                         ELSE 206.835
+                              - 1.015 * (sy.nw / CAST(snt.ns AS DOUBLE))
+                              - 84.6 * (sy.nsyl / CAST(sy.nw AS DOUBLE))
+                         END, 6) AS fre
+            FROM documents d
+            LEFT JOIN sy ON d.doc_id = sy.doc_id
+            JOIN snt ON d.doc_id = snt.doc_id
         """,
         'source_lang_mix': """
             WITH c AS (

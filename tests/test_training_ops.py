@@ -1492,3 +1492,41 @@ def test_doc_containment_hot_shingle_guard(ray_session, tmp_path):
     out2 = doc_containment(str(tmp_path), max_group=10).to_pandas()
     assert len(out2) == 10                    # C(5,2) identical pairs
     assert (out2['cont_a_in_b'] == 1.0).all()
+
+
+def test_reading_ease_known_values(ray_session, tmp_path):
+    """Hand-computed FRE for a two-sentence doc and the empty-doc
+    contract."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import reading_ease
+
+    txt = 'The cat sat. The dog ran!'
+    # words: the cat sat the dog ran (6); sentences: 2;
+    # syllables (vowel groups, min 1/word): 1 each = 6
+    want = 206.835 - 1.015 * (6 / 2.0) - 84.6 * (6 / 6.0)
+    t = pa.table({'doc_id': pa.array([0, 1], pa.int64()),
+                  'text': pa.array([txt, ''], pa.string()),
+                  'lang': pa.array(['en'] * 2),
+                  'source': pa.array(['s'] * 2),
+                  'n_chars': pa.array([len(txt), 0], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = (reading_ease(str(tmp_path)).to_pandas()
+           .set_index('doc_id').sort_index())
+    assert out.loc[0].to_dict() == {'n_words': 6, 'n_sentences': 2,
+                                    'fre': round(want, 6)}
+    assert out.loc[1].to_dict() == {'n_words': 0, 'n_sentences': 0,
+                                    'fre': 0.0}
+
+
+def test_url_template_mining_trap_signal(ray_session):
+    """The /d/N template counts exactly the non-root docs; every
+    template spans all digit positions (host id collapsed too)."""
+    from webscraping_ray.pipelines.relational import url_template_mining
+
+    out = (url_template_mining('/root/testdata/sf0.001').to_pandas()
+           .set_index('template')['n_urls'].to_dict())
+    assert out['http://srcN.com/d/N'] == 500 - 8
+    assert out['http://srcN.com/q/N?a=N&b=N'] == 500
+    assert out['http://srcN.com/img/N.png'] == 500

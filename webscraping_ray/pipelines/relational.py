@@ -5862,3 +5862,92 @@ def source_lang_mix(sf_dir: str):
         'frac': pa.array([r['n_docs'] / tot[r['source']]
                           for r in counts], pa.float64())})
     return _snap_round(out, 'frac', 6)
+
+
+def url_template_mining(sf_dir: str):
+    """URL template mining over the extracted link graph — the
+    crawler-trap / site-structure signal: collapse every digit run in
+    a url to ``N`` and count DISTINCT urls per template.  A template
+    whose distinct-url count explodes (calendar pages, session ids,
+    infinite pagination) is a trap to cap in the frontier; the
+    companion signal to :func:`crawl_budget_alloc`.
+
+    100-TB shape: links extract block-local with the real kernels
+    (xpath + canonicalization); only (template, url_hash64) pairs
+    shuffle — ONE groupby makes them distinct, then per-batch
+    template Counter partials → ONE groupby-sum over the tiny
+    template domain.  Url strings never enter a shuffle."""
+    import re
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import md5_hash64
+
+    digit_re = re.compile(r'\d+')
+    eds = _pagerank_edges(sf_dir)
+
+    def tpl_rows(t: pa.Table) -> pa.Table:
+        seen = set()
+        for u in t.column('dst').to_pylist():
+            seen.add((digit_re.sub('N', u), md5_hash64(u)))
+        return pa.table({
+            'template': pa.array([p[0] for p in seen], pa.string()),
+            'uh': pa.array([p[1] for p in seen], pa.int64())})
+
+    distinct = (eds.map_batches(tpl_rows, batch_format='pyarrow')
+                .groupby(['template', 'uh'])
+                .aggregate(Count(alias_name='_n'))
+                .select_columns(['template']))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter(t.column('template').to_pylist())
+        return pa.table({
+            'template': pa.array(list(c.keys()), pa.string()),
+            'n': pa.array(list(c.values()), pa.int64())})
+
+    return (distinct.map_batches(partial, batch_format='pyarrow')
+            .groupby('template').aggregate(Sum('n', alias_name='n_urls')))
+
+
+def reading_ease(sf_dir: str):
+    """Per-document Flesch reading-ease score (vowel-group syllable
+    heuristic — the deterministic approximation every readability
+    library uses without a pronunciation dictionary): FRE = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word).  Sentences are
+    ``[.!?]+`` runs (min 1); syllables per word are ``[aeiouy]+``
+    runs in the lowercased word (min 1).  Empty documents emit
+    (0, 0, 0.0) by contract.
+
+    100-TB shape: pure shuffle-free map_batches; regexes compile once
+    per process."""
+    import re
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    word_re = re.compile(r'\w+', re.UNICODE)
+    vowel_re = re.compile(r'[aeiouy]+')
+    sent_re = re.compile(r'[.!?]+')
+
+    def score(t: pa.Table) -> pa.Table:
+        nw, ns, fre = [], [], []
+        for txt in t.column('text').to_pylist():
+            words = word_re.findall((txt or '').lower())
+            w = len(words)
+            if not w:
+                nw.append(0)
+                ns.append(0)
+                fre.append(0.0)
+                continue
+            s = max(len(sent_re.findall(txt or '')), 1)
+            syl = sum(max(len(vowel_re.findall(x)), 1) for x in words)
+            nw.append(w)
+            ns.append(s)
+            fre.append(206.835 - 1.015 * (w / float(s))
+                       - 84.6 * (syl / float(w)))
+        out = pa.table({'doc_id': pc.cast(t['doc_id'], pa.int64()),
+                        'n_words': pa.array(nw, pa.int64()),
+                        'n_sentences': pa.array(ns, pa.int64()),
+                        'fre': pa.array(fre, pa.float64())})
+        return _snap_round(out, 'fre', 6)
+
+    return ds.map_batches(score, batch_format='pyarrow')
