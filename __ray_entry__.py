@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_lang_mix': R.source_lang_mix,
         'url_template_mining': R.url_template_mining,
         'reading_ease': R.reading_ease,
+        'events_funnel': R.events_funnel,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -723,6 +724,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN ns nb ON p.doc_b = nb.doc_id
             WHERE greatest(CAST(p.n_common AS DOUBLE) / na.n,
                            CAST(p.n_common AS DOUBLE) / nb.n) >= 0.8
+        """,
+        'events_funnel': """
+            -- strict-order funnel: first view, first click strictly
+            -- after it, first purchase strictly after that; ties at
+            -- equal ts do not advance the funnel
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                             WHEN c.t2 IS NOT NULL THEN 2
+                             WHEN v.t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
         """,
         'url_template_mining': """
             -- distinct urls per digit-collapsed template, by

@@ -1530,3 +1530,38 @@ def test_url_template_mining_trap_signal(ray_session):
     assert out['http://srcN.com/d/N'] == 500 - 8
     assert out['http://srcN.com/q/N?a=N&b=N'] == 500
     assert out['http://srcN.com/img/N.png'] == 500
+
+
+def test_events_funnel_stages_and_strict_ties(ray_session, tmp_path):
+    """All four stages reachable; a click at EXACTLY the first view's
+    ts does not advance the funnel (strict inequality)."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import events_funnel
+
+    TS = lambda s: np.datetime64('2026-01-01T00:00:00', 'us') + \
+        np.timedelta64(s, 's')
+    rows = [
+        # user 1: full funnel
+        (1, TS(0), 'view'), (1, TS(1), 'click'), (1, TS(2), 'purchase'),
+        # user 2: view then click AT THE SAME ts -> stuck at stage 1
+        (2, TS(0), 'view'), (2, TS(0), 'click'),
+        # user 3: click before view only -> stage 1 (view exists later)
+        (3, TS(5), 'click'), (3, TS(9), 'view'),
+        # user 4: no view at all -> stage 0
+        (4, TS(0), 'click'), (4, TS(1), 'purchase'),
+        # user 5: view + click, purchase BEFORE the click -> stage 2
+        (5, TS(0), 'purchase'), (5, TS(1), 'view'), (5, TS(2), 'click'),
+    ]
+    t = pa.table({
+        'event_id': pa.array(range(len(rows)), pa.int64()),
+        'ts': pa.array([r[1] for r in rows], pa.timestamp('us')),
+        'user_id': pa.array([r[0] for r in rows], pa.int64()),
+        'event_type': pa.array([r[2] for r in rows], pa.string()),
+        'value': pa.array([0.0] * len(rows), pa.float64()),
+        'props': pa.array([''] * len(rows))})
+    pq.write_table(t, str(tmp_path / 'events.parquet'))
+
+    out = (events_funnel(str(tmp_path)).to_pandas()
+           .set_index('user_id')['funnel_stage'].to_dict())
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}

@@ -5951,3 +5951,37 @@ def reading_ease(sf_dir: str):
         return _snap_round(out, 'fre', 6)
 
     return ds.map_batches(score, batch_format='pyarrow')
+
+
+def events_funnel(sf_dir: str):
+    """Ordered funnel analysis — the sequential-pattern op the window
+    family lacks: per user, how far through view → click → purchase
+    the event stream progresses, each stage requiring a STRICTLY
+    later timestamp than the previous stage's first completion.
+    Returns (user_id, funnel_stage) with stage ∈ 0..3 (0 = no view).
+
+    100-TB shape: per-user ordered scan inside
+    :func:`_per_key_groups` coarse buckets (64 group-applies, not
+    O(users)); only (user_id, ts, event_type, event_id) rows shuffle.
+    The SQL oracle mirrors the strict-inequality chain with nested
+    min-after-min subqueries."""
+    ds = _read(sf_dir, 'events',
+               ['user_id', 'ts', 'event_type', 'event_id'])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'])
+        stage = 0
+        last_ts = None
+        for want in ('view', 'click', 'purchase'):
+            sub = g[g['event_type'] == want]
+            if last_ts is not None:
+                sub = sub[sub['ts'] > last_ts]
+            if sub.empty:
+                break
+            last_ts = sub['ts'].iloc[0]
+            stage += 1
+        return pd.DataFrame({'user_id': [g['user_id'].iloc[0]],
+                             'funnel_stage': pd.array([stage],
+                                                      dtype='int64')})
+
+    return _per_key_groups(ds, 'user_id', run)
