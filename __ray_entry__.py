@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'url_template_mining': R.url_template_mining,
         'reading_ease': R.reading_ease,
         'events_funnel': R.events_funnel,
+        'hard_negatives': R.hard_negatives,
         'crawl_clean_corpus': R.crawl_clean_corpus,
         'clean_corpus': R.clean_corpus,
         'clean_corpus_neardup': R.clean_corpus_neardup,
@@ -724,6 +725,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN ns nb ON p.doc_b = nb.doc_id
             WHERE greatest(CAST(p.n_common AS DOUBLE) / na.n,
                            CAST(p.n_common AS DOUBLE) / nb.n) >= 0.8
+        """,
+        'hard_negatives': """
+            -- contrastive-pair mining: most-similar same-label and
+            -- different-label neighbors per vector; id-only output
+            -- (float32 list_cosine_similarity can't cross the hash
+            -- compare — the knn_join contract), ties by neighbor id
+            WITH pairs AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+                     a.label = b.label AS same,
+                     list_cosine_similarity(a.embedding, b.embedding)
+                       AS cosine
+              FROM embeddings a
+              JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+              SELECT vec_id, nid, same,
+                     row_number() OVER (
+                       PARTITION BY vec_id, same
+                       ORDER BY cosine DESC, nid) AS rk
+              FROM pairs
+            )
+            SELECT e.vec_id,
+                   coalesce(p.nid, -1) AS pos_id,
+                   coalesce(n.nid, -1) AS neg_id
+            FROM embeddings e
+            LEFT JOIN ranked p
+              ON e.vec_id = p.vec_id AND p.same AND p.rk = 1
+            LEFT JOIN ranked n
+              ON e.vec_id = n.vec_id AND NOT n.same AND n.rk = 1
         """,
         'events_funnel': """
             -- strict-order funnel: first view, first click strictly

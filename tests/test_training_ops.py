@@ -1565,3 +1565,30 @@ def test_events_funnel_stages_and_strict_ties(ray_session, tmp_path):
     out = (events_funnel(str(tmp_path)).to_pandas()
            .set_index('user_id')['funnel_stage'].to_dict())
     assert out == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_hard_negatives_planted(ray_session, tmp_path):
+    """Hand-checkable 2-D vectors: positives and hard negatives picked
+    by cosine within/across labels; a singleton class gets pos_id -1."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import hard_negatives
+
+    vecs = [[1.0, 0.0],     # 0 label 0
+            [0.9, 0.1],     # 1 label 0  (closest to 0 within label)
+            [0.0, 1.0],     # 2 label 0  (far from 0/1)
+            [0.8, 0.2],     # 3 label 1  (closest cross-label to 0/1)
+            [-1.0, 0.0]]    # 4 label 2  singleton class
+    labels = [0, 0, 0, 1, 2]
+    t = pa.table({'vec_id': pa.array(range(5), pa.int64()),
+                  'embedding': pa.array(vecs, pa.list_(pa.float32())),
+                  'label': pa.array(labels, pa.int32())})
+    pq.write_table(t, str(tmp_path / 'embeddings.parquet'))
+
+    out = (hard_negatives(str(tmp_path)).to_pandas()
+           .set_index('vec_id').sort_index())
+    assert out.loc[0].to_dict() == {'pos_id': 1, 'neg_id': 3}
+    assert out.loc[1].to_dict() == {'pos_id': 0, 'neg_id': 3}
+    assert out.loc[4].to_dict()['pos_id'] == -1   # singleton class
+    assert out.loc[3]['pos_id'] == -1             # label 1 singleton too
+    assert out.loc[3]['neg_id'] == 1              # cos(3,1) > cos(3,0)

@@ -5985,3 +5985,25 @@ def events_funnel(sf_dir: str):
                                                       dtype='int64')})
 
     return _per_key_groups(ds, 'user_id', run)
+
+
+def hard_negatives(sf_dir: str):
+    """Contrastive-pair mining over the embeddings table: for every
+    vector the most-similar same-label neighbor (positive) and
+    most-similar different-label neighbor (hard negative) — the
+    triplet-mining step of contrastive training.  (vec_id, pos_id,
+    neg_id); -1 for a memberless class.  Broadcast tier only at this
+    surface (gated like :func:`knn_join` — above the limit, mine per
+    IVF bucket with the :func:`knn_join_ivf` pattern)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import (KNN_JOIN_BROADCAST_LIMIT,
+                                     hard_negatives_brute)
+
+    n = pq.ParquetFile(f'{sf_dir}/embeddings.parquet').metadata.num_rows
+    if n > KNN_JOIN_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            'hard_negatives above the broadcast gate: mine per IVF '
+            'bucket (knn_join_ivf pattern)')
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding', 'label'])
+    return hard_negatives_brute(ds)

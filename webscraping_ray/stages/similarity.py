@@ -366,3 +366,61 @@ def knn_join_ivf(ds, k: int = 5, n_clusters: int = 8,
             'neighbor_id': gg['nid'].to_numpy(dtype=np.int64)})
 
     return _per_key_groups(partials, 'qid', merge_topk)
+
+
+def hard_negatives_brute(ds, emb_col: str = 'embedding',
+                         id_col: str = 'vec_id',
+                         label_col: str = 'label'):
+    """Contrastive-pair mining: for every vector, the most similar
+    SAME-label neighbor (the positive) and the most similar
+    DIFFERENT-label neighbor (the hard negative) — the batch-mining
+    step of contrastive / triplet training.  Returns (vec_id, pos_id,
+    neg_id); -1 when a class has no other member.  Rank-only output
+    (no cosine column) for the same float32-oracle reason as
+    :func:`knn_join_brute`; ties break by neighbor id.
+
+    Scale shape follows :func:`knn_join_brute`: corpus matrix + label
+    vector broadcast once via ``ray.put``, query side streams, one
+    masked matmul per batch, no shuffle.  Above the broadcast limit
+    mine within IVF buckets instead (the :func:`knn_join_ivf`
+    pattern)."""
+    import ray
+
+    ids_all = np.empty(0, dtype=np.int64)
+    lab_all = np.empty(0, dtype=np.int64)
+    M_parts = []
+    for b in ds.iter_batches(batch_format='pyarrow'):
+        if not b.num_rows:
+            continue
+        ids_all = np.concatenate(
+            [ids_all, np.asarray(b.column(id_col), dtype=np.int64)])
+        lab_all = np.concatenate(
+            [lab_all, np.asarray(b.column(label_col), dtype=np.int64)])
+        M_parts.append(_emb_matrix(b.column(emb_col)))
+    M = _normalize(np.vstack(M_parts)) if M_parts else np.zeros((0, 1))
+    ref = ray.put((ids_all, lab_all, M))
+
+    def pick(ids_d, s_row):
+        if not len(s_row) or np.max(s_row) == -np.inf:
+            return -1
+        return int(ids_d[np.lexsort((ids_d, -s_row))[0]])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids_d, lab_d, M_d = ray.get(ref)
+        q_ids = np.asarray(t.column(id_col), dtype=np.int64)
+        q_lab = np.asarray(t.column(label_col), dtype=np.int64)
+        Q = _normalize(_emb_matrix(t.column(emb_col)))
+        S = Q @ M_d.T
+        S[q_ids[:, None] == ids_d[None, :]] = -np.inf   # exclude self
+        same = q_lab[:, None] == lab_d[None, :]
+        pos_ids, neg_ids = [], []
+        for qi in range(S.shape[0]):
+            pos_ids.append(pick(ids_d, np.where(same[qi], S[qi], -np.inf)))
+            neg_ids.append(pick(ids_d, np.where(same[qi], -np.inf, S[qi])))
+        return pa.table({
+            'vec_id': pa.array(q_ids, pa.int64()),
+            'pos_id': pa.array(pos_ids, pa.int64()),
+            'neg_id': pa.array(neg_ids, pa.int64())})
+
+    return ds.map_batches(per_batch, batch_format='pyarrow',
+                          batch_size=4096)
