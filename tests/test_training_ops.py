@@ -1592,3 +1592,47 @@ def test_hard_negatives_planted(ray_session, tmp_path):
     assert out.loc[4].to_dict()['pos_id'] == -1   # singleton class
     assert out.loc[3]['pos_id'] == -1             # label 1 singleton too
     assert out.loc[3]['neg_id'] == 1              # cos(3,1) > cos(3,0)
+
+
+def test_doc_containment_random_vs_naive(ray_session, tmp_path):
+    """Seeded random corpus (tiny vocab forces heavy shingle sharing,
+    plus empty / sub-k docs) vs a naive Python set reference."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import doc_containment
+    from webscraping_ray.stages.dedup import shingles
+
+    rng = np.random.default_rng(7)
+    vocab = ['a', 'b', 'c', 'd', 'e']
+    texts = ['', 'a', 'a b']            # edge shapes
+    for _ in range(40):
+        n = int(rng.integers(3, 14))
+        texts.append(' '.join(rng.choice(vocab, n)))
+    t = pa.table({'doc_id': pa.array(range(len(texts)), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * len(texts)),
+                  'source': pa.array(['s'] * len(texts)),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    thr = 0.7
+    sets = [shingles(x, 3) for x in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            common = len(sets[i] & sets[j])
+            if not common:
+                continue
+            ca, cb = common / len(sets[i]), common / len(sets[j])
+            if max(ca, cb) >= thr:
+                # mirror the engine's 1e-6 snap (np.rint scaled), not
+                # Python round — they differ on some representations
+                want[(i, j)] = (common,
+                                float(np.rint(ca * 1e6) / 1e6),
+                                float(np.rint(cb * 1e6) / 1e6))
+
+    out = doc_containment(str(tmp_path), threshold=thr).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)):
+           (int(r.n_common), r.cont_a_in_b, r.cont_b_in_a)
+           for r in out.itertuples()}
+    assert got == want
