@@ -436,6 +436,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'rollup_source_lang': R.rollup_source_lang,
+        'unigram_entropy': R.unigram_entropy,
+        'events_daily_change': R.events_daily_change,
+        'feature_correlations': R.feature_correlations,
         'dup_keep_best': R.dup_keep_best,
         'chunk_documents': R.chunk_documents,
         'gopher_filter': R.gopher_filter,
@@ -830,6 +834,85 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN sy ON d.doc_id = sy.doc_id
             JOIN snt ON d.doc_id = snt.doc_id
+        """,
+        'rollup_source_lang': """
+            -- ROLLUP levels with 'ALL' filling rolled-up keys and the
+            -- standard GROUPING() bitmask (0 detail / 1 per-source / 3
+            -- grand total)
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   CAST(GROUPING(source, lang) AS BIGINT) AS lvl,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
+        """,
+        'unigram_entropy': r"""
+            -- corpus unigram Shannon entropy from exact merged counts:
+            -- H = (ln N - sum(c ln c)/N) / ln 2
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ),
+            c AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+                  FROM w GROUP BY w)
+            SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2),
+                         6) AS entropy_bits
+            FROM c
+        """,
+        'events_daily_change': """
+            -- daily counts + LAG percent change (first day NULL)
+            WITH d AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            )
+            SELECT day, n_events,
+                   round((n_events - lag(n_events) OVER (ORDER BY day))
+                         / CAST(lag(n_events) OVER (ORDER BY day)
+                                AS DOUBLE), 6) AS pct_change
+            FROM d
+        """,
+        'feature_correlations': r"""
+            -- Pearson corr from exact integer moments — the identical
+            -- closed form the engine folds, one int->double cast per
+            -- term
+            WITH f AS (
+              SELECT n_chars AS c,
+                     len(regexp_extract_all(lower(text), '\w+')) AS t,
+                     len(list_distinct(
+                         regexp_extract_all(lower(text), '\w+'))) AS y
+              FROM documents
+            ),
+            s AS (
+              SELECT count(*) AS n,
+                     sum(c) AS sc, sum(t) AS st, sum(y) AS sy,
+                     sum(c*c) AS scc, sum(t*t) AS stt, sum(y*y) AS syy,
+                     sum(c*t) AS sct, sum(c*y) AS scy, sum(t*y) AS sty
+              FROM f
+            )
+            SELECT feat_a, feat_b, round(num / den, 6) AS corr
+            FROM (
+              SELECT 'chars' AS feat_a, 'tokens' AS feat_b,
+                     CAST(n*sct - sc*st AS DOUBLE) AS num,
+                     sqrt(CAST((n*scc - sc*sc) * (n*stt - st*st)
+                               AS DOUBLE)) AS den
+              FROM s
+              UNION ALL
+              SELECT 'chars', 'types',
+                     CAST(n*scy - sc*sy AS DOUBLE),
+                     sqrt(CAST((n*scc - sc*sc) * (n*syy - sy*sy)
+                               AS DOUBLE))
+              FROM s
+              UNION ALL
+              SELECT 'tokens', 'types',
+                     CAST(n*sty - st*sy AS DOUBLE),
+                     sqrt(CAST((n*stt - st*st) * (n*syy - sy*sy)
+                               AS DOUBLE))
+              FROM s
+            )
         """,
         'source_lang_mix': """
             WITH c AS (

@@ -1636,3 +1636,112 @@ def test_doc_containment_random_vs_naive(ray_session, tmp_path):
            (int(r.n_common), r.cont_a_in_b, r.cont_b_in_a)
            for r in out.itertuples()}
     assert got == want
+
+
+def test_rollup_source_lang_planted(ray_session, tmp_path):
+    """All three rollup levels carry exact counts/char sums; 'ALL'
+    fills rolled-up keys; lvl is the GROUPING bitmask."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import rollup_source_lang
+
+    rows = [('a', 'en', 10), ('a', 'en', 20), ('a', 'de', 5),
+            ('b', 'en', 7)]
+    t = pa.table({'doc_id': pa.array(range(4), pa.int64()),
+                  'text': pa.array(['x'] * 4),
+                  'lang': pa.array([r[1] for r in rows]),
+                  'source': pa.array([r[0] for r in rows]),
+                  'n_chars': pa.array([r[2] for r in rows], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = rollup_source_lang(str(tmp_path)).to_pandas()
+    key = out.set_index(['source', 'lang', 'lvl'])
+    assert key.loc[('a', 'en', 0)]['n_docs'] == 2
+    assert key.loc[('a', 'en', 0)]['n_chars'] == 30
+    assert key.loc[('a', 'ALL', 1)]['n_docs'] == 3
+    assert key.loc[('a', 'ALL', 1)]['n_chars'] == 35
+    assert key.loc[('ALL', 'ALL', 3)]['n_docs'] == 4
+    assert key.loc[('ALL', 'ALL', 3)]['n_chars'] == 42
+    assert len(out) == 3 + 2 + 1
+
+
+def test_unigram_entropy_planted(ray_session, tmp_path):
+    """Uniform 4-token vocab → exactly 2 bits; single-token corpus →
+    0 bits; counts merge across docs/blocks before c·ln c."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import unigram_entropy
+
+    t = pa.table({'doc_id': pa.array(range(4), pa.int64()),
+                  'text': pa.array(['a b', 'c d', 'a b', 'c d'])})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+    out = unigram_entropy(str(tmp_path)).to_pandas().iloc[0]
+    assert out['n_tokens'] == 8
+    assert out['vocab_size'] == 4
+    assert out['entropy_bits'] == 2.0
+
+    t2 = pa.table({'doc_id': pa.array([0, 1], pa.int64()),
+                   'text': pa.array(['z z z', 'z'])})
+    d2 = tmp_path / 'single'
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / 'documents.parquet'))
+    out2 = unigram_entropy(str(d2)).to_pandas().iloc[0]
+    assert out2['vocab_size'] == 1
+    assert out2['entropy_bits'] == 0.0
+
+
+def test_events_daily_change_planted(ray_session, tmp_path):
+    """Day counts aggregate across blocks; pct_change is (n-prev)/prev
+    with NULL on the first day."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import events_daily_change
+
+    import pandas as pd
+
+    def ts(day, i):
+        return dt.datetime(2024, 1, day, 8, i)
+
+    stamps = [ts(1, 0), ts(1, 1), ts(2, 0), ts(2, 1), ts(2, 2), ts(2, 3),
+              ts(3, 0), ts(3, 1), ts(3, 2)]
+    t = pa.table({'event_id': pa.array(range(len(stamps)), pa.int64()),
+                  'ts': pa.array(stamps, pa.timestamp('us')),
+                  'user_id': pa.array([1] * len(stamps), pa.int64()),
+                  'event_type': pa.array(['view'] * len(stamps)),
+                  'value': pa.array([1.0] * len(stamps)),
+                  'props': pa.array([''] * len(stamps))})
+    pq.write_table(t, str(tmp_path / 'events.parquet'))
+
+    out = (events_daily_change(str(tmp_path)).to_pandas()
+           .sort_values('day').reset_index(drop=True))
+    assert list(out['day']) == ['2024-01-01', '2024-01-02', '2024-01-03']
+    assert list(out['n_events']) == [2, 4, 3]
+    assert pd.isna(out['pct_change'][0])
+    assert out['pct_change'][1] == 1.0
+    assert out['pct_change'][2] == -0.25
+
+
+def test_feature_correlations_planted(ray_session, tmp_path):
+    """Perfectly linear features → corr 1.0; the three pairs come out
+    ordered and bounded in [-1, 1]."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import feature_correlations
+
+    # n_chars == 2 * n_tokens by construction → corr(chars, tokens) = 1
+    texts = ['a', 'a b', 'a b c', 'a b c d']
+    t = pa.table({'doc_id': pa.array(range(4), pa.int64()),
+                  'text': pa.array(texts),
+                  'n_chars': pa.array([2 * len(x.split()) for x in texts],
+                                      pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = feature_correlations(str(tmp_path)).to_pandas()
+    assert list(zip(out['feat_a'], out['feat_b'])) == [
+        ('chars', 'tokens'), ('chars', 'types'), ('tokens', 'types')]
+    m = out.set_index(['feat_a', 'feat_b'])['corr']
+    assert m[('chars', 'tokens')] == 1.0
+    assert m[('tokens', 'types')] == 1.0   # all tokens distinct here
+    assert ((out['corr'] <= 1.0) & (out['corr'] >= -1.0)).all()

@@ -6007,3 +6007,218 @@ def hard_negatives(sf_dir: str):
             'bucket (knn_join_ivf pattern)')
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding', 'label'])
     return hard_negatives_brute(ds)
+
+
+def rollup_source_lang(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate — the multi-level curation
+    report (per source+lang, per source, grand total) emitted in one
+    pass: doc count and total chars at each rollup level, with the
+    standard GROUPING() bitmask (0 = detail, 1 = per-source subtotal,
+    3 = grand total) and ``'ALL'`` filling the rolled-up key.
+
+    100-TB shape: per-batch finest-level (source, lang) partials
+    (combiner — counts and char sums, no text), ONE groupby-sum over
+    the tiny source×lang domain; every coarser level folds from that
+    answer-sized table on the driver.  One shuffle total, identical
+    to the plain grouped aggregate — the rollup itself is free."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'documents', ['source', 'lang', 'n_chars'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column('source').to_pylist()
+        lng = t.column('lang').to_pylist()
+        ch = t.column('n_chars').to_pylist()
+        n: Counter = Counter()
+        s: Counter = Counter()
+        for a, b, c in zip(src, lng, ch):
+            n[(a, b)] += 1
+            s[(a, b)] += c
+        ks = list(n.keys())
+        return pa.table({
+            'source': pa.array([k[0] for k in ks], pa.string()),
+            'lang': pa.array([k[1] for k in ks], pa.string()),
+            'n': pa.array([n[k] for k in ks], pa.int64()),
+            'ch': pa.array([s[k] for k in ks], pa.int64())})
+
+    detail = (ds.map_batches(partial, batch_format='pyarrow')
+              .groupby(['source', 'lang'])
+              .aggregate(Sum('n', alias_name='n'),
+                         Sum('ch', alias_name='ch'))
+              .take_all())  # source×lang domain — answer-sized
+
+    rows = []
+    per_src: dict = {}
+    tot_n = tot_ch = 0
+    for r in detail:
+        rows.append((r['source'], r['lang'], 0, int(r['n']), int(r['ch'])))
+        pn, pc = per_src.get(r['source'], (0, 0))
+        per_src[r['source']] = (pn + int(r['n']), pc + int(r['ch']))
+        tot_n += int(r['n'])
+        tot_ch += int(r['ch'])
+    for src, (pn, pc) in per_src.items():
+        rows.append((src, 'ALL', 1, pn, pc))
+    rows.append(('ALL', 'ALL', 3, tot_n, tot_ch))
+    return pa.table({
+        'source': pa.array([r[0] for r in rows], pa.string()),
+        'lang': pa.array([r[1] for r in rows], pa.string()),
+        'lvl': pa.array([r[2] for r in rows], pa.int64()),
+        'n_docs': pa.array([r[3] for r in rows], pa.int64()),
+        'n_chars': pa.array([r[4] for r in rows], pa.int64())})
+
+
+def unigram_entropy(sf_dir: str):
+    """Corpus unigram Shannon entropy (bits/token), vocab size and
+    total token count — the single-row language-health scalar next to
+    :func:`zipf_slope` (a template-flooded or deduplicated-to-death
+    corpus shows as an entropy shift long before eyeballing samples).
+
+    100-TB shape: per-batch token-count partials → ONE groupby-sum to
+    merge per-token counts (vocab-sized shuffle, same as
+    :func:`unigram_logprob`), then a map_batches over the vocab table
+    emits per-block (Σc, Σc·ln c, n_types) moments that a Dataset
+    aggregate folds — the vocabulary never lands on the driver.
+    H = (ln N − Σc·ln c / N) / ln 2 from exact integer counts."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(_TOKEN_RE.findall((txt or '').lower()))
+        return pa.table({'w': pa.array(list(c.keys()), pa.string()),
+                         'c': pa.array(list(c.values()), pa.int64())})
+
+    vocab = (ds.map_batches(partial, batch_format='pyarrow')
+             .groupby('w').aggregate(Sum('c', alias_name='c')))
+
+    def moments(t: pa.Table) -> pa.Table:
+        # groupby outputs can carry schemaless empty blocks (Ray 2.49)
+        if t.num_rows == 0 or 'c' not in t.schema.names:
+            c = np.zeros(0, dtype=np.float64)
+        else:
+            c = t.column('c').to_numpy(
+                zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            'n_tok': pa.array([int(c.sum())], pa.int64()),
+            'clnc': pa.array([float(np.sum(c * np.log(c)))], pa.float64()),
+            'n_types': pa.array([len(c)], pa.int64())})
+
+    agg = (vocab.map_batches(moments, batch_format='pyarrow')
+           .aggregate(Sum('n_tok'), Sum('clnc'), Sum('n_types')))
+    n = int(agg['sum(n_tok)'] or 0)
+    if n == 0:
+        ent = 0.0
+    else:
+        ent = (math.log(n) - float(agg['sum(clnc)']) / n) / math.log(2)
+    out = pa.table({'n_tokens': pa.array([n], pa.int64()),
+                    'vocab_size': pa.array([int(agg['sum(n_types)'] or 0)],
+                                           pa.int64()),
+                    'entropy_bits': pa.array([ent], pa.float64())})
+    return _snap_round(out, 'entropy_bits', 6)
+
+
+def events_daily_change(sf_dir: str):
+    """Daily event volume with day-over-day percent change (LAG) —
+    the traffic-anomaly time series a crawl/ingest operator watches.
+    Returns (day, n_events, pct_change); the first day's change is
+    NULL by the standard LAG contract.
+
+    100-TB shape: per-batch (day, count) partials → ONE groupby-sum
+    over the answer-sized day domain; the LAG fold runs on the driver
+    over that table.  pct_change divides exact integer counts, so
+    both engines round the same double (1e-6 snap)."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['ts'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.strftime(t.column('ts'), format='%Y-%m-%d').to_pylist()
+        c: Counter = Counter(days)
+        return pa.table({'day': pa.array(list(c.keys()), pa.string()),
+                         'n': pa.array(list(c.values()), pa.int64())})
+
+    per_day = (ds.map_batches(partial, batch_format='pyarrow')
+               .groupby('day').aggregate(Sum('n', alias_name='n'))
+               .take_all())  # day domain — answer-sized
+    per_day.sort(key=lambda r: r['day'])
+    days = [r['day'] for r in per_day]
+    ns = [int(r['n']) for r in per_day]
+    chg = [None] + [(ns[i] - ns[i - 1]) / ns[i - 1]
+                    for i in range(1, len(ns))]
+    out = pa.table({'day': pa.array(days, pa.string()),
+                    'n_events': pa.array(ns, pa.int64()),
+                    'pct_change': pa.array(chg, pa.float64())})
+    return _snap_round(out, 'pct_change', 6)
+
+
+def feature_correlations(sf_dir: str):
+    """Pearson correlation matrix between per-doc quality features
+    (n_chars, n_tokens, n_types) — the feature-redundancy check run
+    before fitting any quality classifier on corpus statistics.
+    Returns one row per unordered feature pair (feat_a < feat_b).
+
+    100-TB shape: features compute block-local; each batch emits ONE
+    moment row (n, Σx, Σx², Σxy as int64 — exact) and a Dataset
+    aggregate folds them; nothing but 10 integers per block ever
+    moves.  Both engines evaluate the identical closed form on
+    identical exact integer moments, so the rounded doubles match
+    bit-for-bit."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    ds = _read(sf_dir, 'documents', ['text', 'n_chars'])
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t.column('n_chars').to_numpy(zero_copy_only=False).astype(object)
+        toks = [_TOKEN_RE.findall((txt or '').lower())
+                for txt in t.column('text').to_pylist()]
+        tn = np.array([len(ts) for ts in toks], dtype=object)
+        ty = np.array([len(set(ts)) for ts in toks], dtype=object)
+        cols = {'n': len(toks),
+                'sc': int((c).sum()), 'st': int(tn.sum()), 'sy': int(ty.sum()),
+                'scc': int((c * c).sum()), 'stt': int((tn * tn).sum()),
+                'syy': int((ty * ty).sum()), 'sct': int((c * tn).sum()),
+                'scy': int((c * ty).sum()), 'sty': int((tn * ty).sum())}
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in cols.items()})
+
+    m = (ds.map_batches(moments, batch_format='pyarrow')
+         .aggregate(*[Sum(k) for k in
+                      ('n', 'sc', 'st', 'sy', 'scc', 'stt', 'syy',
+                       'sct', 'scy', 'sty')]))
+    v = {k: int(m[f'sum({k})']) for k in
+         ('n', 'sc', 'st', 'sy', 'scc', 'stt', 'syy', 'sct', 'scy', 'sty')}
+
+    def corr(sxy, sx, sy, sxx, syy):
+        # exact int arithmetic, ONE int→double conversion per term —
+        # mirrors DuckDB's hugeint→double cast in the oracle
+        num = float(v['n'] * sxy - sx * sy)
+        den = math.sqrt(float((v['n'] * sxx - sx * sx)
+                              * (v['n'] * syy - sy * sy)))
+        return num / den if den else 0.0
+
+    rows = [('chars', 'tokens',
+             corr(v['sct'], v['sc'], v['st'], v['scc'], v['stt'])),
+            ('chars', 'types',
+             corr(v['scy'], v['sc'], v['sy'], v['scc'], v['syy'])),
+            ('tokens', 'types',
+             corr(v['sty'], v['st'], v['sy'], v['stt'], v['syy']))]
+    out = pa.table({'feat_a': pa.array([r[0] for r in rows], pa.string()),
+                    'feat_b': pa.array([r[1] for r in rows], pa.string()),
+                    'corr': pa.array([r[2] for r in rows], pa.float64())})
+    return _snap_round(out, 'corr', 6)
