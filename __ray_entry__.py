@@ -436,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'anchor_texts': R.anchor_texts,
+        'crawl_status_by_host': R.crawl_status_by_host,
+        'weekly_top_events': R.weekly_top_events,
         'rollup_source_lang': R.rollup_source_lang,
         'unigram_entropy': R.unigram_entropy,
         'events_daily_change': R.events_daily_change,
@@ -834,6 +837,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN sy ON d.doc_id = sy.doc_id
             JOIN snt ON d.doc_id = snt.doc_id
+        """,
+        'anchor_texts': """
+            -- anchor texts by construction (docs_pages.py): the
+            -- unique tree parent labels child j (local k=j//8 >= 1)
+            -- 'l' || (k-1)%3; every page emits one 'query'/'cross'/
+            -- 'media' anchor; each target has exactly one referrer
+            WITH d AS (SELECT doc_id, doc_id % 8 AS h, doc_id // 8 AS k
+                       FROM documents)
+            SELECT 'http://src' || h || '.com/d/' || doc_id AS url,
+                   'l' || ((k - 1) % 3) AS anchors,
+                   CAST(1 AS BIGINT) AS n_refs
+            FROM d WHERE k >= 1
+            UNION ALL
+            SELECT 'http://src' || h || '.com/q/' || doc_id || '?a=1&b=2',
+                   'query', 1 FROM d
+            UNION ALL
+            SELECT 'http://src' || (h + 1) % 8 || '.com/x/' || doc_id,
+                   'cross', 1 FROM d
+            UNION ALL
+            SELECT 'http://src' || h || '.com/img/' || doc_id || '.png',
+                   'media', 1 FROM d
+        """,
+        'crawl_status_by_host': f"""
+            SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                   status, CAST(count(*) AS BIGINT) AS n_visits
+            FROM ( {_CRAWL_BFS_SQL} ) v GROUP BY 1, 2
+        """,
+        'weekly_top_events': """
+            -- top-3 event types per Monday-truncated week, ties by
+            -- type asc
+            WITH c AS (
+              SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                     event_type, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT week, event_type, n_events, rk FROM (
+              SELECT *, CAST(row_number() OVER (
+                     PARTITION BY week
+                     ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+              FROM c)
+            WHERE rk <= 3
         """,
         'rollup_source_lang': """
             -- ROLLUP levels with 'ALL' filling rolled-up keys and the

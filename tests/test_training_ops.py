@@ -1745,3 +1745,89 @@ def test_feature_correlations_planted(ray_session, tmp_path):
     assert m[('chars', 'tokens')] == 1.0
     assert m[('tokens', 'types')] == 1.0   # all tokens distinct here
     assert ((out['corr'] <= 1.0) & (out['corr'] >= -1.0)).all()
+
+
+def test_get_anchor_pairs_kernel():
+    """Pairing survives href-less anchors, skips non-http schemes,
+    keeps duplicates (no get_links dedup), strips fragments."""
+    from webscraping_ray.kernels.xpath import get_anchor_pairs
+
+    h = ('<html><body><a name="x">bare</a>'
+         '<a href="/d/1#top">one</a><a href="mailto:a@b">m</a>'
+         '<a href="/d/1">one again</a>'
+         '<a href="http://e.com/p">ext</a></body></html>')
+    got = get_anchor_pairs(h, 'http://s.com/base/')
+    assert got == [('http://s.com/base/', 'bare'),
+                   ('http://s.com/d/1', 'one'),
+                   ('http://s.com/d/1', 'one again'),
+                   ('http://e.com/p', 'ext')]
+
+
+def test_anchor_texts_merges_referrers(ray_session, tmp_path):
+    """Multiple referrers to one target merge: distinct anchors sort
+    and join with '|', n_refs counts every instance."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import anchor_texts
+
+    # build a tiny documents table; the derived pages of docs 0..7 are
+    # seeds (no parents), doc 8 is child 0 of doc 0 ('l0')
+    n = 9
+    t = pa.table({'doc_id': pa.array(range(n), pa.int64()),
+                  'text': pa.array([f'doc {i}' for i in range(n)]),
+                  'lang': pa.array(['en'] * n),
+                  'source': pa.array(['s'] * n),
+                  'n_chars': pa.array([5] * n, pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = anchor_texts(str(tmp_path)).to_pandas().set_index('url')
+    assert out.loc['http://src0.com/d/8', 'anchors'] == 'l0'
+    assert out.loc['http://src0.com/d/8', 'n_refs'] == 1
+    # every doc emits one query link with unescaped &
+    assert out.loc['http://src0.com/q/0?a=1&b=2', 'anchors'] == 'query'
+    # every doc emits query + cross + media; at n=9 only doc 0 has a
+    # tree child (doc 8) → 9*3 + 1 anchor instances, all targets unique
+    assert out['n_refs'].sum() == 9 * 3 + 1
+    assert (out['n_refs'] == 1).all()
+
+
+def test_crawl_status_by_host_planted(ray_session):
+    """Host report ties out with the flagship crawl: 8 hosts, 200s =
+    corpus visits, 404s = /q/ probes."""
+    from webscraping_ray.pipelines.relational import (crawl_documents,
+                                                      crawl_status_by_host)
+
+    sf = '/root/testdata/sf0.001'
+    v = crawl_documents(sf).to_pandas()
+    out = crawl_status_by_host(sf).to_pandas()
+    assert set(out['host']) == {f'src{i}.com' for i in range(8)}
+    assert out['n_visits'].sum() == len(v)
+    assert (out.groupby('status')['n_visits'].sum()[200]
+            == (v['status'] == 200).sum())
+
+
+def test_weekly_top_events_planted(ray_session, tmp_path):
+    """Counts merge across blocks; rank order is (n desc, type asc);
+    only top-3 survive."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import weekly_top_events
+
+    # week of 2024-01-01 (a Monday): a×3, b×3, c×2, d×1, e×1
+    types = ['a'] * 3 + ['b'] * 3 + ['c'] * 2 + ['d', 'e']
+    stamps = [dt.datetime(2024, 1, 1 + i % 7, 12) for i in range(len(types))]
+    t = pa.table({'event_id': pa.array(range(len(types)), pa.int64()),
+                  'ts': pa.array(stamps, pa.timestamp('us')),
+                  'user_id': pa.array([1] * len(types), pa.int64()),
+                  'event_type': pa.array(types),
+                  'value': pa.array([1.0] * len(types)),
+                  'props': pa.array([''] * len(types))})
+    pq.write_table(t, str(tmp_path / 'events.parquet'))
+
+    out = weekly_top_events(str(tmp_path)).to_pandas()
+    assert list(out['week']) == ['2024-01-01'] * 3
+    assert list(out['event_type']) == ['a', 'b', 'c']   # tie a<b, then c
+    assert list(out['n_events']) == [3, 3, 2]
+    assert list(out['rk']) == [1, 2, 3]

@@ -323,6 +323,38 @@ def get_links(html, url=None, local=True, external=True):
     return links
 
 
+def get_anchor_pairs(html, url=None):
+    """(target, anchor_text) pairs for every ``<a href>`` element.
+
+    Link normalization mirrors ``get_links`` (reference
+    xpath.py:515-555: scheme filter, fragment strip, urljoin against
+    ``url``) but WITHOUT the order-preserving dedup — anchor-text
+    collection keeps every link instance.  href/content pairing uses
+    the zip-of-parallel-searches idiom the reference itself uses for
+    forms (xpath.py:487-508 ``Form.__init__``): every ``<a>`` element
+    contributes one pair in document order (the Doc engine emits ``''``
+    for a missing href, which — exactly like an empty href in
+    ``get_links`` — urljoins to the page's own url).
+    """
+    pairs = []
+    for href, txt in zip(search(html, '//a/@href'),
+                         search(html, '//a')):
+        link = href
+        try:
+            if urllib.parse.urlsplit(link).scheme not in ('http', 'https',
+                                                          ''):
+                continue
+            if '#' in link:
+                link = link[:link.index('#')]
+            if url:
+                link = urllib.parse.urljoin(url, link)
+        except (UnicodeError, ValueError):
+            continue
+        if link:
+            pairs.append((link, txt))
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # lxml-backed Tree wrapper (reference xpath.py:427-467) — the alternate
 # engine a user may pass around instead of the regex Doc.  NON-CANONICAL

@@ -6222,3 +6222,108 @@ def feature_correlations(sf_dir: str):
                     'feat_b': pa.array([r[1] for r in rows], pa.string()),
                     'corr': pa.array([r[2] for r in rows], pa.float64())})
     return _snap_round(out, 'corr', 6)
+
+
+def anchor_texts(sf_dir: str):
+    """Anchor-text collection over the derived link graph — the
+    aggregation behind anchor-text training sets and link-context
+    retrieval: for every link TARGET url, the sorted distinct anchor
+    texts pointing at it ('|'-joined) and the total reference count.
+    Runs the real xpath kernels (``get_anchor_pairs`` — the
+    zip-of-searches pairing the reference uses for forms), with each
+    target canonicalized by the crawl's ``normalize_url`` (urldefrag →
+    unescape → urljoin — reference download.py:987-1004), exactly like
+    links on the crawl path.
+
+    100-TB shape: (dst, anchor) extract block-local; only those two
+    short strings shuffle (never html); the per-target fold runs per
+    key inside :func:`_per_key_groups` coarse buckets (64 group
+    applies, not O(urls))."""
+    from ..kernels import urls as U
+    from ..kernels import xpath as X
+    from ..kernels.text import html_to_unicode
+
+    pages, _ = _derived_pages(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        dst, anc = [], []
+        for u, h in zip(t.column('url').to_pylist(),
+                        t.column('html').to_pylist()):
+            for link, txt in X.get_anchor_pairs(html_to_unicode(h), u):
+                dst.append(U.normalize_url(u, link))
+                anc.append(txt)
+        return pa.table({'url': pa.array(dst, pa.string()),
+                         'anchor': pa.array(anc, pa.string())})
+
+    ds = pages.map_batches(pairs, batch_format='pyarrow')
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'url': [g['url'].iloc[0]],
+            'anchors': ['|'.join(sorted(set(g['anchor'])))],
+            'n_refs': pd.array([len(g)], dtype='int64')})
+
+    return _per_key_groups(ds, 'url', fold)
+
+
+def crawl_status_by_host(sf_dir: str, max_depth: int = 6):
+    """Per-host HTTP status report over the flagship crawl — the
+    health dashboard a crawl operator reads first (which hosts 404,
+    which deliver).  Runs :func:`crawl_documents` end to end, then
+    groups the answer-sized visits table by (host, status)."""
+    v = crawl_documents(sf_dir, max_depth=max_depth).to_pandas()
+    host = v['url'].str.extract(r'https?://([^/]+)', expand=False)
+    g = (pd.DataFrame({'host': host, 'status': v['status']})
+         .groupby(['host', 'status'], as_index=False).size())
+    return pa.table({'host': pa.array(g['host'], pa.string()),
+                     'status': pa.array(g['status'].astype('int64')),
+                     'n_visits': pa.array(g['size'].astype('int64'))})
+
+
+def weekly_top_events(sf_dir: str, k: int = 3):
+    """Top-k event types per ISO week (Monday-truncated) — the
+    trending report over the event stream, with the deterministic
+    (count desc, type asc) tie order.  Returns (week, event_type,
+    n_events, rk).
+
+    100-TB shape: per-batch (week, type) count partials → ONE
+    groupby-sum over the answer-sized week×type domain; the per-week
+    top-k folds from that table on the driver."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['ts', 'event_type'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        wk = pc.strftime(
+            pc.floor_temporal(t.column('ts'), unit='week',
+                              week_starts_monday=True),
+            format='%Y-%m-%d').to_pylist()
+        c: Counter = Counter(zip(wk, t.column('event_type').to_pylist()))
+        ks = list(c.keys())
+        return pa.table({
+            'week': pa.array([x[0] for x in ks], pa.string()),
+            'event_type': pa.array([x[1] for x in ks], pa.string()),
+            'n': pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format='pyarrow')
+              .groupby(['week', 'event_type'])
+              .aggregate(Sum('n', alias_name='n'))
+              .take_all())  # week×type domain — answer-sized
+
+    by_week: dict = {}
+    for r in counts:
+        by_week.setdefault(r['week'], []).append(
+            (int(r['n']), r['event_type']))
+    rows = []
+    for wk in sorted(by_week):
+        ranked = sorted(by_week[wk], key=lambda x: (-x[0], x[1]))[:k]
+        for i, (n, et) in enumerate(ranked):
+            rows.append((wk, et, n, i + 1))
+    return pa.table({
+        'week': pa.array([r[0] for r in rows], pa.string()),
+        'event_type': pa.array([r[1] for r in rows], pa.string()),
+        'n_events': pa.array([r[2] for r in rows], pa.int64()),
+        'rk': pa.array([r[3] for r in rows], pa.int64())})
