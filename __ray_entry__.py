@@ -417,6 +417,57 @@ def _robots_filter_sql() -> str:
     """
 
 
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Chained-CTE mirror of relational.kmeans_clusters: quantized
+    int64 vectors (floor(x·1000+0.5)), init = k lowest vec_ids,
+    ``iters`` assign+update rounds (half-up integer centroids, empty
+    cluster keeps its centroid, ties to lowest cl), final assignment.
+    All distance comparisons are exact integer arithmetic, so both
+    engines assign identically."""
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, cl FROM (
+            SELECT q.vec_id, c.cl,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.qv, c.cv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cl) AS rk
+            FROM q CROSS JOIN {cents} c) WHERE rk = 1
+        )"""
+
+    def update(name: str, asn: str, prev: str) -> str:
+        return f"""{name}_s AS (
+          SELECT a.cl, r.i,
+                 CAST(floor(sum(q.qv[r.i]) / CAST(count(*) AS DOUBLE)
+                      + 0.5) AS BIGINT) AS v
+          FROM {asn} a JOIN q USING (vec_id)
+          CROSS JOIN range(1, {dim + 1}) r(i)
+          GROUP BY a.cl, r.i
+        ),
+        {name} AS (
+          SELECT p.cl, coalesce(n.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN
+            (SELECT cl, list(v ORDER BY i) AS cv
+             FROM {name}_s GROUP BY cl) n USING (cl)
+        )"""
+
+    parts = [f"""q AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+             qv AS cv
+      FROM q ORDER BY vec_id LIMIT {k})"""]
+    prev = 'c0'
+    for it in range(1, iters + 1):
+        parts.append(assign(f'a{it}', prev))
+        parts.append(update(f'c{it}', f'a{it}', prev))
+        prev = f'c{it}'
+    parts.append(assign('af', prev))
+    return ('WITH ' + ',\n'.join(parts)
+            + '\nSELECT vec_id, cl AS cluster FROM af')
+
+
 def entry() -> Any:
     """Flagship: BFS crawl of the documents-derived web at sf0.001."""
     from webscraping_ray.pipelines import relational as R
@@ -436,6 +487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'pricing_summary': R.pricing_summary,
+        'kmeans_clusters': R.kmeans_clusters,
+        'neardup_rate_by_source': R.neardup_rate_by_source,
         'anchor_texts': R.anchor_texts,
         'crawl_status_by_host': R.crawl_status_by_host,
         'weekly_top_events': R.weekly_top_events,
@@ -837,6 +891,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN sy ON d.doc_id = sy.doc_id
             JOIN snt ON d.doc_id = snt.doc_id
+        """,
+        'pricing_summary': """
+            -- TPC-H Q1 shape in EXACT integer cents / basis points
+            -- (price 2dp, disc/tax 2dp, integral qty) so both engines
+            -- divide identical integers — no summation-order drift
+            WITH x AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS pc,
+                     CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS db,
+                     CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tb
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(q) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(pc) AS DOUBLE) / 100, 2)
+                     AS sum_base_price,
+                   round(CAST(sum(pc * (100 - db)) AS DOUBLE) / 10000, 4)
+                     AS sum_disc_price,
+                   round(CAST(sum(pc * (100 - db) * (100 + tb))
+                              AS DOUBLE) / 1000000, 6) AS sum_charge,
+                   round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(pc) AS DOUBLE) / (100 * count(*)), 6)
+                     AS avg_price,
+                   round(CAST(sum(db) AS DOUBLE) / (100 * count(*)), 6)
+                     AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS cnt_order
+            FROM x GROUP BY l_returnflag, l_linestatus
+        """,
+        'kmeans_clusters': _kmeans_sql(),
+        'neardup_rate_by_source': f"""
+            -- per-source fraction of docs in >=1 exact-Jaccard>=0.8
+            -- pair (the LSH path's recall is 1.0 — pinned in pytest)
+            WITH {_shingle_jaccard_cte('documents')},
+            ids AS (SELECT id_a AS doc_id FROM pairs
+                    UNION SELECT id_b FROM pairs),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+            dup AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_dup
+                    FROM documents d JOIN ids USING (doc_id)
+                    GROUP BY d.source)
+            SELECT t.source, t.n_docs,
+                   coalesce(dup.n_dup, 0) AS n_dup,
+                   round(coalesce(dup.n_dup, 0)
+                         / CAST(t.n_docs AS DOUBLE), 6) AS dup_frac
+            FROM tot t LEFT JOIN dup USING (source)
         """,
         'anchor_texts': """
             -- anchor texts by construction (docs_pages.py): the

@@ -1831,3 +1831,116 @@ def test_weekly_top_events_planted(ray_session, tmp_path):
     assert list(out['event_type']) == ['a', 'b', 'c']   # tie a<b, then c
     assert list(out['n_events']) == [3, 3, 2]
     assert list(out['rk']) == [1, 2, 3]
+
+
+def test_pricing_summary_planted(ray_session, tmp_path):
+    """Predicate filters late shipments; sums/avgs/count exact on a
+    hand-computable plant; partials merge across blocks."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import pricing_summary
+
+    rows = [
+        # flag, status, qty, price, disc, tax, shipdate
+        ('A', 'F', 10.0, 100.0, 0.1, 0.2, dt.datetime(1998, 1, 1)),
+        ('A', 'F', 20.0, 200.0, 0.0, 0.0, dt.datetime(1998, 2, 1)),
+        ('N', 'O', 5.0, 50.0, 0.5, 0.1, dt.datetime(1999, 1, 1)),  # cut
+        ('N', 'F', 1.0, 10.0, 0.0, 0.0, dt.datetime(1997, 1, 1)),
+    ]
+    t = pa.table({
+        'l_orderkey': pa.array(range(4), pa.int64()),
+        'l_partkey': pa.array([1] * 4, pa.int64()),
+        'l_suppkey': pa.array([1] * 4, pa.int64()),
+        'l_linenumber': pa.array([1] * 4, pa.int32()),
+        'l_quantity': pa.array([r[2] for r in rows]),
+        'l_extendedprice': pa.array([r[3] for r in rows]),
+        'l_discount': pa.array([r[4] for r in rows]),
+        'l_tax': pa.array([r[5] for r in rows]),
+        'l_returnflag': pa.array([r[0] for r in rows]),
+        'l_linestatus': pa.array([r[1] for r in rows]),
+        'l_shipdate': pa.array([r[6] for r in rows], pa.timestamp('us'))})
+    pq.write_table(t, str(tmp_path / 'lineitem.parquet'))
+
+    out = (pricing_summary(str(tmp_path)).to_pandas()
+           .set_index(['l_returnflag', 'l_linestatus']))
+    assert len(out) == 2                       # ('N','O') filtered out
+    af = out.loc[('A', 'F')]
+    assert af['sum_qty'] == 30.0
+    assert af['sum_base_price'] == 300.0
+    assert af['sum_disc_price'] == 100.0 * 0.9 + 200.0
+    assert af['sum_charge'] == 100.0 * 0.9 * 1.2 + 200.0
+    assert af['avg_qty'] == 15.0
+    assert af['avg_disc'] == 0.05
+    assert af['cnt_order'] == 2
+    assert out.loc[('N', 'F')]['cnt_order'] == 1
+
+
+def test_kmeans_clusters_planted(ray_session, tmp_path):
+    """Two well-separated blobs → clean 2-cluster assignment; ties and
+    quantization are deterministic; an emptied-cluster corpus still
+    returns every vec_id exactly once."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import kmeans_clusters
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(0.0, 0.05, (20, 8)).astype(np.float32)
+    b = rng.normal(5.0, 0.05, (20, 8)).astype(np.float32)
+    vecs = np.vstack([a, b])
+    order = rng.permutation(40)
+    # vec_id 0 lands in blob a, vec_id 1 in blob b → init covers both
+    order[0], order[1] = 0, 20
+    t = pa.table({'vec_id': pa.array(range(40), pa.int64()),
+                  'embedding': pa.array(
+                      [vecs[order[i]].tolist() for i in range(40)],
+                      pa.list_(pa.float32())),
+                  'label': pa.array([0] * 40, pa.int32())})
+    pq.write_table(t, str(tmp_path / 'embeddings.parquet'))
+
+    out = (kmeans_clusters(str(tmp_path), k=2, iters=2).to_pandas()
+           .sort_values('vec_id').reset_index(drop=True))
+    assert len(out) == 40
+    assert sorted(out['vec_id']) == list(range(40))
+    # blob membership must match the cluster of its init seed
+    blob = np.array([0 if order[i] < 20 else 1 for i in range(40)])
+    c0 = out['cluster'][0]
+    c1 = out['cluster'][1]
+    assert c0 != c1
+    want = np.where(blob == blob[0], c0, c1)
+    assert (out['cluster'].to_numpy() == want).all()
+
+
+def test_quantize_embedding_half_up():
+    """floor(x*1000 + 0.5): explicit half-up, no banker's rounding."""
+    from webscraping_ray.pipelines.relational import _quantize_embedding
+
+    got = _quantize_embedding(np.array([0.0015, 0.0025, -0.0015, 1.0]))
+    assert list(got) == [2, 3, -1, 1000]
+
+
+def test_neardup_rate_by_source_planted(ray_session, tmp_path):
+    """A verbatim pair marks both docs dup'd in their sources; unique
+    docs don't count; fractions are exact."""
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import neardup_rate_by_source
+
+    dup = 'the quick brown fox jumps over the lazy dog again and again'
+    texts = [dup, dup, 'completely different text one of a kind here',
+             'another unique document with its own words entirely']
+    src = ['s1', 's2', 's1', 's2']
+    t = pa.table({'doc_id': pa.array(range(4), pa.int64()),
+                  'text': pa.array(texts),
+                  'lang': pa.array(['en'] * 4),
+                  'source': pa.array(src),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = (neardup_rate_by_source(str(tmp_path)).to_pandas()
+           .set_index('source'))
+    assert out.loc['s1'].to_dict() == {'n_docs': 2, 'n_dup': 1,
+                                       'dup_frac': 0.5}
+    assert out.loc['s2'].to_dict() == {'n_docs': 2, 'n_dup': 1,
+                                       'dup_frac': 0.5}

@@ -6327,3 +6327,238 @@ def weekly_top_events(sf_dir: str, k: int = 3):
         'event_type': pa.array([r[1] for r in rows], pa.string()),
         'n_events': pa.array([r[2] for r in rows], pa.int64()),
         'rk': pa.array([r[3] for r in rows], pa.int64())})
+
+
+def pricing_summary(sf_dir: str, cutoff: str = '1998-09-02'):
+    """Grouped pricing summary in the classic TPC-H Q1 shape over
+    lineitem (ship-date predicate → grouped sums / averages / count)
+    — the canonical scan-heavy reporting aggregate.
+
+    Money columns are fixed-decimal (price 2dp, discount/tax 2dp,
+    integral quantity), so everything folds in EXACT integer cents /
+    basis points — summation-order fp drift (which flips a 2dp
+    rounding boundary on ~1-in-1e7 sums) cannot occur, and both
+    engines divide identical integers at the end.  (At ≳10^9 rows the
+    1e-6-unit charge sum approaches int64 range; the scale path is
+    the same partials with a 128-bit or split fold.)
+
+    100-TB shape: the predicate and the derived expressions evaluate
+    block-local; each batch emits ONE partial row per (returnflag,
+    linestatus) — a closed 6-ish domain — and ONE groupby-sum folds
+    them; averages derive from the folded sums.  No row-level data
+    ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    cut = np.datetime64(cutoff)
+    ds = _read(sf_dir, 'lineitem',
+               ['l_returnflag', 'l_linestatus', 'l_quantity',
+                'l_extendedprice', 'l_discount', 'l_tax', 'l_shipdate'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df['l_shipdate'] <= cut]
+        q = np.floor(df['l_quantity'].to_numpy() + 0.5).astype(np.int64)
+        pc = np.floor(df['l_extendedprice'].to_numpy() * 100
+                      + 0.5).astype(np.int64)
+        db = np.floor(df['l_discount'].to_numpy() * 100
+                      + 0.5).astype(np.int64)
+        tb = np.floor(df['l_tax'].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({'l_returnflag': df['l_returnflag'].to_numpy(),
+                           'l_linestatus': df['l_linestatus'].to_numpy(),
+                           'q': q, 'pc': pc,
+                           'dp': pc * (100 - db),
+                           'ch': pc * (100 - db) * (100 + tb),
+                           'db': db, 'n': 1})
+             .groupby(['l_returnflag', 'l_linestatus'], as_index=False)
+             .sum())
+        return g
+
+    agg = (ds.map_batches(partial, batch_format='pandas')
+           .groupby(['l_returnflag', 'l_linestatus'])
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ('q', 'pc', 'dp', 'ch', 'db', 'n')])
+           .take_all())  # flag×status domain — answer-sized
+
+    cols: dict = {k: [] for k in
+                  ('l_returnflag', 'l_linestatus', 'sum_qty',
+                   'sum_base_price', 'sum_disc_price', 'sum_charge',
+                   'avg_qty', 'avg_price', 'avg_disc', 'cnt_order')}
+    for r in agg:
+        n = int(r['n'])
+        cols['l_returnflag'].append(r['l_returnflag'])
+        cols['l_linestatus'].append(r['l_linestatus'])
+        cols['sum_qty'].append(float(int(r['q'])))
+        cols['sum_base_price'].append(float(int(r['pc'])) / 100)
+        cols['sum_disc_price'].append(float(int(r['dp'])) / 10000)
+        cols['sum_charge'].append(float(int(r['ch'])) / 1000000)
+        cols['avg_qty'].append(float(int(r['q'])) / n)
+        cols['avg_price'].append(float(int(r['pc'])) / (100 * n))
+        cols['avg_disc'].append(float(int(r['db'])) / (100 * n))
+        cols['cnt_order'].append(n)
+    out = pa.table({
+        'l_returnflag': pa.array(cols['l_returnflag'], pa.string()),
+        'l_linestatus': pa.array(cols['l_linestatus'], pa.string()),
+        'sum_qty': pa.array(cols['sum_qty'], pa.float64()),
+        'sum_base_price': pa.array(cols['sum_base_price'], pa.float64()),
+        'sum_disc_price': pa.array(cols['sum_disc_price'], pa.float64()),
+        'sum_charge': pa.array(cols['sum_charge'], pa.float64()),
+        'avg_qty': pa.array(cols['avg_qty'], pa.float64()),
+        'avg_price': pa.array(cols['avg_price'], pa.float64()),
+        'avg_disc': pa.array(cols['avg_disc'], pa.float64()),
+        'cnt_order': pa.array(cols['cnt_order'], pa.int64())})
+    # sums round at their unit's EXACT decimal width (qty 0dp-int,
+    # base 2dp, disc_price 4dp, charge 6dp): rounding just recovers
+    # the exact integer, so a half-tie can never occur
+    for c, nd in (('sum_qty', 2), ('sum_base_price', 2),
+                  ('sum_disc_price', 4), ('sum_charge', 6),
+                  ('avg_qty', 6), ('avg_price', 6), ('avg_disc', 6)):
+        out = _snap_round(out, c, nd)
+    return out
+
+
+def _quantize_embedding(arr: np.ndarray) -> np.ndarray:
+    """floor(x·1000 + 0.5) per element — the explicit half-up rule both
+    engines evaluate identically (no round-half-even ambiguity)."""
+    return np.floor(arr.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 2):
+    """Distributed Lloyd k-means over the embeddings table with
+    QUANTIZED-EXACT arithmetic: vectors quantize to int64 (floor(x·1000
+    + 0.5)), centroids stay int64 (half-up of the exact mean), so every
+    distance comparison is exact integer math and both engines assign
+    identically — the k-means that can be SQL-oracled without float
+    hand-waving.  Init = the ``k`` lowest vec_ids; ``iters`` full
+    assign+update rounds, then a final assignment pass.  Ties go to
+    the lowest cluster id; an emptied cluster keeps its centroid.
+
+    100-TB shape: centroids (k×d int64, a few KB) broadcast via
+    ray.put each round; each batch emits per-cluster partial sums
+    (≤ k rows × d cols) folded by ONE groupby-sum; driver state is the
+    k×d centroid table — answer-sized.  The classic scalable k-means
+    layout (combiner partials, never a row-level shuffle)."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    init = ds.sort('vec_id').limit(k).take_all()
+    dim = len(init[0]['embedding'])
+    cent = np.stack([_quantize_embedding(np.asarray(r['embedding']))
+                     for r in init])  # k×d int64
+
+    scols = [f's{i:02d}' for i in range(dim)]
+
+    def assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # exact int64 squared distances; argmin takes the first
+        # (lowest cluster id) on ties
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            q = np.stack([_quantize_embedding(np.asarray(v)) for v in
+                          t.column('embedding').to_pylist()])
+            a = assign(q, c)
+            out = {'cluster': [], 'n': []}
+            out.update({s: [] for s in scols})
+            for j in np.unique(a):
+                sel = q[a == j]
+                out['cluster'].append(int(j))
+                out['n'].append(int(sel.shape[0]))
+                s = sel.sum(axis=0)
+                for i, sc in enumerate(scols):
+                    out[sc].append(int(s[i]))
+            return pa.table({kk: pa.array(vv, pa.int64())
+                             for kk, vv in out.items()})
+
+        folded = (ds.map_batches(partials, batch_format='pyarrow')
+                  .groupby('cluster')
+                  .aggregate(Sum('n', alias_name='n'),
+                             *[Sum(s, alias_name=s) for s in scols])
+                  .take_all())  # k rows — answer-sized
+        new = cent.copy()
+        for r in folded:
+            j = int(r['cluster'])
+            n = int(r['n'])
+            new[j] = np.floor(
+                np.array([int(r[s]) for s in scols], dtype=np.float64)
+                / n + 0.5).astype(np.int64)
+        cent = new
+
+    cref = ray.put(cent)
+
+    def final(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        q = np.stack([_quantize_embedding(np.asarray(v)) for v in
+                      t.column('embedding').to_pylist()])
+        return pa.table({'vec_id': t.column('vec_id'),
+                         'cluster': pa.array(assign(q, c), pa.int64())})
+
+    return ds.map_batches(final, batch_format='pyarrow')
+
+
+def neardup_rate_by_source(sf_dir: str, threshold: float = 0.8):
+    """Per-source NEAR-duplication report: for every source, the
+    fraction of its docs that appear in at least one MinHash-verified
+    Jaccard ≥ ``threshold`` pair — the "which hosts are pumping
+    templated copies" dashboard a curation run reads before allocating
+    crawl budget.  Returns (source, n_docs, n_dup, dup_frac).
+
+    100-TB shape: the pair list comes from the banded-LSH
+    :func:`minhash_dups` path (parquet-scratch bands, tiered verify)
+    and is answer-sized by the dup-pair contract; the flattened id set
+    broadcasts once (ray.put) into a per-batch membership partial, and
+    per-source (n_docs, n_dup) counts fold combiner-style over the
+    answer-sized source domain — ONE groupby-sum, no row-level
+    shuffle.  (If the pair list itself outgrew broadcast, the
+    :func:`dup_keep_best` Dataset-join tier is the documented scale
+    path.)"""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(_read(sf_dir, 'documents',
+                                    ['doc_id', 'text']),
+                              threshold=threshold)
+    dup_ids = set(pairs.column('id_a').to_pylist()) | set(
+        pairs.column('id_b').to_pylist())
+    dref = ray.put(dup_ids)
+
+    docs = _read(sf_dir, 'documents', ['doc_id', 'source'])
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        dup = ray.get(dref)
+        n: Counter = Counter()
+        d: Counter = Counter()
+        for i, s in zip(t.column('doc_id').to_pylist(),
+                        t.column('source').to_pylist()):
+            n[s] += 1
+            if i in dup:
+                d[s] += 1
+        ks = list(n.keys())
+        return pa.table({'source': pa.array(ks, pa.string()),
+                         'n': pa.array([n[s] for s in ks], pa.int64()),
+                         'nd': pa.array([d[s] for s in ks], pa.int64())})
+
+    folded = (docs.map_batches(src_partial, batch_format='pyarrow')
+              .groupby('source')
+              .aggregate(Sum('n', alias_name='n'),
+                         Sum('nd', alias_name='nd'))
+              .take_all())  # source domain — answer-sized
+    totals = {r['source']: int(r['n']) for r in folded}
+    dups = {r['source']: int(r['nd']) for r in folded}
+
+    srcs = sorted(totals)
+    out = pa.table({
+        'source': pa.array(srcs, pa.string()),
+        'n_docs': pa.array([totals[s] for s in srcs], pa.int64()),
+        'n_dup': pa.array([dups.get(s, 0) for s in srcs], pa.int64()),
+        'dup_frac': pa.array([dups.get(s, 0) / totals[s] for s in srcs],
+                             pa.float64())})
+    return _snap_round(out, 'dup_frac', 6)
