@@ -487,6 +487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'revenue_by_nation': R.revenue_by_nation,
+        'brand_volume': R.brand_volume,
+        'supplier_nation_revenue': R.supplier_nation_revenue,
         'pricing_summary': R.pricing_summary,
         'kmeans_clusters': R.kmeans_clusters,
         'neardup_rate_by_source': R.neardup_rate_by_source,
@@ -891,6 +894,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN sy ON d.doc_id = sy.doc_id
             JOIN snt ON d.doc_id = snt.doc_id
+        """,
+        'revenue_by_nation': """
+            -- Q5-flavor star join, exact 1e-4-dollar integer fold
+            WITH j AS (
+              SELECT c.c_nationkey AS nk,
+                     CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT)) AS rev
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT r.r_name, n.n_name,
+                   round(CAST(sum(j.rev) AS DOUBLE) / 10000, 4)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM j
+            JOIN nation n ON j.nk = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        """,
+        'brand_volume': """
+            SELECT p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   round(CAST(sum(
+                     CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT))) AS DOUBLE) / 10000, 4)
+                     AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        'supplier_nation_revenue': """
+            SELECT n.n_name,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                     AS n_suppliers,
+                   round(CAST(sum(
+                     CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT))) AS DOUBLE) / 10000, 4)
+                     AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         'pricing_summary': """
             -- TPC-H Q1 shape in EXACT integer cents / basis points

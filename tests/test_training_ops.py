@@ -1944,3 +1944,108 @@ def test_neardup_rate_by_source_planted(ray_session, tmp_path):
                                        'dup_frac': 0.5}
     assert out.loc['s2'].to_dict() == {'n_docs': 2, 'n_dup': 1,
                                        'dup_frac': 0.5}
+
+
+def _write_star(tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        'r_regionkey': pa.array([0, 1], pa.int64()),
+        'r_name': pa.array(['EAST', 'WEST'])}),
+        str(tmp_path / 'region.parquet'))
+    pq.write_table(pa.table({
+        'n_nationkey': pa.array([0, 1], pa.int64()),
+        'n_name': pa.array(['AA', 'BB']),
+        'n_regionkey': pa.array([0, 1], pa.int64())}),
+        str(tmp_path / 'nation.parquet'))
+    pq.write_table(pa.table({
+        'c_custkey': pa.array([10, 11], pa.int64()),
+        'c_name': pa.array(['ca', 'cb']),
+        'c_nationkey': pa.array([0, 1], pa.int64()),
+        'c_acctbal': pa.array([0.0, 0.0]),
+        'c_mktsegment': pa.array(['M', 'M'])}),
+        str(tmp_path / 'customer.parquet'))
+    pq.write_table(pa.table({
+        'o_orderkey': pa.array([100, 101], pa.int64()),
+        'o_custkey': pa.array([10, 11], pa.int64()),
+        'o_orderstatus': pa.array(['F', 'F']),
+        'o_totalprice': pa.array([0.0, 0.0]),
+        'o_orderdate': pa.array([dt.datetime(1998, 1, 1)] * 2,
+                                pa.timestamp('us')),
+        'o_orderpriority': pa.array(['1', '1'])}),
+        str(tmp_path / 'orders.parquet'))
+    pq.write_table(pa.table({
+        's_suppkey': pa.array([7, 8], pa.int64()),
+        's_name': pa.array(['sa', 'sb']),
+        's_nationkey': pa.array([0, 1], pa.int64()),
+        's_acctbal': pa.array([0.0, 0.0])}),
+        str(tmp_path / 'supplier.parquet'))
+    pq.write_table(pa.table({
+        'p_partkey': pa.array([1, 2], pa.int64()),
+        'p_name': pa.array(['pa', 'pb']),
+        'p_brand': pa.array(['B1', 'B2']),
+        'p_type': pa.array(['t', 't']),
+        'p_size': pa.array([1, 1], pa.int64()),
+        'p_retailprice': pa.array([1.0, 1.0])}),
+        str(tmp_path / 'part.parquet'))
+    # lineitem: (orderkey, partkey, suppkey, qty, price, disc)
+    rows = [(100, 1, 7, 2.0, 100.0, 0.10),
+            (100, 2, 8, 3.0, 200.0, 0.00),
+            (101, 1, 7, 1.0, 50.0, 0.50)]
+    pq.write_table(pa.table({
+        'l_orderkey': pa.array([r[0] for r in rows], pa.int64()),
+        'l_partkey': pa.array([r[1] for r in rows], pa.int64()),
+        'l_suppkey': pa.array([r[2] for r in rows], pa.int64()),
+        'l_linenumber': pa.array([1, 2, 1], pa.int32()),
+        'l_quantity': pa.array([r[3] for r in rows]),
+        'l_extendedprice': pa.array([r[4] for r in rows]),
+        'l_discount': pa.array([r[5] for r in rows]),
+        'l_tax': pa.array([0.0] * 3),
+        'l_returnflag': pa.array(['A'] * 3),
+        'l_linestatus': pa.array(['F'] * 3),
+        'l_shipdate': pa.array([dt.datetime(1997, 1, 1)] * 3,
+                               pa.timestamp('us'))}),
+        str(tmp_path / 'lineitem.parquet'))
+
+
+def test_revenue_by_nation_planted(ray_session, tmp_path):
+    """Two-hop star join attributes revenue to the CUSTOMER nation
+    with exact integer cents; counts per nation exact."""
+    from webscraping_ray.pipelines.relational import revenue_by_nation
+
+    _write_star(tmp_path)
+    out = (revenue_by_nation(str(tmp_path)).to_pandas()
+           .set_index('n_name'))
+    # nation AA (cust 10, order 100): 100*0.9 + 200*1.0 = 290
+    assert out.loc['AA'].to_dict() == {'r_name': 'EAST',
+                                       'revenue': 290.0, 'n_items': 2}
+    # nation BB (cust 11, order 101): 50*0.5 = 25
+    assert out.loc['BB'].to_dict() == {'r_name': 'WEST',
+                                       'revenue': 25.0, 'n_items': 1}
+
+
+def test_brand_volume_planted(ray_session, tmp_path):
+    """Broadcast partkey→brand map; qty int-exact, revenue cents."""
+    from webscraping_ray.pipelines.relational import brand_volume
+
+    _write_star(tmp_path)
+    out = brand_volume(str(tmp_path)).to_pandas().set_index('p_brand')
+    assert out.loc['B1'].to_dict() == {'n_items': 2, 'sum_qty': 3,
+                                       'revenue': 90.0 + 25.0}
+    assert out.loc['B2'].to_dict() == {'n_items': 1, 'sum_qty': 3,
+                                       'revenue': 200.0}
+
+
+def test_supplier_nation_revenue_planted(ray_session, tmp_path):
+    """Supplier-nation attribution with distinct-supplier counts."""
+    from webscraping_ray.pipelines.relational import supplier_nation_revenue
+
+    _write_star(tmp_path)
+    out = (supplier_nation_revenue(str(tmp_path)).to_pandas()
+           .set_index('n_name'))
+    assert out.loc['AA'].to_dict() == {'n_suppliers': 1,
+                                       'revenue': 115.0}
+    assert out.loc['BB'].to_dict() == {'n_suppliers': 1,
+                                       'revenue': 200.0}

@@ -6562,3 +6562,185 @@ def neardup_rate_by_source(sf_dir: str, threshold: float = 0.8):
         'dup_frac': pa.array([dups.get(s, 0) / totals[s] for s in srcs],
                              pa.float64())})
     return _snap_round(out, 'dup_frac', 6)
+
+
+def _money_cents(df: pd.DataFrame) -> np.ndarray:
+    """Exact int64 revenue in 1e-4 dollars: cents(price)·(100−bp(disc))
+    — the drift-proof money fold shared by the star-join reports (see
+    :func:`pricing_summary` for the fixed-decimal rationale)."""
+    pc_ = np.floor(df['l_extendedprice'].to_numpy() * 100
+                   + 0.5).astype(np.int64)
+    db = np.floor(df['l_discount'].to_numpy() * 100 + 0.5).astype(np.int64)
+    return pc_ * (100 - db)
+
+
+def revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-flavor star join: revenue per (region, nation) —
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.  Returns
+    (r_name, n_name, revenue, n_items) with revenue folded in exact
+    int64 1e-4-dollar units (no summation drift; see
+    :func:`pricing_summary`).
+
+    100-TB shape: the two BIG⋈BIG edges (orders⋈customer,
+    lineitem⋈orders) run as partitioned ``Dataset.join``s — both
+    sides corpus-scale, one hash shuffle each on the shared orderkey;
+    the join chain is ``_join_safe``-guarded (Ray 2.49 schemaless
+    empty blocks).  nation/region (25/5 rows) never shuffle: they
+    apply as a driver-side map on the 25-row folded answer.  Each
+    joined batch emits per-nationkey partials (combiner), ONE
+    groupby-sum folds them."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _join_safe
+
+    li = _read(sf_dir, 'lineitem',
+               ['l_orderkey', 'l_extendedprice', 'l_discount'])
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    cust = _read(sf_dir, 'customer', ['c_custkey', 'c_nationkey'])
+    oc = orders.join(_join_safe(cust, 8), 'inner', num_partitions=8,
+                     on=('o_custkey',), right_on=('c_custkey',))
+    j = li.join(_join_safe(oc.select_columns(['o_orderkey',
+                                              'c_nationkey']), 8),
+                'inner', num_partitions=8,
+                on=('l_orderkey',), right_on=('o_orderkey',))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({'nk': df['c_nationkey'].to_numpy(),
+                              'rev': _money_cents(df), 'n': 1})
+                .groupby('nk', as_index=False).sum())
+
+    folded = (j.map_batches(partial, batch_format='pandas')
+              .groupby('nk')
+              .aggregate(Sum('rev', alias_name='rev'),
+                         Sum('n', alias_name='n'))
+              .take_all())  # nation domain — answer-sized (≤25)
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f'{sf_dir}/nation.parquet').to_pandas()
+    reg = pq.read_table(f'{sf_dir}/region.parquet').to_pandas()
+    nmap = nat.set_index('n_nationkey')['n_name'].to_dict()
+    rmap = (nat.set_index('n_nationkey')['n_regionkey']
+            .map(reg.set_index('r_regionkey')['r_name']).to_dict())
+    out = pa.table({
+        'r_name': pa.array([rmap[int(r['nk'])] for r in folded],
+                           pa.string()),
+        'n_name': pa.array([nmap[int(r['nk'])] for r in folded],
+                           pa.string()),
+        'revenue': pa.array([float(int(r['rev'])) / 10000
+                             for r in folded], pa.float64()),
+        'n_items': pa.array([int(r['n']) for r in folded], pa.int64())})
+    return _snap_round(out, 'revenue', 4)
+
+
+def brand_volume(sf_dir: str):
+    """Sales volume per part brand — lineitem ⋈ part with the
+    BROADCAST-dim pattern (contrast :func:`revenue_by_nation`'s
+    partitioned joins): the partkey→brand map ships once via ray.put
+    and applies inside every batch; only per-brand partials shuffle.
+    Returns (p_brand, n_items, sum_qty, revenue) — qty/revenue exact
+    int64 folds.
+
+    100-TB shape: part is the classic mid-size dim — broadcast below
+    ~10^8 keys, partitioned join above (the :func:`revenue_by_nation`
+    machinery); the broadcast tier shown here is the default for the
+    2-3 GB dictionary a real part table compresses to."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f'{sf_dir}/part.parquet',
+                         columns=['p_partkey', 'p_brand'])
+    bmap = dict(zip(part.column('p_partkey').to_pylist(),
+                    part.column('p_brand').to_pylist()))
+    bref = ray.put(bmap)
+
+    li = _read(sf_dir, 'lineitem',
+               ['l_partkey', 'l_quantity', 'l_extendedprice',
+                'l_discount'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(bref)
+        q = np.floor(df['l_quantity'].to_numpy() + 0.5).astype(np.int64)
+        return (pd.DataFrame({
+            'p_brand': [m[k] for k in df['l_partkey'].to_numpy()],
+            'q': q, 'rev': _money_cents(df), 'n': 1})
+            .groupby('p_brand', as_index=False).sum())
+
+    folded = (li.map_batches(partial, batch_format='pandas')
+              .groupby('p_brand')
+              .aggregate(Sum('n', alias_name='n'),
+                         Sum('q', alias_name='q'),
+                         Sum('rev', alias_name='rev'))
+              .take_all())  # brand domain — answer-sized
+    out = pa.table({
+        'p_brand': pa.array([r['p_brand'] for r in folded], pa.string()),
+        'n_items': pa.array([int(r['n']) for r in folded], pa.int64()),
+        'sum_qty': pa.array([int(r['q']) for r in folded], pa.int64()),
+        'revenue': pa.array([float(int(r['rev'])) / 10000
+                             for r in folded], pa.float64())})
+    return _snap_round(out, 'revenue', 4)
+
+
+def supplier_nation_revenue(sf_dir: str):
+    """Revenue attributed to each SUPPLIER nation — lineitem ⋈
+    supplier ⋈ nation with both dims broadcast (supplier is the small
+    side of the TPC-H star).  Returns (n_name, n_suppliers, revenue);
+    revenue exact int64 fold.
+
+    100-TB shape: the suppkey→nationkey and nationkey→name maps ship
+    once via ray.put; only ≤|nation| partial rows per batch shuffle
+    into ONE groupby-sum.  n_suppliers counts DISTINCT suppliers with
+    ≥1 lineitem via a per-batch set partial folded the same way —
+    sets stay bounded by |supplier| (broadcast-tier contract)."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f'{sf_dir}/supplier.parquet',
+                        columns=['s_suppkey', 's_nationkey'])
+    nat = pq.read_table(f'{sf_dir}/nation.parquet',
+                        columns=['n_nationkey', 'n_name'])
+    smap = dict(zip(sup.column('s_suppkey').to_pylist(),
+                    sup.column('s_nationkey').to_pylist()))
+    sref = ray.put(smap)
+
+    li = _read(sf_dir, 'lineitem',
+               ['l_suppkey', 'l_extendedprice', 'l_discount'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(sref)
+        nk = np.array([m[k] for k in df['l_suppkey'].to_numpy()],
+                      dtype=np.int64)
+        g = (pd.DataFrame({'nk': nk, 'rev': _money_cents(df),
+                           'sk': df['l_suppkey'].to_numpy()})
+             .groupby('nk', as_index=False)
+             .agg(rev=('rev', 'sum'),
+                  sks=('sk', lambda s: '|'.join(
+                      str(x) for x in sorted(set(s))))))
+        return g
+
+    def merge_partial(g: pd.DataFrame) -> pd.DataFrame:
+        sks = set()
+        for s in g['sks']:
+            sks.update(s.split('|'))
+        return pd.DataFrame({'nk': [g['nk'].iloc[0]],
+                             'rev': pd.array([int(g['rev'].sum())],
+                                             dtype='int64'),
+                             'n_sup': pd.array([len(sks)],
+                                               dtype='int64')})
+
+    folded = (_per_key_groups(
+        li.map_batches(partial, batch_format='pandas'), 'nk',
+        merge_partial).take_all())  # nation domain — answer-sized
+
+    nmap = dict(zip(nat.column('n_nationkey').to_pylist(),
+                    nat.column('n_name').to_pylist()))
+    out = pa.table({
+        'n_name': pa.array([nmap[int(r['nk'])] for r in folded],
+                           pa.string()),
+        'n_suppliers': pa.array([int(r['n_sup']) for r in folded],
+                                pa.int64()),
+        'revenue': pa.array([float(int(r['rev'])) / 10000
+                             for r in folded], pa.float64())})
+    return _snap_round(out, 'revenue', 4)
