@@ -192,6 +192,13 @@ def run_bench():
         'zipf_slope': R.zipf_slope,
         'mirror_sources': R.mirror_sources,
         'outdeg_hist': R.outdeg_hist,
+        'pricing_summary': R.pricing_summary,
+        'kmeans_clusters': R.kmeans_clusters,
+        'revenue_by_nation': R.revenue_by_nation,
+        'unigram_entropy': R.unigram_entropy,
+        'feature_correlations': R.feature_correlations,
+        'anchor_texts': R.anchor_texts,
+        'neardup_rate_by_source': R.neardup_rate_by_source,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a
