@@ -487,6 +487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'bm25_search': R.bm25_search,
+        'retention_cohorts': R.retention_cohorts,
+        'event_transitions': R.event_transitions,
         'revenue_by_nation': R.revenue_by_nation,
         'brand_volume': R.brand_volume,
         'supplier_nation_revenue': R.supplier_nation_revenue,
@@ -894,6 +897,86 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN sy ON d.doc_id = sy.doc_id
             JOIN snt ON d.doc_id = snt.doc_id
+        """,
+        'bm25_search': r"""
+            -- BM25 top-20 for query terms (hash, join, order):
+            -- integer tf/df/dl/N, avgdl = one division, per-term
+            -- contributions added in sorted term order (the exact
+            -- op order of the Ray fold), ties at k break doc_id asc
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ),
+            st AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+                     / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM tok GROUP BY doc_id),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok WHERE w IN ('hash', 'join', 'order')
+                   GROUP BY doc_id, w),
+            df AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY w),
+            s AS (
+              SELECT tf.doc_id, tf.w,
+                     ln((st.n - df.df + 0.5::DOUBLE)
+                        / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                     * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                     / (tf.tf + 1.2::DOUBLE
+                        * (1.0::DOUBLE - 0.75::DOUBLE
+                           + 0.75::DOUBLE * dl.dl / st.avgdl)) AS s
+              FROM tf
+              JOIN dl USING (doc_id)
+              JOIN df ON tf.w = df.w
+              CROSS JOIN st
+            ),
+            sc AS (
+              SELECT doc_id,
+                     coalesce(sum(CASE WHEN w = 'hash' THEN s END),
+                              0.0::DOUBLE)
+                   + coalesce(sum(CASE WHEN w = 'join' THEN s END),
+                              0.0::DOUBLE)
+                   + coalesce(sum(CASE WHEN w = 'order' THEN s END),
+                              0.0::DOUBLE) AS score
+              FROM s GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+                   doc_id, round(score, 6) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        'retention_cohorts': """
+            -- weekly cohort retention triangle: cohort = Monday week
+            -- of first event; one row per (cohort, offset) counting
+            -- distinct active users
+            WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                       FROM events GROUP BY user_id),
+            w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                  FROM events)
+            SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', f.cw, w.wk) // 7
+                        AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM w JOIN f ON w.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
+        'event_transitions': """
+            -- per-user consecutive event-type pairs in (ts, event_id)
+            -- order - the first-order Markov transition matrix
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY 1, 2
         """,
         'revenue_by_nation': """
             -- Q5-flavor star join, exact 1e-4-dollar integer fold

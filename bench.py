@@ -199,6 +199,9 @@ def run_bench():
         'feature_correlations': R.feature_correlations,
         'anchor_texts': R.anchor_texts,
         'neardup_rate_by_source': R.neardup_rate_by_source,
+        'bm25_search': R.bm25_search,
+        'retention_cohorts': R.retention_cohorts,
+        'event_transitions': R.event_transitions,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

@@ -2049,3 +2049,101 @@ def test_supplier_nation_revenue_planted(ray_session, tmp_path):
                                        'revenue': 115.0}
     assert out.loc['BB'].to_dict() == {'n_suppliers': 1,
                                        'revenue': 200.0}
+
+
+def test_bm25_search_planted(ray_session, tmp_path):
+    """tf/dl/df/N hand-checkable: doc 0 matches two terms twice, doc 1
+    one term once, doc 2 none; scores match an independent in-test
+    BM25 computation and order (score desc, doc_id asc)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import bm25_search
+
+    texts = ['hash join order hash',        # dl 4, tf hash=2 join=1 order=1
+             'hash aa bb cc dd',            # dl 5, tf hash=1
+             'nothing relevant here at all',
+             'join']                        # dl 1, tf join=1
+    t = pa.table({'doc_id': pa.array(range(4), pa.int64()),
+                  'text': pa.array(texts, pa.string()),
+                  'lang': pa.array(['en'] * 4),
+                  'source': pa.array(['s'] * 4),
+                  'n_chars': pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / 'documents.parquet'))
+
+    out = bm25_search(str(tmp_path)).to_pandas()
+    n, avgdl, k1, b = 4, (4 + 5 + 5 + 1) / 4.0, 1.2, 0.75
+
+    def s(tf, dl, df):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    exp0 = s(2, 4, 2) + s(1, 4, 2) + s(1, 4, 1)   # hash + join + order
+    exp1 = s(1, 5, 2)
+    exp3 = s(1, 1, 2)
+    assert list(out['doc_id']) == [0, 3, 1]       # doc 2 never scored
+    assert list(out['rk']) == [1, 2, 3]
+    assert out['score'].tolist() == pytest.approx(
+        [round(exp0, 6), round(exp3, 6), round(exp1, 6)], abs=1e-6)
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """Cohort = week of first event; offsets count Monday weeks; user
+    counts merge across the per-user folds."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import retention_cohorts
+
+    # 2024-01-01 is a Monday.  u1: weeks 0 and 2; u2: week 0 only
+    # (two events same week count once); u3 cohorts one week later.
+    rows = [(1, dt.datetime(2024, 1, 2)), (1, dt.datetime(2024, 1, 16)),
+            (2, dt.datetime(2024, 1, 3)), (2, dt.datetime(2024, 1, 4)),
+            (3, dt.datetime(2024, 1, 9))]
+    t = pa.table({'event_id': pa.array(range(len(rows)), pa.int64()),
+                  'ts': pa.array([r[1] for r in rows], pa.timestamp('us')),
+                  'user_id': pa.array([r[0] for r in rows], pa.int64()),
+                  'event_type': pa.array(['view'] * len(rows)),
+                  'value': pa.array([1.0] * len(rows)),
+                  'props': pa.array([''] * len(rows))})
+    pq.write_table(t, str(tmp_path / 'events.parquet'))
+
+    out = (retention_cohorts(str(tmp_path)).to_pandas()
+           .sort_values(['cohort_week', 'week_offset'])
+           .reset_index(drop=True))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [('2024-01-01', 0, 2),   # u1 + u2 active cohort week
+                   ('2024-01-01', 2, 1),   # u1 back in week 2
+                   ('2024-01-08', 0, 1)]   # u3's own cohort
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    """Pairs follow (ts, event_id) order within user — equal ts breaks
+    by event_id; no pairs cross users; counts merge."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from webscraping_ray.pipelines.relational import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    # u1: a(t0,id0) b(t0,id1 — ts tie, id orders it) a(t0+1h)
+    # u2: b b  -> (b,b)
+    rows = [(0, t0, 1, 'a'), (1, t0, 1, 'b'),
+            (2, t0 + dt.timedelta(hours=1), 1, 'a'),
+            (3, t0, 2, 'b'), (4, t0 + dt.timedelta(hours=1), 2, 'b')]
+    t = pa.table({'event_id': pa.array([r[0] for r in rows], pa.int64()),
+                  'ts': pa.array([r[1] for r in rows], pa.timestamp('us')),
+                  'user_id': pa.array([r[2] for r in rows], pa.int64()),
+                  'event_type': pa.array([r[3] for r in rows]),
+                  'value': pa.array([1.0] * len(rows)),
+                  'props': pa.array([''] * len(rows))})
+    pq.write_table(t, str(tmp_path / 'events.parquet'))
+
+    out = (event_transitions(str(tmp_path)).to_pandas()
+           .sort_values(['from_type', 'to_type']).reset_index(drop=True))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [('a', 'b', 1), ('b', 'a', 1), ('b', 'b', 1)]

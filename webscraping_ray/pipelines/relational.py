@@ -6744,3 +6744,228 @@ def supplier_nation_revenue(sf_dir: str):
         'revenue': pa.array([float(int(r['rev'])) / 10000
                              for r in folded], pa.float64())})
     return _snap_round(out, 'revenue', 4)
+
+
+def bm25_search(sf_dir: str, query: str = 'hash join order', k: int = 20,
+                k1: float = 1.2, b: float = 0.75):
+    """BM25 top-``k`` keyword search over the corpus — the retrieval
+    primitive behind quality-by-query curation and search-engine-style
+    corpus probes (Robertson & Zaragoza 2009's BM25 with the standard
+    `ln((N - df + 0.5)/(df + 0.5) + 1)` idf).
+
+    Determinism across engines: dl / tf / df / N are exact integers,
+    avgdl is the single division sum_dl/N, and each doc's score sums
+    its per-term contributions in SORTED term order — the DuckDB
+    mirror pivots per term and adds in the same written order, so the
+    doubles are bit-identical (plus a 6dp round on output).  Ties at
+    the k boundary break on doc_id asc.
+
+    100-TB shape: ONE tokenize pass emits per-batch corpus-stats rows
+    (n_docs, sum_dl) and sparse per-(doc, term) tf candidates into a
+    materialized scratch; df folds from an answer-sized (≤ n_terms)
+    groupby; scoring is a `_per_key_groups` fold over candidate docs
+    with per-block partial top-k, so the driver merges ≤ 64·k rows.
+    Returns (rk, doc_id, score)."""
+    from collections import Counter
+
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    terms = sorted(set(query.lower().split()))
+    tset = set(terms)
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, tms, tfs, dls = [], [], [], []
+        n_docs, sum_dl = 0, 0
+        for did, txt in zip(t.column('doc_id').to_pylist(),
+                            t.column('text').to_pylist()):
+            toks = _TOKEN_RE.findall((txt or '').lower())
+            n_docs += 1
+            sum_dl += len(toks)
+            c = Counter(tok for tok in toks if tok in tset)
+            for tm, tf in c.items():
+                ids.append(did)
+                tms.append(tm)
+                tfs.append(tf)
+                dls.append(len(toks))
+        # one stats row per batch: term='' marks it (no \w term is '')
+        ids.append(None)
+        tms.append('')
+        tfs.append(n_docs)
+        dls.append(sum_dl)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'term': pa.array(tms, pa.string()),
+                         'tf': pa.array(tfs, pa.int64()),
+                         'dl': pa.array(dls, pa.int64())})
+
+    # scratch: one row per (candidate doc, matched term) + one per block
+    rows = (ds.map_batches(partial, batch_format='pyarrow')
+            .materialize())
+
+    import pyarrow.compute as pc
+
+    stats = (rows.map_batches(
+        lambda t: t.filter(pc.equal(t['term'], '')),
+        batch_format='pyarrow')
+        .aggregate(Sum('tf'), Sum('dl')))
+    n_total = int(stats['sum(tf)'] or 0)
+    sum_dl = int(stats['sum(dl)'] or 0)
+    if n_total == 0:
+        return pa.table({'rk': pa.array([], pa.int64()),
+                         'doc_id': pa.array([], pa.int64()),
+                         'score': pa.array([], pa.float64())})
+    avgdl = float(sum_dl) / n_total
+
+    cands = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t['term'], '')),
+        batch_format='pyarrow')
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(t.column('term').to_pylist())
+        return pa.table({'term': pa.array(list(c.keys()), pa.string()),
+                         'n': pa.array(list(c.values()), pa.int64())})
+
+    dfs = {r['term']: int(r['n'])
+           for r in (cands.map_batches(df_partial, batch_format='pyarrow')
+                     .groupby('term').aggregate(Sum('n', alias_name='n'))
+                     .take_all())}  # ≤ n_terms rows — answer-sized
+    idf = {t: math.log((n_total - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+           for t in terms if t in dfs}
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # per-doc score: per-term contributions added in sorted term
+        # order (mirrors the SQL pivot's written order exactly)
+        out_ids, out_sc = [], []
+        for did, sub in g.groupby('doc_id', sort=False, dropna=False):
+            per = {t: (int(tf), int(dl)) for t, tf, dl in
+                   zip(sub['term'], sub['tf'], sub['dl'])}
+            s = 0.0
+            for t in terms:
+                if t not in per or t not in idf:
+                    continue
+                tf, dl = per[t]
+                s += (idf[t] * (tf * (k1 + 1.0))
+                      / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            out_ids.append(did)
+            out_sc.append(s)
+        return pd.DataFrame({'doc_id': pd.array(out_ids, dtype='int64'),
+                             'score': out_sc})
+
+    scored = _per_key_groups(cands, 'doc_id', fold)
+
+    def block_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(['score', 'doc_id'],
+                             ascending=[False, True]).head(k)
+
+    top = (scored.map_batches(block_topk, batch_format='pandas')
+           .take_all())  # ≤ buckets·k rows — answer-sized
+    top.sort(key=lambda r: (-r['score'], r['doc_id']))
+    top = top[:k]
+    out = pa.table({
+        'rk': pa.array(range(1, len(top) + 1), pa.int64()),
+        'doc_id': pa.array([int(r['doc_id']) for r in top], pa.int64()),
+        'score': pa.array([float(r['score']) for r in top], pa.float64())})
+    return _snap_round(out, 'score', 6)
+
+
+def retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix over the event stream — users
+    cohorted by the Monday-truncated week of their FIRST event; one
+    row per (cohort_week, week_offset) counting users active in that
+    offset week (offset 0 = the cohort week itself).  The standard
+    retention triangle every engagement dashboard draws.
+
+    100-TB shape: one `_per_key_groups` fold per user (first-week +
+    distinct active weeks — the per-user state is a handful of week
+    stamps) emits (cohort, offset) marks; per-batch count partials →
+    ONE groupby-sum over the answer-sized cohort×offset domain."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['user_id', 'ts'])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        wk = g['ts'].dt.to_period('W-SUN').dt.start_time  # Monday trunc
+        cohorts, offsets = [], []
+        for _, sub in g.assign(wk=wk).groupby('user_id', sort=False,
+                                               dropna=False):
+            cw = sub['wk'].min()
+            for w in sub['wk'].unique():
+                cohorts.append(cw)
+                offsets.append(int((w - cw).days) // 7)
+        return pd.DataFrame({
+            'cohort_week': pd.Series(cohorts).dt.strftime('%Y-%m-%d'),
+            'week_offset': pd.array(offsets, dtype='int64')})
+
+    marks = _per_key_groups(ds, 'user_id', per_user)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(zip(t.column('cohort_week').to_pylist(),
+                                 t.column('week_offset').to_pylist()))
+        ks = list(c.keys())
+        return pa.table({
+            'cohort_week': pa.array([x[0] for x in ks], pa.string()),
+            'week_offset': pa.array([x[1] for x in ks], pa.int64()),
+            'n': pa.array(list(c.values()), pa.int64())})
+
+    out = (marks.map_batches(partial, batch_format='pyarrow')
+           .groupby(['cohort_week', 'week_offset'])
+           .aggregate(Sum('n', alias_name='n_users')))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or 'n_users' not in t.schema.names:
+            return pa.table({'cohort_week': pa.array([], pa.string()),
+                             'week_offset': pa.array([], pa.int64()),
+                             'n_users': pa.array([], pa.int64())})
+        idx = t.schema.get_field_index('n_users')
+        return t.set_column(idx, 'n_users',
+                            t['n_users'].cast(pa.int64()))
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+def event_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the first-order Markov
+    matrix over the behavior stream) — consecutive events in (ts,
+    event_id) order within each user contribute one (from_type,
+    to_type) pair; the matrix feeds next-action models and anomaly
+    scores.  Returns (from_type, to_type, n).
+
+    100-TB shape: the per-user ordered zip runs in `_per_key_groups`
+    coarse buckets emitting per-group partial counts (≤ |types|² rows
+    each); ONE groupby-sum over the answer-sized type×type domain."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['user_id', 'event_id', 'ts',
+                                  'event_type'])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for _, sub in g.groupby('user_id', sort=False, dropna=False):
+            et = sub.sort_values(['ts', 'event_id'])['event_type'].tolist()
+            c.update(zip(et, et[1:]))
+        ks = list(c.keys())
+        return pd.DataFrame({
+            'from_type': [x[0] for x in ks],
+            'to_type': [x[1] for x in ks],
+            'n': pd.array(list(c.values()), dtype='int64')})
+
+    out = (_per_key_groups(ds, 'user_id', pairs)
+           .groupby(['from_type', 'to_type'])
+           .aggregate(Sum('n', alias_name='n')))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or 'n' not in t.schema.names:
+            return pa.table({'from_type': pa.array([], pa.string()),
+                             'to_type': pa.array([], pa.string()),
+                             'n': pa.array([], pa.int64())})
+        idx = t.schema.get_field_index('n')
+        return t.set_column(idx, 'n', t['n'].cast(pa.int64()))
+
+    return out.map_batches(finish, batch_format='pyarrow')
