@@ -487,6 +487,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'forecast_revenue': R.forecast_revenue,
+        'promo_revenue_share': R.promo_revenue_share,
+        'top_volume_orders': R.top_volume_orders,
+        'customer_order_dist': R.customer_order_dist,
         'bm25_search': R.bm25_search,
         'retention_cohorts': R.retention_cohorts,
         'event_transitions': R.event_transitions,
@@ -977,6 +981,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY 1, 2
+        """,
+        'forecast_revenue': """
+            -- Q6-flavor scan-agg, exact 1e-4-dollar integer fold;
+            -- discount band on rounded basis points, not float equality
+            SELECT round(CAST(sum(
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 10000, 4) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                    BETWEEN 4 AND 6
+              AND l_quantity < 24
+        """,
+        'promo_revenue_share': """
+            -- Q14-flavor promotion effect: two exact integer folds,
+            -- pct is the single division of those identical integers
+            WITH x AS (
+              SELECT CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                   AS BIGINT)) AS rev,
+                     (p.p_type LIKE 'PROMO%') AS isp
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+            SELECT round(CAST(sum(CASE WHEN isp THEN rev ELSE 0 END)
+                              AS DOUBLE) / 10000, 4) AS promo_revenue,
+                   round(CAST(sum(rev) AS DOUBLE) / 10000, 4)
+                     AS total_revenue,
+                   round(100.0 * CAST(sum(CASE WHEN isp THEN rev
+                                              ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+            FROM x
+        """,
+        'top_volume_orders': """
+            -- Q18-flavor large-volume customers, top-100 by
+            -- (o_totalprice desc, o_orderkey asc)
+            WITH h AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 300)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, h.sum_qty
+            FROM h
+            JOIN orders o ON h.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        'customer_order_dist': """
+            -- Q13-flavor: customers by order count, incl. zero-order
+            WITH pc AS (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY c_count
         """,
         'revenue_by_nation': """
             -- Q5-flavor star join, exact 1e-4-dollar integer fold

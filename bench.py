@@ -202,6 +202,10 @@ def run_bench():
         'bm25_search': R.bm25_search,
         'retention_cohorts': R.retention_cohorts,
         'event_transitions': R.event_transitions,
+        'forecast_revenue': R.forecast_revenue,
+        'promo_revenue_share': R.promo_revenue_share,
+        'top_volume_orders': R.top_volume_orders,
+        'customer_order_dist': R.customer_order_dist,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

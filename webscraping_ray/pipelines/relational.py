@@ -6746,6 +6746,216 @@ def supplier_nation_revenue(sf_dir: str):
     return _snap_round(out, 'revenue', 4)
 
 
+def forecast_revenue(sf_dir: str, date_from: str = '1997-01-01',
+                     date_to: str = '1998-01-01'):
+    """TPC-H Q6-flavor forecast: revenue delta from dropping small
+    discounts — ``sum(extendedprice * discount)`` over a one-year
+    shipdate window, discount 4–6 bp, quantity < 24.  Returns ONE row
+    (revenue, n_items); revenue folds in exact int64 1e-4-dollar units
+    (cents × basis points — see :func:`pricing_summary`).
+
+    100-TB shape: the cheapest possible plan — pruned 4-column read,
+    per-batch mask + int fold (combiner), ONE global ``aggregate``
+    (no shuffle, no join, no driver loop).  The discount band tests
+    rounded basis points, not float equality."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_from)
+    hi = np.datetime64(date_to)
+    li = _read(sf_dir, 'lineitem',
+               ['l_shipdate', 'l_extendedprice', 'l_discount',
+                'l_quantity'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df['l_shipdate'].to_numpy()
+        db = np.floor(df['l_discount'].to_numpy() * 100
+                      + 0.5).astype(np.int64)
+        mask = ((sd >= lo) & (sd < hi) & (db >= 4) & (db <= 6)
+                & (df['l_quantity'].to_numpy() < 24))
+        pc_ = np.floor(df['l_extendedprice'].to_numpy()[mask] * 100
+                       + 0.5).astype(np.int64)
+        return pd.DataFrame({'rev': [int((pc_ * db[mask]).sum())],
+                             'n': [int(mask.sum())]})
+
+    agg = (li.map_batches(partial, batch_format='pandas')
+           .aggregate(Sum('rev', alias_name='rev'),
+                      Sum('n', alias_name='n')))
+    out = pa.table({
+        'revenue': pa.array([float(int(agg['rev'])) / 10000],
+                            pa.float64()),
+        'n_items': pa.array([int(agg['n'])], pa.int64())})
+    return _snap_round(out, 'revenue', 4)
+
+
+def promo_revenue_share(sf_dir: str, date_from: str = '1997-01-01',
+                        date_to: str = '1998-01-01'):
+    """TPC-H Q14-flavor promotion effect: share of revenue from PROMO
+    parts in a shipdate window.  Returns ONE row (promo_revenue,
+    total_revenue, promo_pct); both revenues fold as exact int64
+    1e-4-dollar units, and promo_pct is the single division
+    ``100·promo/total`` of those two identical integers, so the double
+    is bit-identical across engines (plus a 6dp round).
+
+    100-TB shape: the partkey→is-promo bitmap broadcasts once via
+    ``ray.put`` (the classic mid-size dim — below ~10^8 keys; the
+    partitioned-join tier is :func:`revenue_by_nation`'s machinery);
+    each batch folds TWO ints, ONE global aggregate, no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f'{sf_dir}/part.parquet',
+                         columns=['p_partkey', 'p_type'])
+    promo = {k for k, t in zip(part.column('p_partkey').to_pylist(),
+                               part.column('p_type').to_pylist())
+             if t.startswith('PROMO')}
+    pref = ray.put(promo)
+    lo = np.datetime64(date_from)
+    hi = np.datetime64(date_to)
+
+    li = _read(sf_dir, 'lineitem',
+               ['l_partkey', 'l_shipdate', 'l_extendedprice',
+                'l_discount'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pset = ray.get(pref)
+        sd = df['l_shipdate'].to_numpy()
+        sub = df[(sd >= lo) & (sd < hi)]
+        rev = _money_cents(sub)
+        isp = np.fromiter((k in pset for k in sub['l_partkey']
+                           .to_numpy()), dtype=bool, count=len(sub))
+        return pd.DataFrame({'promo': [int(rev[isp].sum())],
+                             'total': [int(rev.sum())]})
+
+    agg = (li.map_batches(partial, batch_format='pandas')
+           .aggregate(Sum('promo', alias_name='promo'),
+                      Sum('total', alias_name='total')))
+    p, t = int(agg['promo']), int(agg['total'])
+    out = pa.table({
+        'promo_revenue': pa.array([float(p) / 10000], pa.float64()),
+        'total_revenue': pa.array([float(t) / 10000], pa.float64()),
+        'promo_pct': pa.array([100.0 * p / t if t else 0.0],
+                              pa.float64())})
+    out = _snap_round(out, 'promo_revenue', 4)
+    out = _snap_round(out, 'total_revenue', 4)
+    return _snap_round(out, 'promo_pct', 6)
+
+
+def top_volume_orders(sf_dir: str, min_qty: int = 300, k: int = 100):
+    """TPC-H Q18-flavor large-volume customers: orders whose total
+    quantity exceeds ``min_qty``, top-``k`` by (o_totalprice desc,
+    o_orderkey asc), with the customer name attached.  Returns
+    (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty).
+
+    100-TB shape: per-batch (orderkey, qty) partials combine BEFORE
+    the orderkey groupby-sum (one corpus-scale shuffle); the heavy-set
+    filter stays a Dataset (can be huge — no driver fold), joins
+    orders via a partitioned ``Dataset.join``; the top-k then folds
+    via per-block partial top-k so the driver merges ≤ 64·k rows; only
+    the ≤ k winning custkeys' names are fetched (pruned read +
+    broadcast-sized map)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _join_safe
+
+    li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity'])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df['l_quantity'].to_numpy() + 0.5).astype(np.int64)
+        return (pd.DataFrame({'l_orderkey': df['l_orderkey'].to_numpy(),
+                              'q': q})
+                .groupby('l_orderkey', as_index=False).sum())
+
+    heavy = (li.map_batches(qty_partial, batch_format='pandas')
+             .groupby('l_orderkey')
+             .aggregate(Sum('q', alias_name='sum_qty'))
+             .filter(expr=f'sum_qty > {int(min_qty)}'))
+
+    orders = _read(sf_dir, 'orders',
+                   ['o_orderkey', 'o_custkey', 'o_orderdate',
+                    'o_totalprice'])
+    j = orders.join(_join_safe(heavy, 8), 'inner', num_partitions=8,
+                    on=('o_orderkey',), right_on=('l_orderkey',))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(['o_totalprice', 'o_orderkey'],
+                              ascending=[False, True]).head(k)
+
+    cand = (j.map_batches(block_topk, batch_format='pandas')
+            .take_all())  # ≤ k per block — answer-sized merge
+    top = (pd.DataFrame(cand)
+           .sort_values(['o_totalprice', 'o_orderkey'],
+                        ascending=[False, True]).head(k))
+
+    need = set(int(x) for x in top['o_custkey'])
+    ct = pq.read_table(f'{sf_dir}/customer.parquet',
+                       columns=['c_custkey', 'c_name'])
+    nmap = {k_: n for k_, n in zip(ct.column('c_custkey').to_pylist(),
+                                   ct.column('c_name').to_pylist())
+            if k_ in need}
+    return pa.table({
+        'c_name': pa.array([nmap[int(x)] for x in top['o_custkey']],
+                           pa.string()),
+        'c_custkey': pa.array(top['o_custkey'].astype('int64'),
+                              pa.int64()),
+        'o_orderkey': pa.array(top['o_orderkey'].astype('int64'),
+                               pa.int64()),
+        'o_orderdate': pa.array(top['o_orderdate']
+                                .astype('datetime64[us]')),
+        'o_totalprice': pa.array(top['o_totalprice'].astype('float64'),
+                                 pa.float64()),
+        'sum_qty': pa.array(top['sum_qty'].astype('int64'), pa.int64())})
+
+
+def customer_order_dist(sf_dir: str):
+    """TPC-H Q13-flavor customer distribution: how many customers
+    placed exactly N orders, INCLUDING the zero-order customers.
+    Returns (c_count, custdist).
+
+    100-TB shape: orders fold per-batch ``value_counts`` partials into
+    ONE custkey groupby-sum (the only corpus-scale shuffle); the
+    distribution is a second groupby over the per-customer counts —
+    answer-sized (≤ max orders per customer).  Zero-order customers
+    come from arithmetic (|customer| − |custkeys with ≥1 order|, the
+    left-join-null trick without the join): the customer row count is
+    a metadata-only ``count()`` on a single-column pruned read."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, 'orders', ['o_custkey'])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df['o_custkey'].value_counts()
+        return pd.DataFrame({'o_custkey': vc.index.to_numpy(),
+                             'n': vc.to_numpy().astype(np.int64)})
+
+    per_cust = (orders.map_batches(cnt_partial, batch_format='pandas')
+                .groupby('o_custkey')
+                .aggregate(Sum('n', alias_name='c_count')))
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df['c_count'].value_counts()
+        return pd.DataFrame({'c_count': vc.index.to_numpy()
+                             .astype(np.int64),
+                             'd': vc.to_numpy().astype(np.int64)})
+
+    folded = (per_cust.map_batches(dist_partial, batch_format='pandas')
+              .groupby('c_count')
+              .aggregate(Sum('d', alias_name='custdist'))
+              .take_all())  # ≤ max orders/customer — answer-sized
+
+    n_customers = _read(sf_dir, 'customer', ['c_custkey']).count()
+    with_orders = sum(int(r['custdist']) for r in folded)
+    rows = [(int(r['c_count']), int(r['custdist'])) for r in folded]
+    if n_customers > with_orders:
+        rows.append((0, n_customers - with_orders))
+    rows.sort()
+    return pa.table({
+        'c_count': pa.array([r[0] for r in rows], pa.int64()),
+        'custdist': pa.array([r[1] for r in rows], pa.int64())})
+
+
 def bm25_search(sf_dir: str, query: str = 'hash join order', k: int = 20,
                 k1: float = 1.2, b: float = 0.75):
     """BM25 top-``k`` keyword search over the corpus — the retrieval
