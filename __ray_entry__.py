@@ -282,6 +282,49 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     """
 
 
+def _host_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Domain-level PageRank over the by-construction DISTINCT host
+    adjacency (each present host h links to itself — every doc emits
+    same-host q/img links — and to host (h+1) % 8).  Same
+    ascending-sorted contribution folds as :func:`_pagerank_sql` for
+    bit-exact float parity with relational._pagerank_fold."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    levels = []
+    for i in range(1, iters + 1):
+        p = f'r{i - 1}'
+        levels.append(f"""
+            f{i} AS (SELECT e.dst AS host,
+                       list_reduce(list_sort(list(p.r / e.outdeg)),
+                                   (a, b) -> a + b) AS s
+                     FROM e JOIN {p} p ON e.src = p.host GROUP BY e.dst),
+            r{i} AS (SELECT nodes.host,
+                       {base} / (SELECT n FROM nn)
+                       + {d} * COALESCE(f{i}.s, 0.0) AS r
+                     FROM nodes LEFT JOIN f{i} USING (host))""")
+    return f"""
+      WITH hed AS (
+        SELECT DISTINCT 'src' || (doc_id % 8) || '.com' AS src,
+               'src' || (doc_id % 8) || '.com' AS dst
+        FROM documents
+        UNION
+        SELECT DISTINCT 'src' || (doc_id % 8) || '.com',
+               'src' || ((doc_id % 8) + 1) % 8 || '.com'
+        FROM documents),
+      od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+             FROM hed GROUP BY src),
+      e AS (SELECT hed.src, hed.dst, od.outdeg
+            FROM hed JOIN od USING (src)),
+      nodes AS (SELECT DISTINCT host FROM
+                (SELECT src AS host FROM hed
+                 UNION ALL SELECT dst FROM hed)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+      {','.join(levels)}
+      SELECT host, round(r, 6) AS pagerank FROM r{iters}
+    """
+
+
 def _hits_sql(iters: int = 3) -> str:
     """HITS over the same by-construction link graph as
     ``_pagerank_sql``, unrolled ``iters`` unnormalized rounds with one
@@ -487,6 +530,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'host_pagerank': R.host_pagerank,
+        'winnow_fingerprints': R.winnow_fingerprints,
+        'events_anomaly': R.events_anomaly,
+        'rfm_scores': R.rfm_scores,
         'forecast_revenue': R.forecast_revenue,
         'promo_revenue_share': R.promo_revenue_share,
         'top_volume_orders': R.top_volume_orders,
@@ -981,6 +1028,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY 1, 2
+        """,
+        'host_pagerank': _host_pagerank_sql(),
+        'winnow_fingerprints': """
+            -- Winnowing (Schleimer et al. 2003): distinct window-min
+            -- 8-gram rolling hashes, window 16; same 31-bit Horner
+            -- hash as the fingerprints oracle
+            WITH chars AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '(?s).'),
+                                    c -> unicode(c)) AS vals
+              FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(vals) < 8 THEN
+                      [CAST(list_reduce(
+                         list_prepend(CAST(0 AS BIGINT), vals),
+                         (h, v) -> (h * 1000003 + v) % 2147483647)
+                       AS BIGINT)]
+                    ELSE list_transform(range(1, len(vals) - 6),
+                      i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT), vals[i:i+7]),
+                        (h, v) -> (h * 1000003 + v) % 2147483647))
+                    END AS hs
+                  FROM chars),
+            w AS (SELECT doc_id,
+                    CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+                    ELSE list_transform(range(1, len(hs) - 14),
+                                        j -> list_min(hs[j:j+15]))
+                    END AS fps
+                  FROM g)
+            SELECT DISTINCT doc_id, fp FROM
+              (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w)
+        """,
+        'events_anomaly': """
+            -- trailing-7-row z-score from two INTEGER window sums
+            WITH dc AS (
+              SELECT date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            w AS (SELECT day, n,
+                    CAST(count(*) OVER win AS BIGINT) AS cnt,
+                    CAST(sum(n) OVER win AS BIGINT) AS s1,
+                    CAST(sum(n * n) OVER win AS BIGINT) AS s2
+                  FROM dc
+                  WINDOW win AS (ORDER BY day
+                                 ROWS BETWEEN 7 PRECEDING
+                                          AND 1 PRECEDING))
+            SELECT day, n,
+                   round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
+                         / sqrt(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 49),
+                         6) AS z
+            FROM w WHERE cnt = 7 AND 7 * s2 - s1 * s1 > 0
+        """,
+        'rfm_scores': """
+            -- exact rank-arithmetic quintiles (ties break on user_id)
+            WITH pu AS (
+              SELECT user_id, max(ts) AS mts,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY user_id),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+            r AS (SELECT user_id,
+                    1 + (5 * (row_number() OVER (ORDER BY mts, user_id)
+                              - 1)) // (SELECT n FROM nn) AS r_score,
+                    1 + (5 * (row_number() OVER (ORDER BY freq, user_id)
+                              - 1)) // (SELECT n FROM nn) AS f_score,
+                    1 + (5 * (row_number() OVER (ORDER BY cents, user_id)
+                              - 1)) // (SELECT n FROM nn) AS m_score
+                  FROM pu)
+            SELECT user_id, CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(100 * r_score + 10 * f_score + m_score
+                        AS BIGINT) AS rfm
+            FROM r
         """,
         'forecast_revenue': """
             -- Q6-flavor scan-agg, exact 1e-4-dollar integer fold;

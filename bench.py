@@ -206,6 +206,10 @@ def run_bench():
         'promo_revenue_share': R.promo_revenue_share,
         'top_volume_orders': R.top_volume_orders,
         'customer_order_dist': R.customer_order_dist,
+        'host_pagerank': R.host_pagerank,
+        'winnow_fingerprints': R.winnow_fingerprints,
+        'events_anomaly': R.events_anomaly,
+        'rfm_scores': R.rfm_scores,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

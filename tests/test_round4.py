@@ -288,3 +288,90 @@ def test_source_quality_filter_tiers_equal(ray_session):
     join = _canon(R.source_quality_filter(SF, force_join=True))
     pd.testing.assert_frame_equal(join, base, check_dtype=False)
     assert len(base) > 0
+
+
+def test_host_pagerank_tiers_equal(ray_session, monkeypatch):
+    """Driver fold vs _pagerank_dataset tier on the same host graph —
+    both use ascending-sorted contribution folds, so the 6dp-rounded
+    ranks must agree exactly."""
+    want = _canon(R.host_pagerank(SF))
+    monkeypatch.setattr(R, 'PAGERANK_DRIVER_EDGE_LIMIT', 0)
+    got = _canon(R.host_pagerank(SF))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) >= 8  # all 8 synthetic hosts present
+
+
+def test_winnow_matches_naive(ray_session, tmp_path):
+    """Vectorized winnowing == the textbook per-window loop, including
+    the <k and <window edge tiers."""
+    texts = ['', 'ab', 'abcdefg',              # < k: whole-string hash
+             'abcdefghij',                     # grams but <= window
+             'the quick brown fox jumps over the lazy dog ' * 8,
+             'aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa']  # constant grams
+    pq.write_table(pa.table({
+        'doc_id': pa.array(range(len(texts)), pa.int64()),
+        'text': pa.array(texts, pa.string())}),
+        str(tmp_path / 'documents.parquet'))
+    got = (R.winnow_fingerprints(str(tmp_path)).to_pandas()
+           .sort_values(['doc_id', 'fp']).reset_index(drop=True))
+
+    B, M, k, w = 1_000_003, (1 << 31) - 1, 8, 16
+
+    def naive(s):
+        if len(s) < k:
+            h = 0
+            for ch in s:
+                h = (h * B + ord(ch)) % M
+            return {h}
+        hs = []
+        for i in range(len(s) - k + 1):
+            h = 0
+            for ch in s[i:i + k]:
+                h = (h * B + ord(ch)) % M
+            hs.append(h)
+        if len(hs) <= w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    want = []
+    for did, s in enumerate(texts):
+        want.extend((did, f) for f in sorted(naive(s)))
+    assert list(map(tuple, got[['doc_id', 'fp']].itertuples(
+        index=False))) == want
+
+
+def test_rfm_quintiles_balanced(ray_session):
+    t = R.rfm_scores(SF).to_pandas()
+    assert len(t) > 0 and t['user_id'].is_unique
+    for c in ('r_score', 'f_score', 'm_score'):
+        vc = t[c].value_counts()
+        assert set(vc.index) <= {1, 2, 3, 4, 5}
+        assert vc.max() - vc.min() <= 1  # exact rank arithmetic
+    assert (t['rfm'] == 100 * t['r_score'] + 10 * t['f_score']
+            + t['m_score']).all()
+
+
+def test_top_volume_orders_matches_naive(ray_session):
+    li = pq.read_table(f'{SF}/lineitem.parquet').to_pandas()
+    orders = pq.read_table(f'{SF}/orders.parquet').to_pandas()
+    cust = pq.read_table(f'{SF}/customer.parquet').to_pandas()
+    qty = (li.assign(q=np.floor(li['l_quantity'] + 0.5).astype('int64'))
+           .groupby('l_orderkey', as_index=False)['q'].sum())
+    heavy = qty[qty['q'] > 300]
+    j = (heavy.merge(orders, left_on='l_orderkey', right_on='o_orderkey')
+         .merge(cust, left_on='o_custkey', right_on='c_custkey')
+         .sort_values(['o_totalprice', 'o_orderkey'],
+                      ascending=[False, True]).head(100))
+    got = R.top_volume_orders(SF).to_pandas()
+    assert got['o_orderkey'].tolist() == j['o_orderkey'].tolist()
+    assert got['sum_qty'].tolist() == j['q'].tolist()
+    assert got['c_name'].tolist() == j['c_name'].tolist()
+
+
+def test_events_anomaly_window_contract(ray_session):
+    t = R.events_anomaly(SF).to_pandas()
+    # 30 days of synthetic events, 7-day trailing window → ≤ 23 rows,
+    # every row needs a full window
+    assert 0 < len(t) <= 23
+    assert t['day'].is_monotonic_increasing
+    assert np.isfinite(t['z']).all()

@@ -6956,6 +6956,201 @@ def customer_order_dist(sf_dir: str):
         'custdist': pa.array([r[1] for r in rows], pa.int64())})
 
 
+def host_pagerank(sf_dir: str, iters: int = 3, damping: float = 0.85):
+    """Domain-level PageRank: the power iteration of :func:`pagerank`
+    over the DISTINCT host adjacency (the standard domain-rank
+    formulation — host graphs collapse multiplicity).  Returns
+    (host, pagerank); bit-identical to the SQL oracle via the same
+    ascending-sorted contribution folds.
+
+    100-TB shape: hosts are orders of magnitude fewer than urls, and
+    the edge list arrives ALREADY aggregated by :func:`host_graph`
+    (per-batch Counter partials → one groupby-sum), so the distinct
+    host-pair table is the only thing that leaves the extraction.
+    Tiered like :func:`pagerank`: driver fold at answer size,
+    `_pagerank_dataset` joins above ``PAGERANK_DRIVER_EDGE_LIMIT``."""
+    eds = (host_graph(sf_dir)
+           .select_columns(['src_host', 'dst_host'])
+           .materialize())  # post-aggregation: |distinct host pairs|
+    if eds.count() <= PAGERANK_DRIVER_EDGE_LIMIT:
+        rows = eds.take_all()
+        t = _pagerank_fold([r['src_host'] for r in rows],
+                           [r['dst_host'] for r in rows],
+                           iters, damping)
+    else:
+        ds = _pagerank_dataset(
+            eds.map_batches(
+                lambda b: pa.table({'src': b['src_host'],
+                                    'dst': b['dst_host']}),
+                batch_format='pyarrow'), iters, damping)
+        t = pa.concat_tables(
+            ds.iter_batches(batch_format='pyarrow'))  # host domain
+    return t.rename_columns(['host', 'pagerank'])
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 16):
+    """Winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003): the distinct set of window-minimum k-gram rolling
+    hashes per document — the local plagiarism/copy-detection
+    fingerprint that, unlike a single min-hash, localizes matches.
+    Returns (doc_id, fp) exploded, one row per selected fingerprint.
+
+    Same codepoint Horner hash as :class:`stages.textstats.Fingerprint`
+    (31-bit modulus — SQL-recomputable); window minima via numpy
+    ``sliding_window_view`` (no per-window Python loop).  Docs shorter
+    than ``k`` contribute their whole-string hash; docs with fewer
+    than ``window`` grams contribute one global minimum.
+
+    100-TB shape: pure map_batches, no shuffle — each doc emits a
+    bounded fingerprint set (~2·len/window expected)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..stages.textstats import Fingerprint
+
+    fpr = Fingerprint(k=k)
+    B = np.uint64(Fingerprint.B % Fingerprint.GRAM_MOD)
+    M = np.uint64(Fingerprint.GRAM_MOD)
+
+    def winnow(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for did, s in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            s = s or ''
+            if len(s) < k:
+                h = 0
+                for ch in s:
+                    h = (h * Fingerprint.B + ord(ch)) % \
+                        Fingerprint.GRAM_MOD
+                sel = np.array([h], np.int64)
+            else:
+                data = np.frombuffer(s.encode('utf-32-le'),
+                                     dtype=np.uint32).astype(np.uint64)
+                n_win = len(data) - k + 1
+                g = np.zeros(n_win, dtype=np.uint64)
+                for j in range(k):
+                    g = (g * B + data[j:j + n_win]) % M
+                if n_win <= window:
+                    sel = np.array([int(g.min())], np.int64)
+                else:
+                    sel = np.unique(
+                        sliding_window_view(g, window).min(axis=1)
+                        .astype(np.int64))
+            ids.extend([did] * len(sel))
+            fps.append(sel)
+        return pa.table({
+            'doc_id': pa.array(ids, pa.int64()),
+            'fp': pa.array(np.concatenate(fps) if fps
+                           else np.array([], np.int64), pa.int64())})
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    return ds.map_batches(winnow, batch_format='pyarrow')
+
+
+def events_anomaly(sf_dir: str, trail: int = 7):
+    """Daily event-volume anomaly score: z-score of each day's event
+    count against the TRAILING ``trail`` days (previous rows, ordered
+    by day).  Returns (day, n, z) for days with a full trailing window
+    and non-constant history.
+
+    Float determinism: mean and variance derive from two INTEGER
+    window sums (s1=Σn, s2=Σn²; var = (t·s2 − s1²)/t² — exact ints
+    into one division each), so both engines divide identical
+    integers.  100-TB shape: per-batch (day, n) partials → ONE
+    answer-sized day groupby; the trailing window folds on the driver
+    over ≤ |days| rows."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, 'events', ['ts'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df['ts'].dt.floor('D')
+        vc = day.value_counts()
+        return pd.DataFrame({'day': vc.index,
+                             'n': vc.to_numpy().astype(np.int64)})
+
+    folded = (ev.map_batches(partial, batch_format='pandas')
+              .groupby('day')
+              .aggregate(Sum('n', alias_name='n'))
+              .take_all())  # ≤ |days| — answer-sized
+    rows = sorted((r['day'], int(r['n'])) for r in folded)
+    days = [d for d, _ in rows]
+    ns = np.array([n for _, n in rows], np.int64)
+    out_d, out_n, out_z = [], [], []
+    t = int(trail)
+    for i in range(t, len(ns)):
+        w = ns[i - t:i]
+        s1 = int(w.sum())
+        s2 = int((w * w).sum())
+        var = float(t * s2 - s1 * s1) / (t * t)
+        if var <= 0:
+            continue
+        mean = float(s1) / t
+        out_d.append(days[i])
+        out_n.append(int(ns[i]))
+        out_z.append((float(ns[i]) - mean) / math.sqrt(var))
+    out = pa.table({
+        'day': pa.array(pd.Series(out_d).astype('datetime64[us]')),
+        'n': pa.array(out_n, pa.int64()),
+        'z': pa.array(out_z, pa.float64())})
+    return _snap_round(out, 'z', 6)
+
+
+def rfm_scores(sf_dir: str):
+    """RFM customer segmentation over the event stream: per-user
+    Recency (latest event ts), Frequency (event count) and Monetary
+    (exact cent-folded value sum) quintile scores 1–5, plus the
+    combined ``rfm = 100·r + 10·f + m``.  Quintiles are EXACT rank
+    arithmetic — ``1 + 5·(rank−1)//n`` with ties broken by user_id —
+    not an approximate ntile, so the oracle matches bit-for-bit.
+    Returns (user_id, r_score, f_score, m_score, rfm).
+
+    100-TB shape: per-batch per-user partials (max-ts / count / int
+    cents) combine BEFORE the single user-key groupby; ranking folds
+    on the user domain (answer-sized by the same contract as
+    ``user_event_counts``)."""
+    from ray.data.aggregate import Max, Sum
+
+    ev = _read(sf_dir, 'events', ['user_id', 'ts', 'value'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df['value'].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({'user_id': df['user_id'].to_numpy(),
+                           'ts_us': df['ts'].astype('int64').to_numpy(),
+                           'cents': cents, 'n': 1})
+             .groupby('user_id', as_index=False)
+             .agg(ts_us=('ts_us', 'max'), cents=('cents', 'sum'),
+                  n=('n', 'sum')))
+        return g
+
+    folded = (ev.map_batches(partial, batch_format='pandas')
+              .groupby('user_id')
+              .aggregate(Max('ts_us', alias_name='ts_us'),
+                         Sum('cents', alias_name='cents'),
+                         Sum('n', alias_name='n'))
+              .take_all())  # user domain — answer-sized
+    users = sorted(r['user_id'] for r in folded)
+    by = {r['user_id']: r for r in folded}
+    n = len(users)
+
+    def quintile(metric):
+        order = sorted(users, key=lambda u: (metric(by[u]), u))
+        return {u: 1 + (5 * i) // n for i, u in enumerate(order)}
+
+    r_q = quintile(lambda r: int(r['ts_us']))
+    f_q = quintile(lambda r: int(r['n']))
+    m_q = quintile(lambda r: int(r['cents']))
+    return pa.table({
+        'user_id': pa.array(users, pa.int64()),
+        'r_score': pa.array([r_q[u] for u in users], pa.int64()),
+        'f_score': pa.array([f_q[u] for u in users], pa.int64()),
+        'm_score': pa.array([m_q[u] for u in users], pa.int64()),
+        'rfm': pa.array([100 * r_q[u] + 10 * f_q[u] + m_q[u]
+                         for u in users], pa.int64())})
+
+
 def bm25_search(sf_dir: str, query: str = 'hash join order', k: int = 20,
                 k1: float = 1.2, b: float = 0.75):
     """BM25 top-``k`` keyword search over the corpus — the retrieval
