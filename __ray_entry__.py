@@ -530,6 +530,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'event_trigrams': R.event_trigrams,
+        'ship_delay_dist': R.ship_delay_dist,
+        'hourly_profile': R.hourly_profile,
+        'percentile_rank_docs': R.percentile_rank_docs,
         'host_pagerank': R.host_pagerank,
         'winnow_fingerprints': R.winnow_fingerprints,
         'events_anomaly': R.events_anomaly,
@@ -1028,6 +1032,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY 1, 2
+        """,
+        'event_trigrams': """
+            WITH s AS (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
+        """,
+        'ship_delay_dist': """
+            SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        AS BIGINT) AS delay_days,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        'hourly_profile': """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        'percentile_rank_docs': """
+            -- percent_rank within lang: one division of exact ints
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   round(percent_rank() OVER
+                         (PARTITION BY lang ORDER BY n_chars), 6) AS pr
+            FROM documents
         """,
         'host_pagerank': _host_pagerank_sql(),
         'winnow_fingerprints': """

@@ -210,6 +210,10 @@ def run_bench():
         'winnow_fingerprints': R.winnow_fingerprints,
         'events_anomaly': R.events_anomaly,
         'rfm_scores': R.rfm_scores,
+        'event_trigrams': R.event_trigrams,
+        'ship_delay_dist': R.ship_delay_dist,
+        'hourly_profile': R.hourly_profile,
+        'percentile_rank_docs': R.percentile_rank_docs,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

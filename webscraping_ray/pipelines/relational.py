@@ -6956,6 +6956,169 @@ def customer_order_dist(sf_dir: str):
         'custdist': pa.array([r[1] for r in rows], pa.int64())})
 
 
+def event_trigrams(sf_dir: str):
+    """Per-user event-type TRIGRAM counts (second-order Markov over
+    the behavior stream) — three consecutive events in (ts, event_id)
+    order within each user contribute one (t1, t2, t3) triple.
+    Returns (t1, t2, t3, n) — the longer-context companion to
+    :func:`event_transitions`.
+
+    100-TB shape: identical to the bigram op — `_per_key_groups`
+    coarse buckets emit per-group partials (≤ |types|³ rows each),
+    ONE groupby-sum over the answer-sized type³ domain."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['user_id', 'event_id', 'ts',
+                                  'event_type'])
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for _, sub in g.groupby('user_id', sort=False, dropna=False):
+            et = sub.sort_values(['ts', 'event_id'])['event_type'].tolist()
+            c.update(zip(et, et[1:], et[2:]))
+        ks = list(c.keys())
+        return pd.DataFrame({
+            't1': [x[0] for x in ks], 't2': [x[1] for x in ks],
+            't3': [x[2] for x in ks],
+            'n': pd.array(list(c.values()), dtype='int64')})
+
+    out = (_per_key_groups(ds, 'user_id', triples)
+           .groupby(['t1', 't2', 't3'])
+           .aggregate(Sum('n', alias_name='n')))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or 'n' not in t.schema.names:
+            return pa.table({'t1': pa.array([], pa.string()),
+                             't2': pa.array([], pa.string()),
+                             't3': pa.array([], pa.string()),
+                             'n': pa.array([], pa.int64())})
+        idx = t.schema.get_field_index('n')
+        return t.set_column(idx, 'n', t['n'].cast(pa.int64()))
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+def ship_delay_dist(sf_dir: str):
+    """Shipping-delay distribution: histogram of (l_shipdate −
+    o_orderdate) in whole days over lineitem ⋈ orders.  Returns
+    (delay_days, n) — the fulfilment-latency report.
+
+    100-TB shape: ONE partitioned BIG⋈BIG join on orderkey
+    (`_join_safe`-guarded), then per-batch ``value_counts`` partials
+    into an answer-sized delay-domain groupby-sum — the joined rows
+    never leave their tasks unreduced."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _join_safe
+
+    li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_shipdate'])
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderdate'])
+    j = li.join(_join_safe(orders, 8), 'inner', num_partitions=8,
+                on=('l_orderkey',), right_on=('o_orderkey',))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = ((df['l_shipdate'].to_numpy().astype('datetime64[D]')
+              - df['o_orderdate'].to_numpy().astype('datetime64[D]'))
+             .astype(np.int64))
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({'delay_days': vc.index.to_numpy(),
+                             'n': vc.to_numpy().astype(np.int64)})
+
+    folded = (j.map_batches(partial, batch_format='pandas')
+              .groupby('delay_days')
+              .aggregate(Sum('n', alias_name='n'))
+              .take_all())  # ≤ |distinct delays| — answer-sized
+    rows = sorted((int(r['delay_days']), int(r['n'])) for r in folded)
+    return pa.table({
+        'delay_days': pa.array([r[0] for r in rows], pa.int64()),
+        'n': pa.array([r[1] for r in rows], pa.int64())})
+
+
+def hourly_profile(sf_dir: str):
+    """Traffic shape: event counts by (ISO weekday 1–7, hour 0–23) —
+    the load-profile matrix behind capacity planning and
+    politeness-budget scheduling.  Returns (dow, hour, n).
+
+    100-TB shape: per-batch value_counts partials over the 168-cell
+    domain; ONE answer-sized groupby-sum; zero joins."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, 'events', ['ts'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = (df['ts'].dt.dayofweek + 1).to_numpy()  # ISO 1=Mon
+        hr = df['ts'].dt.hour.to_numpy()
+        vc = pd.Series(dow * 100 + hr).value_counts()
+        return pd.DataFrame({'cell': vc.index.to_numpy(),
+                             'n': vc.to_numpy().astype(np.int64)})
+
+    folded = (ev.map_batches(partial, batch_format='pandas')
+              .groupby('cell')
+              .aggregate(Sum('n', alias_name='n'))
+              .take_all())  # ≤ 168 cells
+    rows = sorted((int(r['cell']) // 100, int(r['cell']) % 100,
+                   int(r['n'])) for r in folded)
+    return pa.table({
+        'dow': pa.array([r[0] for r in rows], pa.int64()),
+        'hour': pa.array([r[1] for r in rows], pa.int64()),
+        'n': pa.array([r[2] for r in rows], pa.int64())})
+
+
+def percentile_rank_docs(sf_dir: str):
+    """Per-document length percentile WITHIN its language —
+    ``percent_rank()`` over (lang, n_chars) at corpus scale WITHOUT a
+    global sort: n_chars is bounded-integer, so an answer-sized
+    (lang, n_chars) histogram folds first, its cumulative counts
+    broadcast once via ``ray.put``, and a second stateless pass maps
+    every doc to ``count_less / (n_lang − 1)`` (SQL percent_rank tie
+    semantics: min rank of the tie group).  Returns (doc_id, lang,
+    n_chars, pr) — the windowed-rank pattern for 10^10-row
+    partitions.
+
+    Float parity: pr is one division of two exact integers, rounded
+    6dp on both sides."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'n_chars'])
+    hist = (ds.groupby(['lang', 'n_chars'])
+            .aggregate(Count(alias_name='cnt'))
+            .take_all())  # ≤ |langs|·|distinct lengths| — bounded
+
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r['lang'], []).append(
+            (int(r['n_chars']), int(r['cnt'])))
+    lut = {}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        less = 0
+        total = sum(c for _, c in vals)
+        m = {}
+        for v, c in vals:
+            m[v] = less
+            less += c
+        lut[lang] = (m, total)
+    lref = ray.put(lut)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(lref)
+        prs = np.empty(len(df), np.float64)
+        for i, (lg, nc) in enumerate(zip(df['lang'].to_numpy(),
+                                         df['n_chars'].to_numpy())):
+            m, total = tbl[lg]
+            prs[i] = (m[int(nc)] / (total - 1)) if total > 1 else 0.0
+        return pd.DataFrame({
+            'doc_id': df['doc_id'].to_numpy(),
+            'lang': df['lang'].to_numpy(),
+            'n_chars': df['n_chars'].to_numpy().astype(np.int64),
+            'pr': np.rint(prs * 1e6) / 1e6 + 0.0})
+
+    return ds.map_batches(rank, batch_format='pandas')
+
+
 def host_pagerank(sf_dir: str, iters: int = 3, damping: float = 0.85):
     """Domain-level PageRank: the power iteration of :func:`pagerank`
     over the DISTINCT host adjacency (the standard domain-rank
