@@ -530,6 +530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'dup_jaccard_hist': R.dup_jaccard_hist,
+        'dau_stickiness': R.dau_stickiness,
+        'vocab_growth': R.vocab_growth,
         'event_trigrams': R.event_trigrams,
         'ship_delay_dist': R.ship_delay_dist,
         'hourly_profile': R.hourly_profile,
@@ -1032,6 +1035,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY 1, 2
+        """,
+        'dup_jaccard_hist': f"""
+            -- exact-Jaccard histogram of the >=0.8 near-dup pairs
+            -- (LSH recall 1.0 pinned); same integer-division double
+            WITH {_shingle_jaccard_cte('documents')}
+            SELECT LEAST(CAST(floor(jaccard * 20) AS BIGINT), 19)
+                     AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1
+        """,
+        'dau_stickiness': """
+            WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+                               user_id FROM events),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM du GROUP BY 1),
+            wu AS (SELECT DISTINCT isoyear(ts) * 100 + week(ts) AS wk,
+                          user_id FROM events),
+            wau AS (SELECT wk, CAST(count(*) AS BIGINT) AS wau
+                    FROM wu GROUP BY 1)
+            SELECT d.day, d.dau, w.wau,
+                   round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+            FROM dau d
+            JOIN wau w ON isoyear(d.day) * 100 + week(d.day) = w.wk
+        """,
+        'vocab_growth': """
+            -- Heaps-law growth from first-occurrence docs: vocab(k) =
+            -- #tokens whose min doc_id precedes checkpoint k (exact
+            -- integer ceil checkpoints)
+            WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '\\w+')) AS w
+                    FROM documents),
+            fst AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+            ck AS (SELECT k,
+                          ((SELECT n FROM nd) * k + 9) // 10 AS d
+                   FROM range(1, 11) t(k))
+            SELECT CAST(k * 10 AS BIGINT) AS pct,
+                   CAST(d AS BIGINT) AS n_docs,
+                   CAST((SELECT count(*) FROM fst WHERE fst.fd < ck.d)
+                        AS BIGINT) AS vocab
+            FROM ck
         """,
         'event_trigrams': """
             WITH s AS (

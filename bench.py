@@ -214,6 +214,9 @@ def run_bench():
         'ship_delay_dist': R.ship_delay_dist,
         'hourly_profile': R.hourly_profile,
         'percentile_rank_docs': R.percentile_rank_docs,
+        'dup_jaccard_hist': R.dup_jaccard_hist,
+        'dau_stickiness': R.dau_stickiness,
+        'vocab_growth': R.vocab_growth,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

@@ -6956,6 +6956,144 @@ def customer_order_dist(sf_dir: str):
         'custdist': pa.array([r[1] for r in rows], pa.int64())})
 
 
+def dup_jaccard_hist(sf_dir: str, bins: int = 20):
+    """Similarity histogram of the verified near-dup pairs: exact
+    Jaccard of every MinHash-LSH pair (≥ 0.8, recall 1.0 pinned)
+    bucketed into ``1/bins``-wide bins — the dedup-quality diagnostic
+    ("how near are the near-dups?").  Returns (bin, n) with
+    ``bin = min(floor(jaccard·bins), bins−1)``.
+
+    Float parity: jaccard is the same exact-integer division on both
+    engines (i / (na+nb−i)), so the floor buckets bit-match.
+    100-TB shape: rides :func:`minhash_dups`' banded-LSH pipeline —
+    the pair table it returns is answer-sized by that op's contract,
+    so the ≤ ``bins``-row histogram folds where the pairs landed."""
+    pairs = minhash_dups(sf_dir)
+    j = pairs.column('jaccard').to_numpy(zero_copy_only=False)
+    b = np.minimum(np.floor(j * bins).astype(np.int64), bins - 1)
+    vals, cnts = np.unique(b, return_counts=True)
+    return pa.table({'bin': pa.array(vals.astype(np.int64), pa.int64()),
+                     'n': pa.array(cnts.astype(np.int64), pa.int64())})
+
+
+def dau_stickiness(sf_dir: str):
+    """DAU / WAU engagement: per-day distinct users, the ISO-week
+    distinct users of that day's week, and the stickiness ratio
+    dau/wau — the standard product-engagement report.  Returns
+    (day, dau, wau, stickiness).
+
+    100-TB shape: two distinct-fold shuffles, both key-bounded —
+    (day, user) and (week, user) pairs dedup per batch BEFORE the
+    groupby (combiner), day/week counts are answer-sized; the
+    day⋈week attach happens on the driver over |days| rows."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, 'events', ['ts', 'user_id'])
+
+    def day_user(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({'day': df['ts'].dt.floor('D'),
+                              'user_id': df['user_id']})
+                .drop_duplicates())
+
+    def week_user(df: pd.DataFrame) -> pd.DataFrame:
+        iso = df['ts'].dt.isocalendar()
+        return (pd.DataFrame({'wk': (iso['year'] * 100
+                                     + iso['week']).astype('int64'),
+                              'user_id': df['user_id']})
+                .drop_duplicates())
+
+    dau_rows = (ev.map_batches(day_user, batch_format='pandas')
+                .groupby(['day', 'user_id'])
+                .aggregate(Count(alias_name='c'))
+                .map_batches(lambda df: (df.groupby('day', as_index=False)
+                                         .agg(dau=('c', 'size'))),
+                             batch_format='pandas')
+                .groupby('day')
+                .aggregate(Sum('dau', alias_name='dau'))
+                .take_all())  # |days| — answer-sized
+    wau_rows = (ev.map_batches(week_user, batch_format='pandas')
+                .groupby(['wk', 'user_id'])
+                .aggregate(Count(alias_name='c'))
+                .map_batches(lambda df: (df.groupby('wk', as_index=False)
+                                         .agg(wau=('c', 'size'))),
+                             batch_format='pandas')
+                .groupby('wk')
+                .aggregate(Sum('wau', alias_name='wau'))
+                .take_all())  # |weeks|
+    wau = {int(r['wk']): int(r['wau']) for r in wau_rows}
+    rows = sorted((r['day'], int(r['dau'])) for r in dau_rows)
+    days = pd.Series([d for d, _ in rows])
+    iso = pd.DatetimeIndex(days).isocalendar()
+    wks = (iso['year'] * 100 + iso['week']).astype('int64').to_numpy()
+    daus = np.array([n for _, n in rows], np.int64)
+    waus = np.array([wau[int(w)] for w in wks], np.int64)
+    out = pa.table({
+        'day': pa.array(days.astype('datetime64[us]')),
+        'dau': pa.array(daus, pa.int64()),
+        'wau': pa.array(waus, pa.int64()),
+        'stickiness': pa.array(daus.astype(np.float64) / waus,
+                               pa.float64())})
+    return _snap_round(out, 'stickiness', 6)
+
+
+def vocab_growth(sf_dir: str, steps: int = 10):
+    """Heaps-law vocabulary growth: distinct word-token vocabulary
+    after each decile of the corpus (docs ordered by doc_id).
+    Returns (pct, n_docs, vocab).
+
+    The scale trick: growth does NOT need an ordered scan — each
+    token's FIRST-occurrence doc (groupby-min over the token domain)
+    is enough, and vocab(k) = #tokens whose first doc precedes
+    checkpoint k.  One corpus-scale token shuffle, then an
+    answer-sized (≤ steps) histogram fold; checkpoints are exact
+    integer arithmetic on both engines."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    n_docs = pq.ParquetFile(
+        f'{sf_dir}/documents.parquet').metadata.num_rows
+    cks = [(n_docs * k + steps - 1) // steps for k in range(1, steps + 1)]
+
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def tok(t: pa.Table) -> pa.Table:
+        dids, ws = [], []
+        for did, s in zip(t.column('doc_id').to_pylist(),
+                          t.column('text').to_pylist()):
+            seen = set(_TOKEN_RE.findall((s or '').lower()))
+            dids.extend([did] * len(seen))
+            ws.extend(seen)
+        return pa.table({'w': pa.array(ws, pa.string()),
+                         'doc_id': pa.array(dids, pa.int64())})
+
+    first = (ds.map_batches(tok, batch_format='pyarrow')
+             .groupby('w')
+             .aggregate(Min('doc_id', alias_name='fd')))
+
+    cks_arr = np.array(cks, np.int64)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # first checkpoint k with fd < ck[k]  (ck is nondecreasing)
+        idx = np.searchsorted(cks_arr, df['fd'].to_numpy(), side='right')
+        vc = pd.Series(idx).value_counts()
+        return pd.DataFrame({'k': vc.index.to_numpy(),
+                             'n': vc.to_numpy().astype(np.int64)})
+
+    folded = (first.map_batches(bucket, batch_format='pandas')
+              .groupby('k')
+              .aggregate(Sum('n', alias_name='n'))
+              .take_all())  # ≤ steps rows
+    per_k = {int(r['k']): int(r['n']) for r in folded}
+    cum = np.cumsum([per_k.get(k, 0) for k in range(steps)])
+    return pa.table({
+        'pct': pa.array([(k + 1) * 100 // steps for k in range(steps)],
+                        pa.int64()),
+        'n_docs': pa.array(cks, pa.int64()),
+        'vocab': pa.array(cum.astype(np.int64), pa.int64())})
+
+
 def event_trigrams(sf_dir: str):
     """Per-user event-type TRIGRAM counts (second-order Markov over
     the behavior stream) — three consecutive events in (ts, event_id)
