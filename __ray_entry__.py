@@ -530,6 +530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'part_pairs': R.part_pairs,
+        'session_durations': R.session_durations,
         'dup_jaccard_hist': R.dup_jaccard_hist,
         'dau_stickiness': R.dau_stickiness,
         'vocab_growth': R.vocab_growth,
@@ -1035,6 +1037,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY 1, 2
+        """,
+        'part_pairs': """
+            -- market-basket: top-100 within-order part pairs,
+            -- ties on (p1, p2)
+            WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                   FROM pp a JOIN pp b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey),
+            c AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n
+                  FROM pr GROUP BY 1, 2)
+            SELECT p1, p2, n FROM c
+            ORDER BY n DESC, p1, p2 LIMIT 100
+        """,
+        'session_durations': """
+            -- 30-min-gap sessions; duration = exact integer-µs
+            -- max−min floor-divided to whole minutes
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            ), d AS (
+              SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                          // 60000000 AS BIGINT) AS dur_min
+              FROM sess GROUP BY user_id, sid)
+            SELECT dur_min, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY dur_min
         """,
         'dup_jaccard_hist': f"""
             -- exact-Jaccard histogram of the >=0.8 near-dup pairs

@@ -217,6 +217,8 @@ def run_bench():
         'dup_jaccard_hist': R.dup_jaccard_hist,
         'dau_stickiness': R.dau_stickiness,
         'vocab_growth': R.vocab_growth,
+        'part_pairs': R.part_pairs,
+        'session_durations': R.session_durations,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

@@ -6956,6 +6956,104 @@ def customer_order_dist(sf_dir: str):
         'custdist': pa.array([r[1] for r in rows], pa.int64())})
 
 
+def part_pairs(sf_dir: str, k: int = 100):
+    """Market-basket co-occurrence: the ``k`` part pairs most often
+    bought together in one order, ties broken on (p1, p2).  Returns
+    (p1, p2, n) — the association-mining primitive.
+
+    100-TB shape: TWO coarse 64-bucket shuffles, zero fine-key Ray
+    groups (a pair-key groupby measured 18 s on 116k keys — the
+    per-fine-key anti-pattern the round-3 folds eliminated): rows
+    shuffle by orderkey hash, each bucket expands pairs with one
+    VECTORIZED self-merge and emits partial counts; partials shuffle
+    by PAIR hash, each pair-bucket folds its complete counts and
+    keeps its own top-k; the driver merges ≤ 64·k rows."""
+    li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_partkey'])
+    buckets = 64
+    shift = 64 - buckets.bit_length() + 1
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def _fib_bucket(v: np.ndarray) -> np.ndarray:
+        return ((v.astype(np.uint64) * FIB)
+                >> np.uint64(shift)).astype(np.int64)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        bkt = _fib_bucket(
+            t.column('l_orderkey').to_numpy(zero_copy_only=False))
+        return t.append_column('_bkt', pa.array(bkt, pa.int64()))
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pp = g[['l_orderkey', 'l_partkey']].drop_duplicates()
+        m = pp.merge(pp, on='l_orderkey')
+        m = m[m['l_partkey_x'] < m['l_partkey_y']]
+        out = (m.groupby(['l_partkey_x', 'l_partkey_y'], as_index=False)
+               .size().rename(columns={'l_partkey_x': 'p1',
+                                       'l_partkey_y': 'p2',
+                                       'size': 'n'}))
+        out['n'] = out['n'].astype('int64')
+        # pair-hash bucket for the second (combining) shuffle
+        out['_pb'] = _fib_bucket(out['p1'].to_numpy()
+                                 * np.int64(1_000_003)
+                                 + out['p2'].to_numpy())
+        return out
+
+    def fold_pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(['p1', 'p2'], as_index=False)['n'].sum())
+        return (c.sort_values(['n', 'p1', 'p2'],
+                              ascending=[False, True, True]).head(k))
+
+    cand = (li.map_batches(bucketed, batch_format='pyarrow')
+            .groupby('_bkt').map_groups(pairs_bucket,
+                                        batch_format='pandas')
+            .groupby('_pb').map_groups(fold_pair_bucket,
+                                       batch_format='pandas')
+            .take_all())  # ≤ 64·k rows — answer-sized merge
+    top = (pd.DataFrame(cand)
+           .sort_values(['n', 'p1', 'p2'],
+                        ascending=[False, True, True]).head(k))
+    return pa.table({
+        'p1': pa.array(top['p1'].astype('int64'), pa.int64()),
+        'p2': pa.array(top['p2'].astype('int64'), pa.int64()),
+        'n': pa.array(top['n'].astype('int64'), pa.int64())})
+
+
+def session_durations(sf_dir: str, gap_minutes: int = 30):
+    """Session-length distribution: histogram of session durations in
+    whole minutes (sessions = :func:`events_sessions` 30-min-gap
+    splits; duration = exact integer-µs max−min, floor-divided).
+    Returns (dur_min, n).
+
+    Duration is boundary-order-robust (min/max per session don't
+    depend on tie order), so the histogram is deterministic at any
+    parallelism.  100-TB shape: the sessionize group fold emits
+    per-user partial histograms; ONE answer-sized dur_min
+    groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', ['user_id', 'event_id', 'ts'])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def durs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'])
+        sid = (g['ts'].diff() > gap).cumsum()
+        us = pd.Series(g['ts'].values.astype('datetime64[us]')
+                       .astype(np.int64), index=g.index)
+        agg = us.groupby(sid).agg(['min', 'max'])
+        m = ((agg['max'] - agg['min']) // 60_000_000).astype('int64')
+        vc = m.value_counts()
+        return pd.DataFrame({'dur_min': vc.index.to_numpy(),
+                             'n': vc.to_numpy().astype(np.int64)})
+
+    folded = (_per_key_groups(ds, 'user_id', durs)
+              .groupby('dur_min')
+              .aggregate(Sum('n', alias_name='n'))
+              .take_all())  # ≤ |distinct durations| — answer-sized
+    rows = sorted((int(r['dur_min']), int(r['n'])) for r in folded)
+    return pa.table({
+        'dur_min': pa.array([r[0] for r in rows], pa.int64()),
+        'n': pa.array([r[1] for r in rows], pa.int64())})
+
+
 def dup_jaccard_hist(sf_dir: str, bins: int = 20):
     """Similarity histogram of the verified near-dup pairs: exact
     Jaccard of every MinHash-LSH pair (≥ 0.8, recall 1.0 pinned)
