@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        'monthly_revenue': R.monthly_revenue,
         'part_pairs': R.part_pairs,
         'session_durations': R.session_durations,
         'dup_jaccard_hist': R.dup_jaccard_hist,
@@ -1037,6 +1038,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY 1, 2
+        """,
+        'monthly_revenue': """
+            -- monthly trend, exact int fold + MoM from the same ints
+            WITH m AS (
+              SELECT date_trunc('month', l_shipdate) AS month,
+                     CAST(sum(
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS BIGINT) AS rev,
+                     CAST(count(*) AS BIGINT) AS n_items
+              FROM lineitem GROUP BY 1)
+            SELECT month,
+                   round(CAST(rev AS DOUBLE) / 10000, 4) AS revenue,
+                   n_items,
+                   round(COALESCE(
+                     CAST(rev - lag(rev) OVER (ORDER BY month)
+                          AS DOUBLE)
+                     / lag(rev) OVER (ORDER BY month), 0.0), 6) AS mom
+            FROM m
         """,
         'part_pairs': """
             -- market-basket: top-100 within-order part pairs,

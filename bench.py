@@ -219,6 +219,7 @@ def run_bench():
         'vocab_growth': R.vocab_growth,
         'part_pairs': R.part_pairs,
         'session_durations': R.session_durations,
+        'monthly_revenue': R.monthly_revenue,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a

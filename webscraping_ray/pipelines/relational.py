@@ -6848,46 +6848,74 @@ def top_volume_orders(sf_dir: str, min_qty: int = 300, k: int = 100):
     (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
     sum_qty).
 
-    100-TB shape: per-batch (orderkey, qty) partials combine BEFORE
-    the orderkey groupby-sum (one corpus-scale shuffle); the heavy-set
-    filter stays a Dataset (can be huge — no driver fold), joins
-    orders via a partitioned ``Dataset.join``; the top-k then folds
-    via per-block partial top-k so the driver merges ≤ 64·k rows; only
-    the ≤ k winning custkeys' names are fetched (pruned read +
-    broadcast-sized map)."""
+    100-TB shape: per-order quantities fold in ONE coarse 64-bucket
+    shuffle — a vectorized groupby-sum inside each bucket (every order
+    lives wholly in its bucket; a per-orderkey Ray groupby measured
+    ~40 s on 600k keys) — and the heavy filter applies in-bucket.
+    Below ``BROADCAST_KEY_LIMIT`` heavy orders, the orderkey→qty map
+    ships once via ray.put and orders filter with a vectorized isin
+    (no join); above it, the partitioned ``Dataset.join`` tier.  The
+    top-k folds per block and the driver merges ≤ k·blocks rows via
+    ``to_pandas`` (vectorized — never row-wise ``take_all``)."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+    import ray
 
-    from ..stages.dedup import _join_safe
+    from ..stages.dedup import BROADCAST_KEY_LIMIT, _join_safe
 
     li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity'])
+    buckets = 64
+    shift = 64 - buckets.bit_length() + 1
 
-    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
-        q = np.floor(df['l_quantity'].to_numpy() + 0.5).astype(np.int64)
-        return (pd.DataFrame({'l_orderkey': df['l_orderkey'].to_numpy(),
-                              'q': q})
-                .groupby('l_orderkey', as_index=False).sum())
+    def bucketed(t: pa.Table) -> pa.Table:
+        v = (t.column('l_orderkey').to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        bkt = ((v * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(shift)).astype(np.int64)
+        return t.append_column('_bkt', pa.array(bkt, pa.int64()))
 
-    heavy = (li.map_batches(qty_partial, batch_format='pandas')
-             .groupby('l_orderkey')
-             .aggregate(Sum('q', alias_name='sum_qty'))
-             .filter(expr=f'sum_qty > {int(min_qty)}'))
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(g['l_quantity'].to_numpy() + 0.5).astype(np.int64)
+        c = (pd.DataFrame({'l_orderkey': g['l_orderkey'].to_numpy(),
+                           'q': q})
+             .groupby('l_orderkey', as_index=False)['q'].sum())
+        c = c[c['q'] > int(min_qty)]
+        return c.rename(columns={'q': 'sum_qty'})
+
+    heavy = (li.map_batches(bucketed, batch_format='pyarrow')
+             .groupby('_bkt').map_groups(fold_bucket,
+                                         batch_format='pandas')
+             .materialize())
 
     orders = _read(sf_dir, 'orders',
                    ['o_orderkey', 'o_custkey', 'o_orderdate',
                     'o_totalprice'])
-    j = orders.join(_join_safe(heavy, 8), 'inner', num_partitions=8,
-                    on=('o_orderkey',), right_on=('l_orderkey',))
 
     def block_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(['o_totalprice', 'o_orderkey'],
                               ascending=[False, True]).head(k)
 
-    cand = (j.map_batches(block_topk, batch_format='pandas')
-            .take_all())  # ≤ k per block — answer-sized merge
-    top = (pd.DataFrame(cand)
-           .sort_values(['o_totalprice', 'o_orderkey'],
-                        ascending=[False, True]).head(k))
+    if heavy.count() <= BROADCAST_KEY_LIMIT:
+        hp = heavy.to_pandas()
+        hmap = dict(zip(hp['l_orderkey'].astype('int64'),
+                        hp['sum_qty'].astype('int64')))
+        href = ray.put(hmap)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(href)
+            sub = df[df['o_orderkey'].isin(m)].copy()
+            sub['sum_qty'] = sub['o_orderkey'].map(m).astype('int64')
+            return block_topk(sub)
+
+        cand = orders.map_batches(attach,
+                                  batch_format='pandas').to_pandas()
+    else:
+        j = orders.join(_join_safe(heavy, 8), 'inner',
+                        num_partitions=8,
+                        on=('o_orderkey',), right_on=('l_orderkey',))
+        cand = j.map_batches(block_topk,
+                             batch_format='pandas').to_pandas()
+    top = cand.sort_values(['o_totalprice', 'o_orderkey'],
+                           ascending=[False, True]).head(k)
 
     need = set(int(x) for x in top['o_custkey'])
     ct = pq.read_table(f'{sf_dir}/customer.parquet',
@@ -6920,27 +6948,34 @@ def customer_order_dist(sf_dir: str):
     answer-sized (≤ max orders per customer).  Zero-order customers
     come from arithmetic (|customer| − |custkeys with ≥1 order|, the
     left-join-null trick without the join): the customer row count is
-    a metadata-only ``count()`` on a single-column pruned read."""
+    a metadata-only ``count()`` on a single-column pruned read.
+    Per-customer counts fold in ONE coarse 64-bucket shuffle with a
+    vectorized in-bucket value_counts (every custkey wholly in its
+    bucket — never a per-custkey Ray groupby), emitting the bucket's
+    (c_count, d) partial distribution directly."""
     from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, 'orders', ['o_custkey'])
+    buckets = 64
+    shift = 64 - buckets.bit_length() + 1
 
-    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df['o_custkey'].value_counts()
-        return pd.DataFrame({'o_custkey': vc.index.to_numpy(),
-                             'n': vc.to_numpy().astype(np.int64)})
+    def bucketed(t: pa.Table) -> pa.Table:
+        v = (t.column('o_custkey').to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        bkt = ((v * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(shift)).astype(np.int64)
+        return t.append_column('_bkt', pa.array(bkt, pa.int64()))
 
-    per_cust = (orders.map_batches(cnt_partial, batch_format='pandas')
-                .groupby('o_custkey')
-                .aggregate(Sum('n', alias_name='c_count')))
-
-    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df['c_count'].value_counts()
+    def dist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g['o_custkey'].value_counts()     # complete per key
+        vc = per_cust.value_counts()                 # count-of-counts
         return pd.DataFrame({'c_count': vc.index.to_numpy()
                              .astype(np.int64),
                              'd': vc.to_numpy().astype(np.int64)})
 
-    folded = (per_cust.map_batches(dist_partial, batch_format='pandas')
+    folded = (orders.map_batches(bucketed, batch_format='pyarrow')
+              .groupby('_bkt').map_groups(dist_bucket,
+                                          batch_format='pandas')
               .groupby('c_count')
               .aggregate(Sum('d', alias_name='custdist'))
               .take_all())  # ≤ max orders/customer — answer-sized
@@ -6954,6 +6989,48 @@ def customer_order_dist(sf_dir: str):
     return pa.table({
         'c_count': pa.array([r[0] for r in rows], pa.int64()),
         'custdist': pa.array([r[1] for r in rows], pa.int64())})
+
+
+def monthly_revenue(sf_dir: str):
+    """Monthly revenue trend with month-over-month growth: per
+    shipdate month, exact int64 1e-4-dollar revenue fold, item count,
+    and ``mom = (rev − prev_rev) / prev_rev`` (one division of two
+    exact integers; first month reports 0.0 so the hash compare is
+    null-free).  Returns (month, revenue, n_items, mom).
+
+    100-TB shape: per-batch (month, cents, n) partials — the month
+    domain is answer-sized (~decades·12) — ONE groupby-sum, trend
+    arithmetic on the driver over |months| rows."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, 'lineitem',
+               ['l_shipdate', 'l_extendedprice', 'l_discount'])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            'month': df['l_shipdate'].values.astype('datetime64[M]'),
+            'rev': _money_cents(df), 'n': 1})
+            .groupby('month', as_index=False).sum())
+
+    folded = (li.map_batches(partial, batch_format='pandas')
+              .groupby('month')
+              .aggregate(Sum('rev', alias_name='rev'),
+                         Sum('n', alias_name='n'))
+              .take_all())  # |months| — answer-sized
+    rows = sorted((r['month'], int(r['rev']), int(r['n']))
+                  for r in folded)
+    revs = [r[1] for r in rows]
+    moms = [0.0] + [float(revs[i] - revs[i - 1]) / revs[i - 1]
+                    for i in range(1, len(revs))]
+    out = pa.table({
+        'month': pa.array(pd.Series([r[0] for r in rows])
+                          .astype('datetime64[us]')),
+        'revenue': pa.array([float(r[1]) / 10000 for r in rows],
+                            pa.float64()),
+        'n_items': pa.array([r[2] for r in rows], pa.int64()),
+        'mom': pa.array(moms, pa.float64())})
+    out = _snap_round(out, 'revenue', 4)
+    return _snap_round(out, 'mom', 6)
 
 
 def part_pairs(sf_dir: str, k: int = 100):
@@ -7007,10 +7084,9 @@ def part_pairs(sf_dir: str, k: int = 100):
                                         batch_format='pandas')
             .groupby('_pb').map_groups(fold_pair_bucket,
                                        batch_format='pandas')
-            .take_all())  # ≤ 64·k rows — answer-sized merge
-    top = (pd.DataFrame(cand)
-           .sort_values(['n', 'p1', 'p2'],
-                        ascending=[False, True, True]).head(k))
+            .to_pandas())  # ≤ 64·k rows — vectorized pull
+    top = cand.sort_values(['n', 'p1', 'p2'],
+                           ascending=[False, True, True]).head(k)
     return pa.table({
         'p1': pa.array(top['p1'].astype('int64'), pa.int64()),
         'p2': pa.array(top['p2'].astype('int64'), pa.int64()),
@@ -7084,8 +7160,6 @@ def dau_stickiness(sf_dir: str):
     (day, user) and (week, user) pairs dedup per batch BEFORE the
     groupby (combiner), day/week counts are answer-sized; the
     day⋈week attach happens on the driver over |days| rows."""
-    from ray.data.aggregate import Count, Sum
-
     ev = _read(sf_dir, 'events', ['ts', 'user_id'])
 
     def day_user(df: pd.DataFrame) -> pd.DataFrame:
@@ -7100,23 +7174,23 @@ def dau_stickiness(sf_dir: str):
                               'user_id': df['user_id']})
                 .drop_duplicates())
 
+    # per-batch dedup shrinks the stream to distinct pairs; the day /
+    # week key domains are answer-sized, so ONE map_groups per key
+    # (vectorized nunique) replaces a composite-key groupby (a
+    # (day,user) Ray groupby measured ~8 s on 45k composite keys)
     dau_rows = (ev.map_batches(day_user, batch_format='pandas')
-                .groupby(['day', 'user_id'])
-                .aggregate(Count(alias_name='c'))
-                .map_batches(lambda df: (df.groupby('day', as_index=False)
-                                         .agg(dau=('c', 'size'))),
-                             batch_format='pandas')
                 .groupby('day')
-                .aggregate(Sum('dau', alias_name='dau'))
+                .map_groups(lambda g: pd.DataFrame(
+                    {'day': [g['day'].iloc[0]],
+                     'dau': [int(g['user_id'].nunique())]}),
+                    batch_format='pandas')
                 .take_all())  # |days| — answer-sized
     wau_rows = (ev.map_batches(week_user, batch_format='pandas')
-                .groupby(['wk', 'user_id'])
-                .aggregate(Count(alias_name='c'))
-                .map_batches(lambda df: (df.groupby('wk', as_index=False)
-                                         .agg(wau=('c', 'size'))),
-                             batch_format='pandas')
                 .groupby('wk')
-                .aggregate(Sum('wau', alias_name='wau'))
+                .map_groups(lambda g: pd.DataFrame(
+                    {'wk': [int(g['wk'].iloc[0])],
+                     'wau': [int(g['user_id'].nunique())]}),
+                    batch_format='pandas')
                 .take_all())  # |weeks|
     wau = {int(r['wk']): int(r['wau']) for r in wau_rows}
     rows = sorted((r['day'], int(r['dau'])) for r in dau_rows)
@@ -7241,32 +7315,69 @@ def ship_delay_dist(sf_dir: str):
     o_orderdate) in whole days over lineitem ⋈ orders.  Returns
     (delay_days, n) — the fulfilment-latency report.
 
-    100-TB shape: ONE partitioned BIG⋈BIG join on orderkey
-    (`_join_safe`-guarded), then per-batch ``value_counts`` partials
-    into an answer-sized delay-domain groupby-sum — the joined rows
-    never leave their tasks unreduced."""
-    from ray.data.aggregate import Sum
+    100-TB shape: tiered like brand_volume — below
+    ``BROADCAST_KEY_LIMIT`` orders (parquet-footer row count, free)
+    the orderkey→orderdate map ships once via ray.put and every batch
+    folds its delay histogram locally (zero shuffle but the
+    answer-sized delay groupby); above it, ONE partitioned BIG⋈BIG
+    ``Dataset.join`` on orderkey with the same per-batch
+    ``value_counts`` partials."""
+    import pyarrow.parquet as pq
+    import ray
 
-    from ..stages.dedup import _join_safe
+    from ..stages.dedup import BROADCAST_KEY_LIMIT, _join_safe
 
     li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_shipdate'])
-    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderdate'])
-    j = li.join(_join_safe(orders, 8), 'inner', num_partitions=8,
-                on=('l_orderkey',), right_on=('o_orderkey',))
+    n_orders = pq.ParquetFile(
+        f'{sf_dir}/orders.parquet').metadata.num_rows
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = ((df['l_shipdate'].to_numpy().astype('datetime64[D]')
-              - df['o_orderdate'].to_numpy().astype('datetime64[D]'))
-             .astype(np.int64))
+    def hist(ship_day: np.ndarray, order_day: np.ndarray):
+        d = (ship_day - order_day).astype(np.int64)
         vc = pd.Series(d).value_counts()
         return pd.DataFrame({'delay_days': vc.index.to_numpy(),
                              'n': vc.to_numpy().astype(np.int64)})
 
-    folded = (j.map_batches(partial, batch_format='pandas')
-              .groupby('delay_days')
-              .aggregate(Sum('n', alias_name='n'))
-              .take_all())  # ≤ |distinct delays| — answer-sized
-    rows = sorted((int(r['delay_days']), int(r['n'])) for r in folded)
+    if n_orders <= BROADCAST_KEY_LIMIT:
+        ot = pq.read_table(f'{sf_dir}/orders.parquet',
+                           columns=['o_orderkey', 'o_orderdate'])
+        omap = pd.Series(
+            ot.column('o_orderdate').to_numpy()
+            .astype('datetime64[D]'),
+            index=ot.column('o_orderkey').to_numpy())
+        oref = ray.put(omap)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(oref)
+            return hist(df['l_shipdate'].to_numpy()
+                        .astype('datetime64[D]'),
+                        df['l_orderkey'].map(m).to_numpy()
+                        .astype('datetime64[D]'))
+
+        src = li
+    else:
+        orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderdate'])
+        src = li.join(_join_safe(orders, 8), 'inner', num_partitions=8,
+                      on=('l_orderkey',), right_on=('o_orderkey',))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return hist(df['l_shipdate'].to_numpy()
+                        .astype('datetime64[D]'),
+                        df['o_orderdate'].to_numpy()
+                        .astype('datetime64[D]'))
+
+    # 8-way repartition merge + ONE vectorized driver combine over
+    # ≤ 8·|delays| rows — cheaper than a Ray sort-aggregate on the
+    # (answer-sized but multi-thousand-key) delay domain
+    fdf = (src.map_batches(partial, batch_format='pandas')
+           .repartition(8)
+           .map_batches(lambda df: (df.groupby('delay_days',
+                                               as_index=False)['n']
+                                    .sum()),
+                        batch_format='pandas')
+           .to_pandas())
+    fdf = fdf.groupby('delay_days', as_index=False)['n'].sum()
+    rows = sorted(zip(fdf['delay_days'].astype('int64'),
+                      fdf['n'].astype('int64')))
     return pa.table({
         'delay_days': pa.array([r[0] for r in rows], pa.int64()),
         'n': pa.array([r[1] for r in rows], pa.int64())})
@@ -7509,8 +7620,6 @@ def rfm_scores(sf_dir: str):
     cents) combine BEFORE the single user-key groupby; ranking folds
     on the user domain (answer-sized by the same contract as
     ``user_event_counts``)."""
-    from ray.data.aggregate import Max, Sum
-
     ev = _read(sf_dir, 'events', ['user_id', 'ts', 'value'])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -7524,23 +7633,32 @@ def rfm_scores(sf_dir: str):
                   n=('n', 'sum')))
         return g
 
-    folded = (ev.map_batches(partial, batch_format='pandas')
-              .groupby('user_id')
-              .aggregate(Max('ts_us', alias_name='ts_us'),
-                         Sum('cents', alias_name='cents'),
-                         Sum('n', alias_name='n'))
-              .take_all())  # user domain — answer-sized
-    users = sorted(r['user_id'] for r in folded)
-    by = {r['user_id']: r for r in folded}
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby('user_id', as_index=False)
+                .agg(ts_us=('ts_us', 'max'), cents=('cents', 'sum'),
+                     n=('n', 'sum')))
+
+    # per-batch partials → 8-way repartition merge → ONE vectorized
+    # driver combine over ≤ 8·|users| rows pulled with to_pandas
+    # (row-wise take_all costs ~1 ms/row; to_pandas is zero-copy)
+    fp = (ev.map_batches(partial, batch_format='pandas')
+          .repartition(8)
+          .map_batches(merge, batch_format='pandas')
+          .to_pandas())
+    fdf = merge(fp)
+    users = sorted(fdf['user_id'])
+    by = {u: (int(t), int(c), int(nn))
+          for u, t, c, nn in zip(fdf['user_id'], fdf['ts_us'],
+                                 fdf['cents'], fdf['n'])}
     n = len(users)
 
-    def quintile(metric):
-        order = sorted(users, key=lambda u: (metric(by[u]), u))
+    def quintile(idx):
+        order = sorted(users, key=lambda u: (by[u][idx], u))
         return {u: 1 + (5 * i) // n for i, u in enumerate(order)}
 
-    r_q = quintile(lambda r: int(r['ts_us']))
-    f_q = quintile(lambda r: int(r['n']))
-    m_q = quintile(lambda r: int(r['cents']))
+    r_q = quintile(0)
+    f_q = quintile(2)
+    m_q = quintile(1)
     return pa.table({
         'user_id': pa.array(users, pa.int64()),
         'r_score': pa.array([r_q[u] for u in users], pa.int64()),
