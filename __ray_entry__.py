@@ -523,13 +523,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ------------------------------------------------------------------
-        # Queries WITHOUT a green CORRECTNESS_r03 row come FIRST so a
-        # driver that samples a prefix of this dict proves the unproven
-        # surface before re-proving the round-3-green one.  The flagship
-        # crawl pair leads (r2-green, must never ship unchecked).
+        # Ordering contract: the driver samples a PREFIX of this dict, so
+        # entries are ordered flagship-first, then queries with NO green
+        # driver CORRECTNESS row in any round (r1-r4), then stale-evidence
+        # (r2/r3-green, not re-sampled since), then r4-green last.
+        # Refreshed for round 5 against CORRECTNESS_r04.json: the 2+48
+        # below are exactly a 50-query driver sample.
         # ------------------------------------------------------------------
+        # flagship crawl pair (must never ship unchecked)
         'crawl_bfs': R.crawl_documents,
         'crawl_contacts': R.crawl_contacts,
+        # -- never driver-proven (48) --
+        'mirror_sources': R.mirror_sources,
+        'outdeg_hist': R.outdeg_hist,
+        'doc_containment': R.doc_containment,
+        'source_lang_mix': R.source_lang_mix,
+        'url_template_mining': R.url_template_mining,
+        'reading_ease': R.reading_ease,
+        'events_funnel': R.events_funnel,
+        'hard_negatives': R.hard_negatives,
+        'crawl_clean_corpus': R.crawl_clean_corpus,
+        'clean_corpus_neardup': R.clean_corpus_neardup,
+        'clean_corpus_decontaminated': R.clean_corpus_decontaminated,
+        'clean_corpus_clustered': R.clean_corpus_clustered,
+        'clean_corpus_quantile': R.clean_corpus_quantile,
+        'events_asof_match': R.events_asof_match,
+        'sample_stratified': R.sample_stratified,
+        'tfidf_top_terms': R.tfidf_top_terms,
+        'shuffle_assign': R.shuffle_assign,
+        'unigram_logprob': R.unigram_logprob,
+        'bigram_logprob': R.bigram_logprob,
+        'pack_sequences': R.pack_sequences,
+        'mixture_weights': R.mixture_weights,
+        'sample_mixture': R.sample_mixture,
+        'ngram_jaccard_dups': R.ngram_jaccard_dups,
+        'simhash_dups': R.simhash_dups,
+        'knn_ivf_recall': R.knn_ivf_recall,
+        'hll_user_counts': R.hll_user_counts,
+        'heavy_hitter_tokens': R.heavy_hitter_tokens,
+        'kll_token_quantiles': R.kll_token_quantiles,
+        'pagerank_ds': R.pagerank_ds,
+        'hits_ds': R.hits_ds,
+        'inlink_anchors_ds': R.inlink_anchors_ds,
+        'perplexity_buckets': R.perplexity_buckets,
+        'source_quality_filter': R.source_quality_filter,
+        'cdx_index': R.cdx_index,
+        'line_dedup': R.line_dedup,
+        'dedup_incremental': R.dedup_incremental,
+        'knn_join': R.knn_join,
+        'knn_join_ivf': R.knn_join_ivf,
+        'recrawl_schedule': R.recrawl_schedule,
+        'dsir_weights': R.dsir_weights,
+        'nb_classify': R.nb_classify,
+        'budget_select': R.budget_select,
+        'host_boilerplate': R.host_boilerplate,
+        'semdedup_recall': R.semdedup_recall,
+        'inverted_index': R.inverted_index,
+        'crawl_budget_alloc': R.crawl_budget_alloc,
+        'centroid_classify': R.centroid_classify,
+        'snapshot_diff': R.snapshot_diff,
+        # -- driver-green in r2/r3 (stale evidence) --
+        'clean_corpus': R.clean_corpus,
+        'agg_counters': R.agg_counters,
+        'count_by_lang': R.count_by_lang,
+        'events_window': R.events_window,
+        'events_sliding_window': R.events_sliding_window,
+        'events_sessions': R.events_sessions,
+        'distinct_event_types': R.distinct_event_types,
+        'top_orders_per_customer': R.top_orders_per_customer,
+        'top_ngrams': R.top_ngrams,
+        'topk_priority': R.topk_priority,
+        'priority_scores': R.priority_scores,
+        'dedup_first': R.dedup_first,
+        'dedup_exact_text': R.dedup_exact_text,
+        'user_event_counts': R.user_event_counts,
+        'page_links': R.page_links,
+        'join_orders_customers': R.join_orders_customers,
+        'join_lineitem_orders': R.join_lineitem_orders,
+        'semi_join_customers': R.semi_join_customers,
+        'anti_join_customers': R.anti_join_customers,
+        'asof_latest_event': R.asof_latest_event,
+        'events_band_join': R.events_band_join,
+        'normalize_text': R.normalize_text,
+        'token_count': R.token_count,
+        'quality': R.quality,
+        'url_parse': R.url_parse,
+        'xpath_titles': R.xpath_titles,
+        'extract_contacts': R.extract_contacts,
+        'excerpts': R.excerpts,
+        'media_meta': R.media_meta,
+        'knn_query0': R.knn_query0,
+        'knn_ivf_query0': R.knn_ivf_query0,
+        'minhash_dups': R.minhash_dups,
+        'simhash_fingerprints': R.simhash_fingerprints,
+        'embedding_dups': R.embedding_dups,
+        'embedding_dups_ivf': R.embedding_dups_ivf,
+        'langid': R.langid,
+        'fingerprints': R.fingerprints,
+        'decontaminate': R.decontaminate,
+        'repetition': R.repetition,
+        'sample_hash': R.sample_hash,
+        'token_quantiles': R.token_quantiles,
+        'dup_clusters': R.dup_clusters,
+        'embedding_dup_clusters': R.embedding_dup_clusters,
+        'repeated_spans': R.repeated_spans,
+        'remove_repeated_spans': R.remove_repeated_spans,
+        'redact_pii': R.redact_pii,
+        'inlink_anchors': R.inlink_anchors,
+        'host_graph': R.host_graph,
+        'pagerank': R.pagerank,
+        'hits': R.hits,
+        'robots_filter': R.robots_filter,
+        # -- driver-green in r4 (freshest evidence) --
         'monthly_revenue': R.monthly_revenue,
         'part_pairs': R.part_pairs,
         'session_durations': R.session_durations,
@@ -578,117 +683,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'pmi_collocations': R.pmi_collocations,
         'lexical_diversity': R.lexical_diversity,
         'zipf_slope': R.zipf_slope,
-        'mirror_sources': R.mirror_sources,
-        'outdeg_hist': R.outdeg_hist,
-        'doc_containment': R.doc_containment,
-        'source_lang_mix': R.source_lang_mix,
-        'url_template_mining': R.url_template_mining,
-        'reading_ease': R.reading_ease,
-        'events_funnel': R.events_funnel,
-        'hard_negatives': R.hard_negatives,
-        'crawl_clean_corpus': R.crawl_clean_corpus,
-        'clean_corpus': R.clean_corpus,
-        'clean_corpus_neardup': R.clean_corpus_neardup,
-        'clean_corpus_decontaminated': R.clean_corpus_decontaminated,
-        'clean_corpus_clustered': R.clean_corpus_clustered,
-        'clean_corpus_quantile': R.clean_corpus_quantile,
-        'events_asof_match': R.events_asof_match,
-        'sample_stratified': R.sample_stratified,
-        'tfidf_top_terms': R.tfidf_top_terms,
-        'shuffle_assign': R.shuffle_assign,
-        'unigram_logprob': R.unigram_logprob,
-        'bigram_logprob': R.bigram_logprob,
-        'pack_sequences': R.pack_sequences,
-        'mixture_weights': R.mixture_weights,
-        'sample_mixture': R.sample_mixture,
-        'ngram_jaccard_dups': R.ngram_jaccard_dups,  # exact quadratic baseline
-        'simhash_dups': R.simhash_dups,
-        # new round-4 queries (quality gates + dataset-surface rankers)
-        # are also unproven — keep them in the prefix.
-        'knn_ivf_recall': R.knn_ivf_recall,
-        'hll_user_counts': R.hll_user_counts,
-        'heavy_hitter_tokens': R.heavy_hitter_tokens,
-        'kll_token_quantiles': R.kll_token_quantiles,
-        'pagerank_ds': R.pagerank_ds,
-        'hits_ds': R.hits_ds,
-        'inlink_anchors_ds': R.inlink_anchors_ds,
-        'perplexity_buckets': R.perplexity_buckets,
-        'source_quality_filter': R.source_quality_filter,
-        'cdx_index': R.cdx_index,
-        'line_dedup': R.line_dedup,
-        'dedup_incremental': R.dedup_incremental,
-        'knn_join': R.knn_join,
-        'knn_join_ivf': R.knn_join_ivf,
-        'recrawl_schedule': R.recrawl_schedule,
-        'dsir_weights': R.dsir_weights,
-        'nb_classify': R.nb_classify,
-        'budget_select': R.budget_select,
-        'host_boilerplate': R.host_boilerplate,
-        'semdedup_recall': R.semdedup_recall,
-        'inverted_index': R.inverted_index,
-        'crawl_budget_alloc': R.crawl_budget_alloc,
-        'centroid_classify': R.centroid_classify,
-        'snapshot_diff': R.snapshot_diff,
-        # ------------------------------------------------------------------
-        # round-3 driver-green queries below
-        # ------------------------------------------------------------------
-        # aggregations (State counters / windowed)
-        'agg_counters': R.agg_counters,
-        'count_by_lang': R.count_by_lang,
-        'events_window': R.events_window,
-        'events_sliding_window': R.events_sliding_window,
-        'events_sessions': R.events_sessions,
-        'distinct_event_types': R.distinct_event_types,
-        'top_orders_per_customer': R.top_orders_per_customer,
-        'top_ngrams': R.top_ngrams,
-        # sort / top-k (Queue.pull, link_score priority)
-        'topk_priority': R.topk_priority,
-        'priority_scores': R.priority_scores,
-        # dedup
-        'dedup_first': R.dedup_first,
-        'dedup_exact_text': R.dedup_exact_text,
-        'user_event_counts': R.user_event_counts,
-        'page_links': R.page_links,
-        # joins / lookups
-        'join_orders_customers': R.join_orders_customers,
-        'join_lineitem_orders': R.join_lineitem_orders,
-        'semi_join_customers': R.semi_join_customers,
-        'anti_join_customers': R.anti_join_customers,
-        'asof_latest_event': R.asof_latest_event,
-        'events_band_join': R.events_band_join,
-        # per-document kernels
-        'normalize_text': R.normalize_text,
-        'token_count': R.token_count,
-        'quality': R.quality,
-        'url_parse': R.url_parse,
-        'xpath_titles': R.xpath_titles,
-        'extract_contacts': R.extract_contacts,
-        'excerpts': R.excerpts,
-        'media_meta': R.media_meta,
-        # similarity / training-data ops (all SQL-oracled: the
-        # approximate paths against their exact equivalents)
-        'knn_query0': R.knn_query0,
-        'knn_ivf_query0': R.knn_ivf_query0,
-        'minhash_dups': R.minhash_dups,
-        'simhash_fingerprints': R.simhash_fingerprints,
-        'embedding_dups': R.embedding_dups,
-        'embedding_dups_ivf': R.embedding_dups_ivf,
-        'langid': R.langid,
-        'fingerprints': R.fingerprints,
-        'decontaminate': R.decontaminate,
-        'repetition': R.repetition,
-        'sample_hash': R.sample_hash,
-        'token_quantiles': R.token_quantiles,
-        'dup_clusters': R.dup_clusters,
-        'embedding_dup_clusters': R.embedding_dup_clusters,
-        'repeated_spans': R.repeated_spans,
-        'remove_repeated_spans': R.remove_repeated_spans,
-        'redact_pii': R.redact_pii,
-        'inlink_anchors': R.inlink_anchors,
-        'host_graph': R.host_graph,
-        'pagerank': R.pagerank,
-        'hits': R.hits,
-        'robots_filter': R.robots_filter,
     }
 
 
@@ -1077,14 +1071,15 @@ def oracle_sql() -> dict[str, str]:
             -- 30-min-gap sessions; duration = exact integer-µs
             -- max−min floor-divided to whole minutes
             WITH marked AS (
-              SELECT user_id, ts,
+              SELECT user_id, event_id, ts,
                      CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
               SELECT user_id, ts,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
               FROM marked
             ), d AS (
@@ -1453,18 +1448,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         'unigram_entropy': r"""
             -- corpus unigram Shannon entropy from exact merged counts:
-            -- H = (ln N - sum(c ln c)/N) / ln 2
+            -- H = (ln N - sum(c ln c)/N) / ln 2.  Summation-order-
+            -- insensitive: fold over the count HISTOGRAM, quantizing
+            -- each m*c*ln(c) term to integer micro-units (identical
+            -- doubles on both engines) and summing exact BIGINTs.
             WITH w AS (
               SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
               FROM documents
             ),
-            c AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
-                  FROM w GROUP BY w)
-            SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
-                   CAST(count(*) AS BIGINT) AS vocab_size,
-                   round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2),
+            c AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                  FROM w GROUP BY w),
+            h AS (SELECT c, CAST(count(*) AS BIGINT) AS m
+                  FROM c GROUP BY c),
+            s AS (SELECT CAST(sum(m * c) AS BIGINT) AS n,
+                         CAST(sum(m) AS BIGINT) AS vocab,
+                         CAST(sum(CASE WHEN c > 1 THEN
+                           CAST(floor(CAST(m AS DOUBLE) * CAST(c AS DOUBLE)
+                                      * ln(CAST(c AS DOUBLE))
+                                      * 1000000 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS clnc_u
+                  FROM h)
+            SELECT n AS n_tokens, vocab AS vocab_size,
+                   round((ln(CAST(n AS DOUBLE))
+                          - (CAST(clnc_u AS DOUBLE) / 1000000.0)
+                            / CAST(n AS DOUBLE)) / ln(2.0),
                          6) AS entropy_bits
-            FROM c
+            FROM s
         """,
         'events_daily_change': """
             -- daily counts + LAG percent change (first day NULL)

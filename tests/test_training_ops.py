@@ -1755,12 +1755,16 @@ def test_get_anchor_pairs_kernel():
     h = ('<html><body><a name="x">bare</a>'
          '<a href="/d/1#top">one</a><a href="mailto:a@b">m</a>'
          '<a href="/d/1">one again</a>'
-         '<a href="http://e.com/p">ext</a></body></html>')
+         '<a href="http://e.com/p">ext</a>'
+         '<a href="/d/2"><b>bold</b> text</a></body></html>')
     got = get_anchor_pairs(h, 'http://s.com/base/')
     assert got == [('http://s.com/base/', 'bare'),
                    ('http://s.com/d/1', 'one'),
                    ('http://s.com/d/1', 'one again'),
-                   ('http://e.com/p', 'ext')]
+                   ('http://e.com/p', 'ext'),
+                   # nested markup stripped (text() semantics),
+                   # not returned as inner HTML
+                   ('http://s.com/d/2', 'bold text')]
 
 
 def test_anchor_texts_merges_referrers(ray_session, tmp_path):

@@ -335,6 +335,11 @@ def get_anchor_pairs(html, url=None):
     contributes one pair in document order (the Doc engine emits ``''``
     for a missing href, which — exactly like an empty href in
     ``get_links`` — urljoins to the page's own url).
+
+    The anchor text is the element's inner content with nested markup
+    stripped (``common.remove_tags``, the same rule the ``text()``
+    axis applies — reference xpath.py:119-121), so
+    ``<a><b>hi</b></a>`` yields ``'hi'``, not ``'<b>hi</b>'``.
     """
     pairs = []
     for href, txt in zip(search(html, '//a/@href'),
@@ -351,7 +356,7 @@ def get_anchor_pairs(html, url=None):
         except (UnicodeError, ValueError):
             continue
         if link:
-            pairs.append((link, txt))
+            pairs.append((link, common.remove_tags(txt)))
     return pairs
 
 

@@ -6077,10 +6077,15 @@ def unigram_entropy(sf_dir: str):
 
     100-TB shape: per-batch token-count partials → ONE groupby-sum to
     merge per-token counts (vocab-sized shuffle, same as
-    :func:`unigram_logprob`), then a map_batches over the vocab table
-    emits per-block (Σc, Σc·ln c, n_types) moments that a Dataset
-    aggregate folds — the vocabulary never lands on the driver.
-    H = (ln N − Σc·ln c / N) / ln 2 from exact integer counts."""
+    :func:`unigram_logprob`), then a second (tiny) groupby collapses
+    the vocab to its COUNT HISTOGRAM (count value → #types, O(√N)
+    distinct frequencies under Zipf) which lands on the driver at
+    answer size.  The Σc·ln c fold is summation-ORDER-INSENSITIVE by
+    construction: each histogram term m·c·ln c is quantized to exact
+    integer micro-units (floor(x·1e6 + 0.5) — identical doubles on
+    both engines, libm ln verified bitwise-equal to DuckDB ln) and
+    the micros are summed as exact integers, so block order can never
+    flip a rounding boundary.  H = (ln N − Σc·ln c / N) / ln 2."""
     import math
     from collections import Counter
 
@@ -6100,28 +6105,39 @@ def unigram_entropy(sf_dir: str):
     vocab = (ds.map_batches(partial, batch_format='pyarrow')
              .groupby('w').aggregate(Sum('c', alias_name='c')))
 
-    def moments(t: pa.Table) -> pa.Table:
+    def hist_partial(t: pa.Table) -> pa.Table:
         # groupby outputs can carry schemaless empty blocks (Ray 2.49)
         if t.num_rows == 0 or 'c' not in t.schema.names:
-            c = np.zeros(0, dtype=np.float64)
-        else:
-            c = t.column('c').to_numpy(
-                zero_copy_only=False).astype(np.float64)
-        return pa.table({
-            'n_tok': pa.array([int(c.sum())], pa.int64()),
-            'clnc': pa.array([float(np.sum(c * np.log(c)))], pa.float64()),
-            'n_types': pa.array([len(c)], pa.int64())})
+            return pa.table({'c': pa.array([], pa.int64()),
+                             'm': pa.array([], pa.int64())})
+        c = t.column('c').to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(c, return_counts=True)
+        return pa.table({'c': pa.array(vals.astype(np.int64)),
+                         'm': pa.array(cnts.astype(np.int64))})
 
-    agg = (vocab.map_batches(moments, batch_format='pyarrow')
-           .aggregate(Sum('n_tok'), Sum('clnc'), Sum('n_types')))
-    n = int(agg['sum(n_tok)'] or 0)
+    # distinct-frequency histogram: answer-sized (O(√N) rows by Zipf)
+    hist = (vocab.map_batches(hist_partial, batch_format='pyarrow')
+            .groupby('c').aggregate(Sum('m', alias_name='m'))
+            .take_all())
+    n = 0
+    n_types = 0
+    clnc_u = 0  # exact integer micro-units; Python int — no overflow
+    for r in hist:
+        c, m = int(r['c']), int(r['m'])
+        n += m * c
+        n_types += m
+        if c > 1:
+            # identical op order to the SQL oracle:
+            # floor(m*c*ln(c) * 1e6 + 0.5)
+            clnc_u += int(math.floor(
+                float(m) * float(c) * math.log(float(c)) * 1e6 + 0.5))
     if n == 0:
         ent = 0.0
     else:
-        ent = (math.log(n) - float(agg['sum(clnc)']) / n) / math.log(2)
+        ent = ((math.log(float(n)) - (float(clnc_u) / 1e6) / float(n))
+               / math.log(2.0))
     out = pa.table({'n_tokens': pa.array([n], pa.int64()),
-                    'vocab_size': pa.array([int(agg['sum(n_types)'] or 0)],
-                                           pa.int64()),
+                    'vocab_size': pa.array([n_types], pa.int64()),
                     'entropy_bits': pa.array([ent], pa.float64())})
     return _snap_round(out, 'entropy_bits', 6)
 
@@ -7247,6 +7263,9 @@ def vocab_growth(sf_dir: str, steps: int = 10):
     cks_arr = np.array(cks, np.int64)
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or 'fd' not in df.columns:  # schemaless empty block
+            return pd.DataFrame({'k': pd.Series([], dtype=np.int64),
+                                 'n': pd.Series([], dtype=np.int64)})
         # first checkpoint k with fd < ck[k]  (ck is nondecreasing)
         idx = np.searchsorted(cks_arr, df['fd'].to_numpy(), side='right')
         vc = pd.Series(idx).value_counts()
