@@ -119,6 +119,82 @@ def test_embedding_ivf_matches_brute(ray_session):
     assert ip == bp                    # full recall on planted corpus
 
 
+def test_embedding_dups_pathological_tiled(ray_session):
+    """VERDICT r4 item 3: a near-dup-SATURATED corpus (every vector
+    within cosine 0.95 of every other — k-means cannot split it) must
+    (a) keep per-task matmul scratch bounded by the tile, not the
+    bucket (tile_rows=16 « n=240 forces the multi-tile path), and
+    (b) produce the UNCHANGED pair set vs the exact brute path."""
+    import ray.data
+
+    from webscraping_ray.stages.dedup import (embedding_dup_pairs,
+                                              embedding_dup_pairs_ds)
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(16)
+    base /= np.linalg.norm(base)
+    # tiny angular jitter keeps every pairwise cosine above 0.95
+    M = base[None, :] + 0.01 * rng.randn(240, 16)
+    tbl = pa.table({'vec_id': pa.array(range(240), pa.int64()),
+                    'embedding': pa.array(M.tolist(),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    brute = embedding_dup_pairs(ds, threshold=0.95, method='brute')
+    bp = set(zip(brute.column('id_a').to_pylist(),
+                 brute.column('id_b').to_pylist()))
+    assert len(bp) == 240 * 239 // 2   # saturated: all pairs
+    # tiled IVF path, streaming variant, forced tiny tile
+    tiled = embedding_dup_pairs_ds(ds, threshold=0.95,
+                                   tile_rows=16).take_all()
+    tp = set((r['id_a'], r['id_b']) for r in tiled)
+    assert tp == bp
+
+
+def test_ivf_bucketize_k_rule_and_split(ray_session):
+    """ivf_bucketize derives k from the target bucket size and
+    recursively re-clusters oversize buckets; a degenerate
+    all-identical corpus terminates without an infinite loop."""
+    import ray.data
+
+    from webscraping_ray.stages.similarity import (derive_n_clusters,
+                                                   ivf_bucketize)
+
+    assert derive_n_clusters(0) == 1
+    assert derive_n_clusters(8192) == 1
+    assert derive_n_clusters(8193) == 2
+    assert derive_n_clusters(10 ** 9, 8192) == 122071
+
+    # three well-separated clusters of 200 each; force target=50 so
+    # the k-rule wants 12 clusters, cap buckets at 120 so any bucket
+    # that swallowed a whole cluster gets re-split
+    rng = np.random.RandomState(5)
+    centers = np.eye(3, 16) * 10
+    M = np.vstack([centers[i] + 0.05 * rng.randn(200, 16)
+                   for i in range(3)])
+    tbl = pa.table({'vec_id': pa.array(range(600), pa.int64()),
+                    'embedding': pa.array(M.tolist(),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    b = ivf_bucketize(ds, target_bucket_rows=50, max_bucket_rows=120)
+    sizes = {int(r['ivf_bucket']): int(r['count()'])
+             for r in b.groupby('ivf_bucket').count().take_all()}
+    assert sum(sizes.values()) == 600          # no row lost or duped
+    assert max(sizes.values()) <= 120          # every bucket under cap
+
+    # degenerate: all-identical vectors can never split — must
+    # terminate (bounded rounds) with the single bucket intact
+    one = np.tile(centers[0], (300, 1))
+    tbl2 = pa.table({'vec_id': pa.array(range(300), pa.int64()),
+                     'embedding': pa.array(one.tolist(),
+                                           pa.list_(pa.float32()))})
+    b2 = ivf_bucketize(ray.data.from_arrow(tbl2),
+                       target_bucket_rows=50, max_bucket_rows=120)
+    sizes2 = {int(r['ivf_bucket']): int(r['count()'])
+              for r in b2.groupby('ivf_bucket').count().take_all()}
+    assert sum(sizes2.values()) == 300
+    assert max(sizes2.values()) == 300         # unsplittable, kept
+
+
 def test_minhash_recall_vs_exact_bruteforce(ray_session):
     """LSH recall against the exact all-pairs Jaccard ground truth on
     the sf0.001 documents table (the VERDICT-requested measurement;
@@ -1592,6 +1668,56 @@ def test_hard_negatives_planted(ray_session, tmp_path):
     assert out.loc[4].to_dict()['pos_id'] == -1   # singleton class
     assert out.loc[3]['pos_id'] == -1             # label 1 singleton too
     assert out.loc[3]['neg_id'] == 1              # cos(3,1) > cos(3,0)
+
+
+@pytest.mark.parametrize('sf_dir', ['/root/testdata/sf0.001',
+                                    '/root/testdata/sf0.01'])
+def test_hard_negatives_blocked_equals_brute(ray_session, sf_dir):
+    """The scale tier (chunked corpus refs + streamed argmax fold) is
+    pinned EXACTLY equal to the broadcast brute tier — including with
+    chunk_rows forced tiny so every batch merges across many chunks
+    (the cross-chunk tie-break path)."""
+    import pandas as pd
+    import ray.data
+
+    from webscraping_ray.stages.similarity import (hard_negatives_blocked,
+                                                   hard_negatives_brute)
+
+    ds = ray.data.read_parquet(
+        f'{sf_dir}/embeddings.parquet',
+        columns=['vec_id', 'embedding', 'label'])
+    want = (hard_negatives_brute(ds).to_pandas()
+            .sort_values('vec_id').reset_index(drop=True))
+    for chunk_rows in (64, 10**9):   # multi-chunk and single-chunk
+        got = (hard_negatives_blocked(ds, chunk_rows=chunk_rows)
+               .to_pandas().sort_values('vec_id').reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_hard_negatives_blocked_planted_multichunk(ray_session, tmp_path):
+    """Planted 2-D case through the blocked tier with chunk_rows=2:
+    positives/negatives split across chunks still resolve to the
+    global argmax (and singleton classes still get -1)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from webscraping_ray.stages.similarity import hard_negatives_blocked
+
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.8, 0.2], [-1.0, 0.0]]
+    labels = [0, 0, 0, 1, 2]
+    t = pa.table({'vec_id': pa.array(range(5), pa.int64()),
+                  'embedding': pa.array(vecs, pa.list_(pa.float32())),
+                  'label': pa.array(labels, pa.int32())})
+    pq.write_table(t, str(tmp_path / 'embeddings.parquet'))
+    ds = ray.data.read_parquet(str(tmp_path / 'embeddings.parquet'),
+                               override_num_blocks=3)
+    out = (hard_negatives_blocked(ds, chunk_rows=2).to_pandas()
+           .set_index('vec_id').sort_index())
+    assert out.loc[0].to_dict() == {'pos_id': 1, 'neg_id': 3}
+    assert out.loc[1].to_dict() == {'pos_id': 0, 'neg_id': 3}
+    assert out.loc[4].to_dict()['pos_id'] == -1
+    assert out.loc[3]['pos_id'] == -1
+    assert out.loc[3]['neg_id'] == 1
 
 
 def test_doc_containment_random_vs_naive(ray_session, tmp_path):

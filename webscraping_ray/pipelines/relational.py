@@ -5992,21 +5992,20 @@ def hard_negatives(sf_dir: str):
     vector the most-similar same-label neighbor (positive) and
     most-similar different-label neighbor (hard negative) — the
     triplet-mining step of contrastive training.  (vec_id, pos_id,
-    neg_id); -1 for a memberless class.  Broadcast tier only at this
-    surface (gated like :func:`knn_join` — above the limit, mine per
-    IVF bucket with the :func:`knn_join_ivf` pattern)."""
-    import pyarrow.parquet as pq
+    neg_id); -1 for a memberless class.
 
-    from ..stages.similarity import (KNN_JOIN_BROADCAST_LIMIT,
-                                     hard_negatives_brute)
+    100-TB shape: ALWAYS the blocked-exact tier
+    (:func:`~webscraping_ray.stages.similarity.hard_negatives_blocked`)
+    — corpus chunked into object-store refs built by Ray tasks (never
+    driver-concatenated), query side streams once folding a running
+    argmax across chunks.  No broadcast gate: below one chunk the
+    blocked tier degenerates to the brute broadcast shape; above it,
+    memory stays bounded at (batch × chunk).  Exact (not IVF-
+    approximate), so the DuckDB oracle holds at every scale."""
+    from ..stages.similarity import hard_negatives_blocked
 
-    n = pq.ParquetFile(f'{sf_dir}/embeddings.parquet').metadata.num_rows
-    if n > KNN_JOIN_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            'hard_negatives above the broadcast gate: mine per IVF '
-            'bucket (knn_join_ivf pattern)')
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding', 'label'])
-    return hard_negatives_brute(ds)
+    return hard_negatives_blocked(ds)
 
 
 def rollup_source_lang(sf_dir: str):

@@ -587,29 +587,55 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, text_col: str = 'text',
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
-def embedding_dup_pairs(ds, threshold: float = 0.95,
-                        emb_col: str = 'embedding', id_col: str = 'vec_id',
-                        method: str = 'ivf', n_clusters: int = 16):
-    """Near-dup pairs by cosine ≥ threshold.
+EMB_TILE_ROWS = 2048
 
-    ``method='ivf'`` (default, the scale path): bucket by nearest IVF
-    centroid (one distributed pass, ``similarity.ivf_build``), then a
-    per-bucket all-pairs matmul inside ``map_groups`` — no full matrix
-    is ever assembled anywhere; per-bucket work is O((n/k)²·d).
-    Near-identical vectors (cosine ≥ 0.95) land in the same bucket with
-    overwhelming probability; pairs straddling a bucket boundary are
-    missed — measure recall against ``method='brute'`` (the exact
-    oracle, small corpora only: it broadcasts the full normalized
-    matrix once via ``ray.put`` and matmuls per batch).
-    """
-    if method == 'brute':
-        return _embedding_pairs_brute(ds, threshold, emb_col, id_col)
 
+def _tiled_bucket_pairs(ids: np.ndarray, M: np.ndarray, threshold: float,
+                        tile_rows: int = EMB_TILE_ROWS):
+    """All within-bucket pairs (i<j in id order) with cosine ≥
+    threshold, computed TILE by TILE so per-task scratch is
+    O(tile²) doubles instead of O(m²) — the pair SET is identical to
+    the one-shot ``np.triu(M @ M.T)`` (each pair's dot product is the
+    same d-length reduction), only the scratch allocation changes.
+    Yields (r_idx, c_idx, cos) index triples into ``ids``."""
+    n = len(ids)
+    for i0 in range(0, n, tile_rows):
+        Mi = M[i0:i0 + tile_rows]
+        for j0 in range(i0, n, tile_rows):
+            S = Mi @ M[j0:j0 + tile_rows].T
+            r, c = np.nonzero(S >= threshold)
+            gr, gc = r + i0, c + j0
+            keep = gr < gc          # strict upper triangle, any tile
+            if keep.any():
+                yield gr[keep], gc[keep], S[r[keep], c[keep]]
+
+
+def embedding_dup_pairs_ds(ds, threshold: float = 0.95,
+                           emb_col: str = 'embedding',
+                           id_col: str = 'vec_id',
+                           n_clusters=None,
+                           tile_rows: int = EMB_TILE_ROWS):
+    """Near-dup pairs by cosine ≥ threshold — the streaming scale
+    path: returns an (id_a, id_b, cosine) **Dataset** (unsorted) that
+    the caller consumes with ``write_parquet`` / further transforms,
+    never a driver-side list: a near-dup-saturated corpus has O(m²)
+    pairs and must not be ``take_all``-ed.
+
+    Scale shape: bucket by nearest IVF centroid with the k-scaling
+    rule (``n_clusters=None`` → k = ceil(n / IVF_TARGET_BUCKET_ROWS),
+    ``similarity.ivf_build``), then per-bucket all-pairs inside
+    ``map_groups`` with TILED matmuls (``_tiled_bucket_pairs``):
+    per-task scratch is O(tile²) even for a degenerate bucket that
+    k-means cannot split (all-identical vectors), and the pair set is
+    unchanged vs the one-shot matmul.  Pairs straddling a bucket
+    boundary are missed — measure recall against ``method='brute'``
+    of :func:`embedding_dup_pairs`."""
     import pandas as pd
 
     from .similarity import ivf_build
 
-    _, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col, id_col=id_col)
+    _, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col,
+                            id_col=id_col)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy(dtype=np.int64)
@@ -617,13 +643,42 @@ def embedding_dup_pairs(ds, threshold: float = 0.95,
         ids = ids[order]
         M = np.array(g[emb_col].tolist(), dtype=np.float64)[order]
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        S = np.triu(M @ M.T, k=1)
-        r, c = np.nonzero(S >= threshold)
-        return pd.DataFrame({'id_a': ids[r], 'id_b': ids[c],
-                             'cosine': S[r, c]})
+        out_a, out_b, out_c = [], [], []
+        for gr, gc, cos in _tiled_bucket_pairs(ids, M, threshold,
+                                               tile_rows):
+            out_a.append(ids[gr])
+            out_b.append(ids[gc])
+            out_c.append(cos)
+        if not out_a:
+            return pd.DataFrame({'id_a': pd.Series([], dtype=np.int64),
+                                 'id_b': pd.Series([], dtype=np.int64),
+                                 'cosine': pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({'id_a': np.concatenate(out_a),
+                             'id_b': np.concatenate(out_b),
+                             'cosine': np.concatenate(out_c)})
 
-    pairs = (bucketed.groupby('ivf_bucket')
-             .map_groups(bucket_pairs, batch_format='pandas')).take_all()
+    return (bucketed.groupby('ivf_bucket')
+            .map_groups(bucket_pairs, batch_format='pandas'))
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95,
+                        emb_col: str = 'embedding', id_col: str = 'vec_id',
+                        method: str = 'ivf', n_clusters=None,
+                        tile_rows: int = EMB_TILE_ROWS):
+    """Near-dup pairs by cosine ≥ threshold, as a sorted driver-side
+    table — ANSWER-SIZED result sets only (relational query surface /
+    tests); corpus-scale consumers use :func:`embedding_dup_pairs_ds`
+    and stream to parquet.
+
+    ``method='ivf'`` (default, the scale path) delegates to
+    :func:`embedding_dup_pairs_ds`; ``method='brute'`` is the exact
+    small-corpus oracle (full normalized matrix broadcast once via
+    ``ray.put``, matmul per batch)."""
+    if method == 'brute':
+        return _embedding_pairs_brute(ds, threshold, emb_col, id_col)
+
+    pairs = embedding_dup_pairs_ds(ds, threshold, emb_col, id_col,
+                                   n_clusters, tile_rows).take_all()
     pairs.sort(key=lambda r: (r['id_a'], r['id_b']))
     return pa.table({'id_a': pa.array([r['id_a'] for r in pairs], pa.int64()),
                      'id_b': pa.array([r['id_b'] for r in pairs], pa.int64()),
@@ -679,9 +734,72 @@ def _embedding_pairs_brute(ds, threshold: float, emb_col: str, id_col: str):
                      'cosine': pa.array([r['cosine'] for r in pairs], pa.float64())})
 
 
+def semdedup_removed_ds(ds, threshold: float = 0.95,
+                        emb_col: str = 'embedding', id_col: str = 'vec_id',
+                        n_clusters=None, tile_rows: int = EMB_TILE_ROWS,
+                        max_bucket_rows=None):
+    """Streaming SemDeDup: the Dataset-returning scale path of
+    :func:`semdedup_removed` (same per-bucket semantics; output is
+    O(corpus) rows for a saturated corpus, so corpus-scale callers
+    write it to parquet rather than ``take_all``).
+
+    ``n_clusters=None`` applies the IVF k-scaling rule; pass
+    ``max_bucket_rows`` to additionally re-cluster oversize buckets
+    recursively (``similarity.ivf_bucketize``) — a policy refinement
+    the SemDeDup contract allows (dedup is defined WITHIN a cluster),
+    recall-gated by the ``semdedup_recall`` query.  The per-bucket
+    cosine matmul is tiled (O(tile²) scratch) and the union-find is
+    O(bucket) memory, so even a degenerate unsplittable bucket
+    (all-identical vectors) cannot blow up a task."""
+    import pandas as pd
+
+    from .similarity import ivf_bucketize, ivf_build
+
+    if max_bucket_rows is not None:
+        bucketed = ivf_bucketize(ds, max_bucket_rows=max_bucket_rows,
+                                 emb_col=emb_col, id_col=id_col)
+    else:
+        _, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col,
+                                id_col=id_col)
+
+    def prune_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.array(g[emb_col].tolist(), dtype=np.float64)[order]
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for gr, gc, _cos in _tiled_bucket_pairs(ids, M, threshold,
+                                                tile_rows):
+            for a, b in zip(gr, gc):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min index keeps the root = min id (ids
+                    # are sorted ascending, so index order IS id order)
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        sizes = np.bincount(roots, minlength=n)
+        removed = np.flatnonzero(roots != np.arange(n))
+        return pd.DataFrame({
+            id_col: ids[removed],
+            'keep_id': ids[roots[removed]],
+            'n_members': sizes[roots[removed]].astype(np.int64)})
+
+    return (bucketed.groupby('ivf_bucket')
+            .map_groups(prune_bucket, batch_format='pandas'))
+
+
 def semdedup_removed(ds, threshold: float = 0.95,
                      emb_col: str = 'embedding', id_col: str = 'vec_id',
-                     n_clusters: int = 16):
+                     n_clusters=None, max_bucket_rows=None):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then WITHIN each cluster drop all
     but one member of every cosine-≥-threshold duplicate group.
@@ -698,47 +816,16 @@ def semdedup_removed(ds, threshold: float = 0.95,
     returned id provably has a ≥ threshold neighbor (precision 1.0 by
     construction); recall vs the exact all-pairs dup graph is gated by
     the ``semdedup_recall`` query.
-    """
-    import pandas as pd
 
-    from .similarity import ivf_build
-
-    _, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col,
-                            id_col=id_col)
-
-    def prune_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = np.array(g[emb_col].tolist(), dtype=np.float64)[order]
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        S = np.triu(M @ M.T, k=1)
-        r, c = np.nonzero(S >= threshold)
-        n = len(ids)
-        parent = np.arange(n)
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in zip(r, c):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min index keeps the root = min id (ids are
-                # sorted ascending, so index order IS id order)
-                parent[max(ra, rb)] = min(ra, rb)
-        roots = np.array([find(i) for i in range(n)])
-        sizes = np.bincount(roots, minlength=n)
-        removed = np.flatnonzero(roots != np.arange(n))
-        return pd.DataFrame({
-            id_col: ids[removed],
-            'keep_id': ids[roots[removed]],
-            'n_members': sizes[roots[removed]].astype(np.int64)})
-
-    out = (bucketed.groupby('ivf_bucket')
-           .map_groups(prune_bucket, batch_format='pandas')).take_all()
+    This wrapper materializes the result sorted on the driver —
+    answer-sized corpora (query surface / tests) only; corpus-scale
+    callers use :func:`semdedup_removed_ds` and stream to parquet.
+    ``n_clusters=None`` (default) applies the k-scaling rule;
+    ``max_bucket_rows`` opts into recursive oversize-bucket
+    re-clustering."""
+    out = semdedup_removed_ds(ds, threshold, emb_col, id_col,
+                              n_clusters,
+                              max_bucket_rows=max_bucket_rows).take_all()
     out.sort(key=lambda r: r[id_col])
     return pa.table({
         id_col: pa.array([r[id_col] for r in out], pa.int64()),

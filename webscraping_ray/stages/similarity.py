@@ -123,10 +123,30 @@ def _kmeans(X: np.ndarray, n_clusters: int, iters: int = 10,
     return C
 
 
-def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
+IVF_TARGET_BUCKET_ROWS = 8192
+
+
+def derive_n_clusters(n_rows: int,
+                      target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS
+                      ) -> int:
+    """The IVF k-scaling rule: k = ceil(n / TARGET_BUCKET_ROWS), so
+    expected bucket size stays ~constant as the corpus grows — the
+    per-bucket O((n/k)²·d) matmul stays O(target²·d) at 100× the data
+    instead of growing quadratically with a fixed k."""
+    return max(1, -(-int(n_rows) // int(target_bucket_rows)))
+
+
+def ivf_build(ds, n_clusters=16, sample_size: int = 4096,
               emb_col: str = 'embedding', id_col: str = 'vec_id',
-              seed: int = 42):
+              seed: int = 42,
+              target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS):
     """Train coarse centroids on a sample and bucket the dataset.
+
+    ``n_clusters=None`` applies the k-scaling rule
+    (:func:`derive_n_clusters`): k = ceil(n / target_bucket_rows)
+    from the dataset's row count, and the training sample grows with
+    k (≥ 8 rows per centroid) so high-k clusterings aren't trained on
+    a sample smaller than the centroid set.
 
     Returns (centroids, bucketed_ds) where bucketed_ds has an extra
     ``ivf_bucket`` column.  The bucketed dataset can be written
@@ -141,6 +161,10 @@ def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
     under any repartitioning or parallelism.
     """
     import ray
+
+    if n_clusters is None:
+        n_clusters = derive_n_clusters(ds.count(), target_bucket_rows)
+        sample_size = max(sample_size, 8 * n_clusters)
 
     skey_seed = _splitmix64(np.array([seed], dtype=np.uint64))
 
@@ -187,6 +211,110 @@ def ivf_build(ds, n_clusters: int = 16, sample_size: int = 4096,
         return batch.append_column('ivf_bucket', pa.array(assign, pa.int32()))
 
     return C, ds.map_batches(assign_bucket, batch_format='pyarrow')
+
+
+IVF_MAX_FLAT_CLUSTERS = 1024
+
+
+def ivf_bucketize(ds, target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS,
+                  max_bucket_rows=None, emb_col: str = 'embedding',
+                  id_col: str = 'vec_id', seed: int = 42,
+                  max_depth: int = 3):
+    """k-scaled IVF bucketing with recursive oversize-bucket split.
+
+    Returns a Dataset with an int64 ``ivf_bucket`` column where:
+
+    - the flat cluster count follows the k-rule
+      (:func:`derive_n_clusters`), capped at
+      ``IVF_MAX_FLAT_CLUSTERS`` so the driver-side k-means on the
+      reservoir sample stays cheap (sample·k·d flops);
+    - when ``max_bucket_rows`` is set, any bucket larger than the cap
+      is RE-clustered: its rows are filtered out, a fresh
+      :func:`ivf_build` runs on just that subset (distributed assign
+      pass, new seed per round), and its sub-buckets get fresh ids —
+      recursion up to ``max_depth`` rounds, so the effective cluster
+      count grows multiplicatively with depth (1024^depth) and any n
+      is reachable without a mega k-means anywhere.
+    - a bucket that refuses to split (all points identical — k-means
+      puts them on one centroid) is marked final and kept: no
+      infinite loop on degenerate corpora.  Consumers must therefore
+      still bound their own per-bucket scratch (the dedup family
+      tiles its matmuls — see ``dedup._tiled_bucket_pairs``).
+
+    Each round materializes the bucketed dataset before filtering so
+    the recursion never re-executes prior rounds' lineage.
+    """
+    import pyarrow.compute as pc
+
+    n = ds.count()
+    k = min(derive_n_clusters(n, target_bucket_rows),
+            IVF_MAX_FLAT_CLUSTERS)
+    _, bucketed = ivf_build(ds, k, sample_size=max(4096, 8 * k),
+                            emb_col=emb_col, id_col=id_col, seed=seed)
+
+    def widen(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index('ivf_bucket')
+        return t.set_column(i, 'ivf_bucket',
+                            pc.cast(t.column('ivf_bucket'), pa.int64()))
+
+    bucketed = bucketed.map_batches(widen, batch_format='pyarrow')
+    if max_bucket_rows is None:
+        return bucketed
+
+    next_id = k
+    final: set = set()
+    # sub-bucket id range -> parent size, for no-progress detection
+    split_ranges: list = []
+    for depth in range(max_depth):
+        bucketed = bucketed.materialize()
+        sizes = {int(r['ivf_bucket']): int(r['count()'])
+                 for r in bucketed.groupby('ivf_bucket').count()
+                 .take_all()}  # answer-sized: one row per bucket
+        for base, end, parent_size in split_ranges:
+            for b in range(base, end):
+                if sizes.get(b, 0) == parent_size:
+                    # the split reproduced its parent verbatim: all
+                    # points identical — don't try again
+                    final.add(b)
+        split_ranges = []
+        oversize = sorted(b for b, s in sizes.items()
+                          if s > max_bucket_rows and b not in final)
+        if not oversize:
+            break
+        keep = bucketed.map_batches(
+            lambda t, _bad=tuple(oversize): t.filter(
+                pc.invert(pc.is_in(t['ivf_bucket'],
+                                   value_set=pa.array(_bad, pa.int64())))),
+            batch_format='pyarrow')
+        parts = [keep]
+        for b in oversize:
+            sub = bucketed.map_batches(
+                lambda t, _b=b: t.filter(
+                    pc.equal(t['ivf_bucket'], pa.scalar(_b, pa.int64()))),
+                batch_format='pyarrow')
+            k_b = min(derive_n_clusters(sizes[b], target_bucket_rows),
+                      IVF_MAX_FLAT_CLUSTERS)
+            if k_b <= 1:
+                k_b = 2  # force an attempt to split in half
+            _, resub = ivf_build(
+                sub.drop_columns(['ivf_bucket']), k_b,
+                sample_size=max(4096, 8 * k_b), emb_col=emb_col,
+                id_col=id_col, seed=seed + 1000 * (depth + 1) + b)
+            base = next_id
+            next_id += k_b
+            split_ranges.append((base, base + k_b, sizes[b]))
+            resub = resub.map_batches(
+                lambda t, _base=base: t.set_column(
+                    t.schema.get_field_index('ivf_bucket'), 'ivf_bucket',
+                    pc.add(pc.cast(t.column('ivf_bucket'), pa.int64()),
+                           pa.scalar(_base, pa.int64()))),
+                batch_format='pyarrow')
+            parts.append(resub)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.union(p)
+        bucketed = merged
+    return bucketed
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
@@ -366,6 +494,122 @@ def knn_join_ivf(ds, k: int = 5, n_clusters: int = 8,
             'neighbor_id': gg['nid'].to_numpy(dtype=np.int64)})
 
     return _per_key_groups(partials, 'qid', merge_topk)
+
+
+HN_CHUNK_ROWS = 65536
+
+
+def hard_negatives_blocked(ds, emb_col: str = 'embedding',
+                           id_col: str = 'vec_id',
+                           label_col: str = 'label',
+                           chunk_rows: int = HN_CHUNK_ROWS):
+    """Contrastive-pair mining, EXACT at corpus scale — the scale tier
+    of :func:`hard_negatives_brute` (same output contract: (vec_id,
+    pos_id, neg_id), -1 for a memberless class, ties break max-cos
+    then min neighbor id).
+
+    100-TB shape (block-nested-loop argmax, no broadcast gate):
+
+    - The corpus side is never driver-concatenated.  Dataset block
+      refs are grouped into ~``chunk_rows`` chunks and a Ray task per
+      chunk repacks them into an (ids, labels, L2-normalized matrix)
+      tuple that stays IN THE OBJECT STORE (spillable); the driver
+      only handles ObjectRefs.
+    - The query side streams once through ``map_batches``; each batch
+      folds a running (best_cos, best_id) argmax across the chunk
+      refs — ``ray.get`` of a chunk is plasma-cached per node, so a
+      node fetches each chunk once, not once per task.
+    - Per-task memory: one query batch × one chunk matrix.  Exact
+      all-pairs mining is inherently O(n²·d) flops; this shape bounds
+      memory and avoids any single-node materialization.
+
+    Equality with the brute tier is exact, not approximate: per-pair
+    cosines are the same d-length dot products, and the cross-chunk
+    merge (greater cos, then smaller id) reproduces the brute
+    ``lexsort`` tie-break (pinned at sf0.001/sf0.01 in
+    tests/test_training_ops.py)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def build_chunk(*blocks):
+        ids, labs, ms = [], [], []
+        for b in blocks:
+            if b.num_rows:
+                ids.append(np.asarray(b.column(id_col), dtype=np.int64))
+                labs.append(np.asarray(b.column(label_col),
+                                       dtype=np.int64))
+                ms.append(_normalize(_emb_matrix(b.column(emb_col))))
+        return (np.concatenate(ids), np.concatenate(labs),
+                np.vstack(ms))
+
+    groups: list = []
+    cur: list = []
+    cur_rows = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            nr = meta.num_rows or 0
+            if nr == 0:
+                continue
+            cur.append(ref)
+            cur_rows += nr
+            if cur_rows >= chunk_rows:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    empty = pa.table({'vec_id': pa.array([], pa.int64()),
+                      'pos_id': pa.array([], pa.int64()),
+                      'neg_id': pa.array([], pa.int64())})
+    if not groups:
+        import ray.data
+        return ray.data.from_arrow(empty)
+    chunk_refs = [build_chunk.remote(*g) for g in groups]
+
+    BIG = np.int64(2 ** 62)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return empty
+        q_ids = np.asarray(t.column(id_col), dtype=np.int64)
+        q_lab = np.asarray(t.column(label_col), dtype=np.int64)
+        Q = _normalize(_emb_matrix(t.column(emb_col)))
+        b = len(q_ids)
+        best = {w: (np.full(b, -np.inf), np.full(b, BIG))
+                for w in ('pos', 'neg')}
+        for cref in chunk_refs:
+            ids_d, lab_d, M_d = ray.get(cref)
+            S = Q @ M_d.T
+            S[q_ids[:, None] == ids_d[None, :]] = -np.inf  # no self
+            same = q_lab[:, None] == lab_d[None, :]
+            for which, mask in (('pos', same), ('neg', ~same)):
+                Sm = np.where(mask, S, -np.inf)
+                c_cos = Sm.max(axis=1)
+                valid = c_cos > -np.inf
+                # min neighbor id among the max-cos columns — the
+                # brute lexsort((ids, -S))[0] tie-break, vectorized
+                c_id = np.where(
+                    valid,
+                    np.where(Sm == c_cos[:, None],
+                             ids_d[None, :], BIG).min(axis=1),
+                    BIG)
+                b_cos, b_id = best[which]
+                better = (c_cos > b_cos) | ((c_cos == b_cos)
+                                            & (c_id < b_id))
+                best[which] = (np.where(better, c_cos, b_cos),
+                               np.where(better, c_id, b_id))
+        pos_cos, pos_id = best['pos']
+        neg_cos, neg_id = best['neg']
+        return pa.table({
+            'vec_id': pa.array(q_ids, pa.int64()),
+            'pos_id': pa.array(
+                np.where(pos_cos > -np.inf, pos_id, -1).astype(np.int64),
+                pa.int64()),
+            'neg_id': pa.array(
+                np.where(neg_cos > -np.inf, neg_id, -1).astype(np.int64),
+                pa.int64())})
+
+    return ds.map_batches(per_batch, batch_format='pyarrow',
+                          batch_size=4096)
 
 
 def hard_negatives_brute(ds, emb_col: str = 'embedding',
