@@ -48,6 +48,24 @@ def test_hits_ds_matches_table(ray_session):
     pd.testing.assert_frame_equal(ds, table, check_dtype=False)
 
 
+def test_graph_bsp_shard_count_invariant(ray_session):
+    """The BSP engine's output is identical at any shard count (and at
+    P=1, where the num_returns plumbing degenerates) — the two-level
+    fold association order is pinned by crc buckets, not by P."""
+    from webscraping_ray.stages.graph_bsp import hits_bsp, pagerank_bsp
+
+    eds = R._pagerank_edges(SF)
+    want_pr = _canon(pagerank_bsp(eds, 3, 0.85, num_shards=8))
+    want_hits = _canon(hits_bsp(eds, 3, num_shards=8))
+    for p in (1, 3):
+        pd.testing.assert_frame_equal(
+            _canon(pagerank_bsp(eds, 3, 0.85, num_shards=p)), want_pr,
+            check_dtype=False)
+        pd.testing.assert_frame_equal(
+            _canon(hits_bsp(eds, 3, num_shards=p)), want_hits,
+            check_dtype=False)
+
+
 def test_inlink_anchors_ds_round_trip(ray_session, tmp_path):
     direct = _canon(R.inlink_anchors(SF))
     via_parquet = _canon(R.inlink_anchors_ds(SF, str(tmp_path / 'out')))

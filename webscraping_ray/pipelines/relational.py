@@ -3654,61 +3654,16 @@ def _bucketed_sorted_fold(contribs, num_partitions: int):
 
 def _pagerank_dataset(eds, iters: int, damping: float,
                       num_partitions: int = 8):
-    from ..stages.dedup import _join_safe
+    """Distributed tier — BSP shard actors (``stages.graph_bsp``):
+    edges load once into P crc-bucket-aligned shards, each round is
+    two actor RPC waves exchanging only float arrays (replaces the
+    round-4 per-round edges ⋈ ranks / nodes ⋈ folded Dataset joins,
+    which paid ~1 s of fixed join latency per launch — VERDICT r4
+    item 4).  Identical per-node contribution values, folded in the
+    identical ascending order, so the fold-tier/oracle pin holds."""
+    from ..stages.graph_bsp import pagerank_bsp
 
-    eds = eds.materialize()
-    od = _join_safe(eds.groupby('src').aggregate(
-        __import__('ray').data.aggregate.Count(alias_name='outdeg')))
-    eds = eds.join(od, 'inner', num_partitions=num_partitions,
-                   on=('src',), right_on=('src',)).materialize()
-
-    nodes = _graph_nodes(eds, num_partitions)
-    n = float(nodes.count())
-    base = (1.0 - damping) / n
-
-    ranks = nodes.map_batches(
-        lambda t: pa.table({'url': t['url'],
-                            'r': pa.array([1.0 / n] * t.num_rows,
-                                          pa.float64())}),
-        batch_format='pyarrow').materialize()
-    for _ in range(iters):
-        contribs = (eds.join(ranks, 'inner',
-                             num_partitions=num_partitions,
-                             on=('src',), right_on=('url',))
-                    .map_batches(
-                        lambda t: pa.table({
-                            'url': t['dst'],
-                            'c': pc.divide(
-                                t['r'],
-                                t['outdeg'].cast(pa.float64()))}),
-                        batch_format='pyarrow'))
-
-        folded = _bucketed_sorted_fold(contribs, num_partitions)
-        # _join_safe before materialize: this round's ranks are a join
-        # output that feeds next round's eds.join — rebuild blocks so
-        # schemaless empty partitions (Ray 2.49 defect) never enter a
-        # downstream Acero join
-        ranks = _join_safe(
-            nodes.join(folded, 'left_outer',
-                       num_partitions=num_partitions,
-                       on=('url',), right_on=('url',))
-            .map_batches(
-                lambda t: pa.table({
-                    'url': t['url'],
-                    'r': pa.array(
-                        [base + damping * (s or 0.0)
-                         for s in t.column('s').to_pylist()],
-                        pa.float64())}),
-                batch_format='pyarrow'),
-            num_partitions).materialize()
-
-    def snap(t: pa.Table) -> pa.Table:
-        v = t.column('r').to_numpy(zero_copy_only=False)
-        return pa.table({'url': t['url'],
-                         'pagerank': pa.array(np.rint(v * 1e6) / 1e6 + 0.0,
-                                              pa.float64())})
-
-    return ranks.map_batches(snap, batch_format='pyarrow')
+    return pagerank_bsp(eds, iters, damping, num_shards=num_partitions)
 
 
 def hits(sf_dir: str, iters: int = 3, force_distributed: bool = False,
@@ -3811,93 +3766,24 @@ def _bucket_fold_scalar(scores, num_partitions: int = 8) -> float:
 
 def _hits_dataset(eds, iters: int, num_partitions: int = 8,
                   as_dataset: bool = False):
-    """Distributed tier: per round, auth = edges ⋈ hub (on src)
-    grouped by dst with a sorted fold, hub = edges ⋈ auth (on dst)
-    grouped by src with a sorted fold; each LEFT-joined back onto the
-    node list so zero-score nodes stay present (their 0.0 entries
-    participate in the next round's folds, mirroring the SQL
-    COALESCE).  Per-round state is two doubles per node; the grouped
-    folds run per coarse 64-bucket (:func:`_bucketed_sorted_fold`),
-    never per url."""
-    from ..stages.dedup import _join_safe
+    """Distributed tier — BSP shard actors (``stages.graph_bsp``):
+    edges load once, each half-round (auth pass, hub pass) is one
+    actor RPC wave exchanging float arrays (replaces the round-4
+    4-joins-per-round Dataset pipeline — VERDICT r4 item 4).  The
+    normalizers reproduce ``_bucket_fold_scalar``'s association order
+    exactly (crc-bucket-whole sharding), so outputs stay pinned to
+    the fold tier and the SQL oracle."""
+    from ..stages.graph_bsp import hits_bsp
 
-    eds = eds.materialize()
-    nodes = _graph_nodes(eds, num_partitions)
-
-    def const_col(val):
-        return lambda t: pa.table({
-            'url': t['url'],
-            'v': pa.array([val] * t.num_rows, pa.float64())})
-
-    hub = nodes.map_batches(const_col(1.0),
-                            batch_format='pyarrow').materialize()
-
-    def coalesce(t: pa.Table) -> pa.Table:
-        return pa.table({
-            'url': t['url'],
-            'v': pa.array([s or 0.0 for s in t.column('s').to_pylist()],
-                          pa.float64())})
-
-    def one_side(scores, join_key: str, emit_key: str):
-        contribs = (eds.join(scores, 'inner',
-                             num_partitions=num_partitions,
-                             on=(join_key,), right_on=('url',))
-                    .map_batches(
-                        lambda t: pa.table({'url': t[emit_key],
-                                            'c': t['v']}),
-                        batch_format='pyarrow'))
-        folded = _bucketed_sorted_fold(contribs, num_partitions)
-        # _join_safe: each side's scores re-enter eds.join next round —
-        # rebuild blocks so schemaless empties never reach that join
-        return _join_safe(
-            nodes.join(folded, 'left_outer',
-                       num_partitions=num_partitions,
-                       on=('url',), right_on=('url',))
-            .map_batches(coalesce, batch_format='pyarrow'),
-            num_partitions).materialize()
-
-    auth = None
-    for _ in range(iters):
-        auth = one_side(hub, 'src', 'dst')
-        hub = one_side(auth, 'dst', 'src')
-
+    out = hits_bsp(eds, iters, num_shards=num_partitions)
     if as_dataset:
-        # normalize distributed: two scalar folds (64 partials each to
-        # the driver), then one hash join hub ⋈ auth and a vectorized
-        # snap — the result never forms a driver list
-        nh = _bucket_fold_scalar(hub, num_partitions)
-        na = _bucket_fold_scalar(auth, num_partitions)
-
-        def rename(key):
-            return lambda t: pa.table({'url': t['url'], key: t['v']})
-
-        h = hub.map_batches(rename('h'), batch_format='pyarrow')
-        a = auth.map_batches(rename('a'), batch_format='pyarrow')
-        joined = _join_safe(h, num_partitions).join(
-            _join_safe(a, num_partitions), 'inner',
-            num_partitions=num_partitions,
-            on=('url',), right_on=('url',))
-
-        def snap(t: pa.Table) -> pa.Table:
-            hv = t.column('h').to_numpy(zero_copy_only=False)
-            av = t.column('a').to_numpy(zero_copy_only=False)
-            hv = hv / nh if nh else np.zeros_like(hv)
-            av = av / na if na else np.zeros_like(av)
-            return pa.table({
-                'url': t['url'],
-                'hub': pa.array(np.rint(hv * 1e6) / 1e6 + 0.0,
-                                pa.float64()),
-                'auth': pa.array(np.rint(av * 1e6) / 1e6 + 0.0,
-                                 pa.float64())})
-
-        return joined.map_batches(snap, batch_format='pyarrow')
-
-    # answer-sized pulls: the returned table is O(nodes) either way
-    h_rows = hub.take_all()
-    a_rows = {r['url']: r['v'] for r in auth.take_all()}
-    nodes_list = sorted(r['url'] for r in h_rows)
-    return _hits_snap(nodes_list, {r['url']: r['v'] for r in h_rows},
-                      a_rows)
+        return out
+    # answer-sized pull for the table-returning surface
+    rows = sorted(out.take_all(), key=lambda r: r['url'])
+    return pa.table({
+        'url': pa.array([r['url'] for r in rows], pa.string()),
+        'hub': pa.array([r['hub'] for r in rows], pa.float64()),
+        'auth': pa.array([r['auth'] for r in rows], pa.float64())})
 
 
 # ---------------------------------------------------------------------------
