@@ -220,6 +220,17 @@ def run_bench():
         'part_pairs': R.part_pairs,
         'session_durations': R.session_durations,
         'monthly_revenue': R.monthly_revenue,
+        # round-5: the unbenched heavy tail (VERDICT r4 item 6) — the
+        # most expensive whole-corpus compositions, so regressions in
+        # them are visible round-over-round — plus the BSP-backed
+        # Dataset-surface graph rankers (VERDICT r4 item 4 evidence)
+        'perplexity_buckets': R.perplexity_buckets,
+        'repeated_spans': R.repeated_spans,
+        'remove_repeated_spans': R.remove_repeated_spans,
+        'clean_corpus_neardup': R.clean_corpus_neardup,
+        'clean_corpus_clustered': R.clean_corpus_clustered,
+        'pagerank_ds': R.pagerank_ds,
+        'hits_ds': R.hits_ds,
     }
     def consume(out) -> int:
         """Fully execute a query result.  A bare ``count()`` on a
@@ -489,11 +500,21 @@ def run_wave_chain():
     extract = ExtractPages(with_links=True, with_contacts=full,
                            with_excerpt=full)
     prep = PrepCandidates('', '^$', None)
+    # default: extract+prep FUSED into the point-read tasks (html
+    # never crosses the object store); GRAFT_WAVE_FUSED=0 measures the
+    # round-4 unfused chain for the A/B decomposition
+    fused = os.environ.get('GRAFT_WAVE_FUSED', '1') != '0'
     t0 = time.time()
-    rec = (cs.lookup_ds(urls, columns=['url', 'html', 'warc_ts'])
-           .map_batches(extract, batch_format='pyarrow', batch_size=256)
-           .map_batches(prep, batch_format='pyarrow', batch_size=256)
-           .materialize())
+    if fused:
+        rec = cs.lookup_ds(urls, columns=['url', 'html', 'warc_ts'],
+                           postprocess=lambda t: prep(extract(t))
+                           ).materialize()
+    else:
+        rec = (cs.lookup_ds(urls, columns=['url', 'html', 'warc_ts'])
+               .map_batches(extract, batch_format='pyarrow',
+                            batch_size=256)
+               .map_batches(prep, batch_format='pyarrow', batch_size=256)
+               .materialize())
     secs = time.time() - t0
     import pyarrow.compute as pc
     fp_parts = []
@@ -550,6 +571,57 @@ def run_wave_scaling():
     }))
 
 
+def run_membw():
+    """Raw host memory-bandwidth scaling — the decomposition artifact
+    for the mega-wave-chain efficiency band (VERDICT r4 item 5): P
+    worker PROCESSES each stream numpy copies over a private 128 MB
+    buffer for a fixed window; aggregate GB/s at 8 vs 32 workers gives
+    the hardware ceiling a bandwidth-bound stage can possibly scale
+    at on this single box.  Measured here: ~0.38 efficiency 8→32 —
+    i.e. the memory system saturates long before 32 cores, so any
+    workload with a bandwidth-bound fraction f is capped at
+    1/((1-f) + f/0.38); the wave chain's 0.55-0.76 band corresponds
+    to f ≈ 0.3-0.5.  On a real 4× cluster each node brings its own
+    memory system, so this term scales with nodes and disappears —
+    which is why the band is a single-host artifact, not an engine
+    defect."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(stop_t, out, i):
+        a = np.random.rand(16 * 1024 * 1024)   # 128 MB
+        b = np.empty_like(a)
+        n = 0
+        while time.time() < stop_t:
+            np.copyto(b, a)                    # 256 MB moved per pass
+            n += 1
+        out[i] = n * a.nbytes * 2
+
+    def measure(P, secs=6):
+        stop_t = time.time() + secs
+        with mp.Manager() as m:
+            out = m.dict()
+            ps = [mp.Process(target=worker, args=(stop_t, out, i))
+                  for i in range(P)]
+            t0 = time.time()
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            dt = time.time() - t0
+            total = sum(out.values())
+        return total / dt / 1e9
+
+    lo, hi = 8, 32
+    bw_lo, bw_hi = measure(lo), measure(hi)
+    print(json.dumps({
+        'membw_gbps_%d' % lo: round(bw_lo, 1),
+        'membw_gbps_%d' % hi: round(bw_hi, 1),
+        'membw_scaling_efficiency': round((bw_hi / bw_lo) / (hi / lo), 3),
+    }))
+
+
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         run_scaling()
@@ -559,6 +631,8 @@ if __name__ == '__main__':
         run_wave_scaling()
     elif '--wave-chain' in sys.argv:
         print(json.dumps(run_wave_chain()))
+    elif '--membw' in sys.argv:
+        run_membw()
     elif '--crawl-stress' in sys.argv:
         print(json.dumps(run_crawl_stress(chunked='--chunked' in sys.argv)))
     else:

@@ -991,12 +991,15 @@ class Crawler:
                 for a, us in zip(uniq,
                                  np.split(urls_arr, starts[1:]))]
 
-    def _lookup_wave_ds(self, urls, columns):
+    def _lookup_wave_ds(self, urls, columns, postprocess=None):
         """Wave fetch as a Dataset: resident cache shards when the
         tier is on (blocks = shard results, zero parquet decode), else
-        the store's pruned lookup_ds."""
+        the store's pruned lookup_ds.  ``postprocess`` (corpus path
+        only — callers pass it only when the resident tier is off)
+        fuses a transform into the point-read tasks."""
         if self._cache_pool() is None:
-            return self.corpus.lookup_ds(list(urls), columns=columns)
+            return self.corpus.lookup_ds(list(urls), columns=columns,
+                                         postprocess=postprocess)
         import ray.data
 
         return ray.data.from_arrow_refs(
@@ -1531,7 +1534,20 @@ class Crawler:
                                with_contacts=self.with_contacts,
                                with_excerpt=self.with_excerpt)
         prep = PrepCandidates(self.allowed_urls, self.banned_urls, self.robots)
-        rec = self._lookup_wave_ds(urls, columns=['url', 'html', 'warc_ts'])
+        # fuse extract+prep into the point-read tasks when nothing has
+        # to run between fetch and extract: the wave's html bytes then
+        # never cross the object store (the memory-bus term of the
+        # wave-chain scaling decomposition). Ineligible when snapshot
+        # filtering must see raw rows, when the user pinned an extract
+        # actor pool, or on the resident-cache tier.
+        fuse = (self._cache_pool() is None
+                and self.min_fresh_ts is None
+                and self.as_of_ts is None
+                and not getattr(self.corpus, 'multi_snapshot', True)
+                and not self.extract_concurrency)
+        rec = self._lookup_wave_ds(
+            urls, columns=['url', 'html', 'warc_ts'],
+            postprocess=(lambda t: prep(extract(t))) if fuse else None)
         if rec is None:
             # nothing resolvable: every visit is a 404 leaf
             stage_secs['fetch_extract'] = _time.time() - t0
@@ -1540,30 +1556,33 @@ class Crawler:
                                             scheduled, {})
             self._record_distributed_wave(visits, hosts, 0, 0, stage_secs)
             return visits
-        if self.min_fresh_ts is not None:
-            fresh_cut = self.min_fresh_ts
-            rec = rec.map_batches(
-                lambda t: t.filter(pc.greater(
-                    t['warc_ts'], pa.scalar(fresh_cut,
-                                            t.schema.field('warc_ts').type))),
-                batch_format='pyarrow')
-        if self.as_of_ts is not None:
-            cutoff = self.as_of_ts
-            rec = rec.map_batches(
-                lambda t: t.filter(pc.less_equal(
-                    t['warc_ts'], pa.scalar(cutoff,
-                                            t.schema.field('warc_ts').type))),
-                batch_format='pyarrow')
-        if getattr(self.corpus, 'multi_snapshot', True):
-            rec = self._latest_snapshot_distributed(rec, urls)
-        kw = {}
-        if self.extract_concurrency:
-            kw['concurrency'] = self.extract_concurrency
-        rec = (rec.map_batches(extract, batch_format='pyarrow',
-                               batch_size=self.batch_size, **kw)
-               .map_batches(prep, batch_format='pyarrow',
-                            batch_size=self.batch_size)
-               .materialize())
+        if not fuse:
+            if self.min_fresh_ts is not None:
+                fresh_cut = self.min_fresh_ts
+                rec = rec.map_batches(
+                    lambda t: t.filter(pc.greater(
+                        t['warc_ts'],
+                        pa.scalar(fresh_cut,
+                                  t.schema.field('warc_ts').type))),
+                    batch_format='pyarrow')
+            if self.as_of_ts is not None:
+                cutoff = self.as_of_ts
+                rec = rec.map_batches(
+                    lambda t: t.filter(pc.less_equal(
+                        t['warc_ts'],
+                        pa.scalar(cutoff,
+                                  t.schema.field('warc_ts').type))),
+                    batch_format='pyarrow')
+            if getattr(self.corpus, 'multi_snapshot', True):
+                rec = self._latest_snapshot_distributed(rec, urls)
+            kw = {}
+            if self.extract_concurrency:
+                kw['concurrency'] = self.extract_concurrency
+            rec = (rec.map_batches(extract, batch_format='pyarrow',
+                                   batch_size=self.batch_size, **kw)
+                   .map_batches(prep, batch_format='pyarrow',
+                                batch_size=self.batch_size))
+        rec = rec.materialize()
         stage_secs['fetch_extract'] = _time.time() - t0
 
         # page output: written straight from the distributed blocks,

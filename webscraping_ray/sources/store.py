@@ -360,11 +360,21 @@ class _PointReadDatasource:
     of bundling the tiny descriptors into one (see the measurement in
     ``_pruned_point_read``'s docstring)."""
 
-    def __init__(self, items, want_ref, cols, schema):
+    def __init__(self, items, want_ref, cols, schema, postprocess=None,
+                 out_schema=None):
         self.items = items          # [(path, lo, hi, est_bytes)]
         self.want_ref = want_ref
         self.cols = cols
         self.schema = schema
+        # optional fused per-slice transform (e.g. the crawl's
+        # extract+prep): runs INSIDE the read task so the html bytes
+        # never cross the object store between read and extract —
+        # Ray 2.49 does not fuse a Datasource read with downstream
+        # map_batches, and a mega wave's html traffic through plasma
+        # is the single-host memory-bus term in the wave-chain
+        # scaling decomposition (BASELINE round-4)
+        self.postprocess = postprocess
+        self.out_schema = out_schema or schema
 
     def get_name(self) -> str:
         return 'CorpusPointRead'
@@ -380,6 +390,7 @@ class _PointReadDatasource:
         import pyarrow.parquet as pq
 
         want_ref, cols, schema = self.want_ref, self.cols, self.schema
+        postprocess, out_schema = self.postprocess, self.out_schema
 
         def make_read(path, lo, hi):
             def _read():
@@ -405,19 +416,25 @@ class _PointReadDatasource:
                 except StopIteration:
                     groups = list(span)
                 if not groups:
-                    return [schema.empty_table()]
+                    return [out_schema.empty_table()]
                 t = pf.read_row_groups(groups, columns=cols)
                 t = t.filter(pc.is_in(t['url'], value_set=wanted))
                 t = t.select(schema.names)
-                # zero-copy slices bounded by rows AND html bytes
-                return _slice_bounded(t)
+                # zero-copy slices bounded by rows AND html bytes;
+                # the fused postprocess runs per slice, so peak task
+                # memory is one byte-bounded slice's html plus its
+                # extracted columns — the html never leaves the task
+                slices = _slice_bounded(t)
+                if postprocess is not None:
+                    slices = [postprocess(s) for s in slices]
+                return slices
             return _read
 
         return [ReadTask(make_read(path, lo, hi),
                          BlockMetadata(num_rows=None, size_bytes=est,
                                        exec_stats=None,
                                        input_files=[path]),
-                         schema=schema)
+                         schema=out_schema)
                 for path, lo, hi, est in self.items]
 
 
@@ -494,7 +511,7 @@ class CorpusStore:
     #: every row group anyway, so scan-level pushdown prunes nothing.
     BROADCAST_FILTER_THRESHOLD = 20_000
 
-    def lookup_ds(self, urls, columns=None):
+    def lookup_ds(self, urls, columns=None, postprocess=None):
         """Ray Dataset of corpus rows whose url is in ``urls``.
 
         Partition-pruned (only the buckets of the given urls are read);
@@ -506,6 +523,14 @@ class CorpusStore:
         broadcast url set).  Under ``layout='host'`` a wave's per-host
         url locality makes that pruning sharp — big-wave fetches decode
         close to only the rows they keep instead of the whole bucket.
+
+        ``postprocess``: optional (pa.Table) -> pa.Table transform
+        FUSED into the read.  On the point-read path it runs inside
+        each read task per byte-bounded slice, so e.g. the crawl's
+        extract stage consumes html in-task and the raw page bytes
+        never cross the object store; on the small-wave read_parquet
+        path it is applied as a map stage (same dataset semantics,
+        Ray fuses read→map for plain parquet reads).
         """
         import ray
         import ray.data
@@ -520,8 +545,12 @@ class CorpusStore:
         want = pa.array(sorted(set(urls)), pa.string())
         if len(want) <= self.BROADCAST_FILTER_THRESHOLD:
             flt = pc.field('url').isin(want)
-            return ray.data.read_parquet(files, columns=columns, filter=flt)
-        return self._pruned_point_read(files, want, columns)
+            ds = ray.data.read_parquet(files, columns=columns, filter=flt)
+            if postprocess is not None:
+                ds = ds.map_batches(postprocess, batch_format='pyarrow')
+            return ds
+        return self._pruned_point_read(files, want, columns,
+                                       postprocess=postprocess)
 
     #: target row-group count per point-read task: with the default
     #: 8192-row host-layout groups this is ~128k rows/task, so a
@@ -529,7 +558,8 @@ class CorpusStore:
     #: one straggler read+decode task.
     POINT_READ_GROUPS_PER_TASK = 16
 
-    def _pruned_point_read(self, files, want: pa.Array, columns):
+    def _pruned_point_read(self, files, want: pa.Array, columns,
+                           postprocess=None):
         """Distributed row-group-pruned point read: one ReadTask per
         row-group CHUNK (the build-time ``file_groups`` manifest splits
         each file into POINT_READ_GROUPS_PER_TASK-group ranges with no
@@ -575,7 +605,14 @@ class CorpusStore:
                     # decoded-bytes estimate: compressed span bytes x3
                     items.append((f, lo, hi,
                                   int(fsize * (hi - lo) / max(1, ng)) * 3))
-        src = _point_read_datasource_cls()(items, want_ref, cols, schema)
+        out_schema = schema
+        if postprocess is not None:
+            # resolve the fused output schema once on the driver (the
+            # transform on an empty table is cheap and pure)
+            out_schema = postprocess(schema.empty_table()).schema
+        src = _point_read_datasource_cls()(items, want_ref, cols, schema,
+                                           postprocess=postprocess,
+                                           out_schema=out_schema)
         return ray.data.read_datasource(src,
                                         override_num_blocks=len(items))
 
