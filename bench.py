@@ -571,6 +571,100 @@ def run_wave_scaling():
     }))
 
 
+def run_warc_bench():
+    """Multi-GB multi-member .warc.gz ingestion (VERDICT r4 item 7):
+    one ~1.6 GB (decompressed) giant file + 4 × 100 MB small ones,
+    INCOMPRESSIBLE bodies (decode cost is real), streamed through
+    read_warc's generator kernel into an aggregate over the html
+    column.  The fixture is built once and cached in /tmp; streaming
+    decode means no task ever holds a decompressed file (pinned by
+    tests/test_round5.py::test_warc_streaming_memory_bound), and the
+    giant file's records flow downstream while it decodes (skew
+    shape).  Prints one JSON line with decompressed MB/s."""
+    import numpy as np
+
+    os.environ['PYTHONPATH'] = REPO + os.pathsep + \
+        os.environ.get('PYTHONPATH', '')
+    fixture = '/tmp/graft_warc_bench'
+    meta_p = os.path.join(fixture, 'meta.json')
+    body_mb = 1
+    giant_recs, small_recs, n_small = 1600, 100, 4
+    if not os.path.exists(meta_p):
+        os.makedirs(fixture, exist_ok=True)
+        import gzip as _gz
+        from datetime import datetime, timezone
+        rng = np.random.default_rng(42)
+        body_base = rng.integers(0, 256, size=body_mb << 20,
+                                 dtype=np.uint8).tobytes()
+
+        def write_stream(path, n_records, seed):
+            # incremental writer: the multi-GB fixture never sits in
+            # memory (unlike warc.write_warc's list-of-chunks utility)
+            with open(path, 'wb') as f:
+                for i in range(n_records):
+                    body = (b'<html>%d ' % (seed * 10**6 + i)) \
+                        + body_base + b'</html>'
+                    http = (b'HTTP/1.1 200 OK\r\n'
+                            b'Content-Type: text/html\r\n\r\n') + body
+                    dt = datetime.fromtimestamp(
+                        1_600_000_000 + i, timezone.utc)
+                    head = ('WARC/1.0\r\n'
+                            'WARC-Type: response\r\n'
+                            'WARC-Target-URI: http://b%d.com/p/%d\r\n'
+                            'WARC-Date: %s\r\n'
+                            'Content-Length: %d\r\n'
+                            % (seed, i,
+                               dt.strftime('%Y-%m-%dT%H:%M:%SZ'),
+                               len(http))).encode()
+                    f.write(_gz.compress(head + b'\r\n' + http
+                                         + b'\r\n\r\n', 1))
+
+        write_stream(os.path.join(fixture, 'giant.warc.gz'),
+                     giant_recs, 0)
+        for s in range(n_small):
+            write_stream(os.path.join(fixture, 'small%d.warc.gz' % s),
+                         small_recs, s + 1)
+        with open(meta_p, 'w') as f:
+            json.dump({'giant': giant_recs, 'small': small_recs,
+                       'n_small': n_small, 'body_mb': body_mb}, f)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from webscraping_ray.sources import warc as W
+
+    files = [os.path.join(fixture, 'giant.warc.gz')] + \
+        [os.path.join(fixture, 'small%d.warc.gz' % s)
+         for s in range(n_small)]
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'rows': pa.array([t.num_rows], pa.int64()),
+            'html_bytes': pa.array(
+                [pc.sum(pc.binary_length(t['html'])).as_py() or 0],
+                pa.int64())})
+
+    t0 = time.time()
+    stats = (W.read_warc(files)
+             .map_batches(summarize, batch_format='pyarrow')
+             .sum(['rows', 'html_bytes']))
+    secs = time.time() - t0
+    total_mb = stats['sum(html_bytes)'] / 1e6
+    out = {'num_cpus': NUM_CPUS,
+           'warc_files': len(files),
+           'records': stats['sum(rows)'],
+           'decompressed_mb': round(total_mb, 1),
+           'seconds': round(secs, 3),
+           'mb_per_sec': round(total_mb / secs, 1)}
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 def run_membw():
     """Raw host memory-bandwidth scaling — the decomposition artifact
     for the mega-wave-chain efficiency band (VERDICT r4 item 5): P
@@ -633,6 +727,8 @@ if __name__ == '__main__':
         print(json.dumps(run_wave_chain()))
     elif '--membw' in sys.argv:
         run_membw()
+    elif '--warc' in sys.argv:
+        run_warc_bench()
     elif '--crawl-stress' in sys.argv:
         print(json.dumps(run_crawl_stress(chunked='--chunked' in sys.argv)))
     else:

@@ -130,3 +130,81 @@ def test_lookup_ds_fused_postprocess_equivalence(ray_session, tmp_path):
         assert list(got.columns) == list(want.columns)
         assert got.equals(want), f'pointread={forced_pointread}'
         assert len(got) == len(urls)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 item 7: WARC streaming decode + skew
+
+
+def _big_warc(path, n_records, body_bytes, gz=True, seed=0):
+    from webscraping_ray.sources import warc as W
+
+    recs = [{'url': f'http://w{seed}.com/p/{i}',
+             'warc_ts_us': 1_600_000_000_000_000 + i,
+             'status': 200,
+             'html': (b'<html><body>%d ' % i) + b'x' * body_bytes
+                     + b'</body></html>'}
+            for i in range(n_records)]
+    W.write_warc(str(path), recs, gzip_members=gz)
+    return recs
+
+
+def test_warc_streaming_memory_bound(tmp_path):
+    """Decoding a multi-member .warc.gz holds at most ONE record (+ a
+    1 MB inflate chunk) in the parser buffer — never the whole
+    decompressed file (which is ~50x the bound here)."""
+    from webscraping_ray.sources import warc as W
+
+    body = 64 * 1024                       # 64 KB per record
+    recs = _big_warc(tmp_path / 'big.warc.gz', 200, body)
+    data = (tmp_path / 'big.warc.gz').read_bytes()
+    stream = W._RecordStream()
+    got = list(W.parse_warc(data, stream=stream))
+    assert len(got) == 200
+    assert [r['html'] for r in got] == [r['html'] for r in recs]
+    total_decoded = sum(len(r['html']) for r in recs)
+    # bound: one record's bytes + headers + one inflate chunk of slack
+    assert stream.peak_buf < body + (1 << 20) + 4096, stream.peak_buf
+    assert stream.peak_buf < total_decoded / 5
+
+
+def test_warc_streaming_equals_oneshot(tmp_path):
+    """The streamed generator kernel and the one-shot table kernel
+    produce identical rows, on gz and plain files, including tiny
+    members next to large ones and non-response records."""
+    from webscraping_ray.sources import warc as W
+
+    for gz in (True, False):
+        p = tmp_path / ('f.warc.gz' if gz else 'f.warc')
+        _big_warc(p, 37, 2048, gz=gz)
+        batch = pa.table({'bytes': pa.array([p.read_bytes()],
+                                            pa.binary())})
+        oneshot = W.warc_batch_to_pages(batch)
+        streamed = pa.concat_tables(list(W.warc_pages_stream(batch)))
+        assert streamed.equals(oneshot)
+        assert oneshot.num_rows == 37
+
+
+def test_warc_skewed_file_streams_blocks(ray_session, tmp_path):
+    """One giant WARC among small ones: the giant file's decode task
+    yields MULTIPLE bounded blocks (streaming generator), so the
+    pipeline never receives its rows as one monolithic block, and all
+    rows survive with correct values."""
+    from webscraping_ray.sources import warc as W
+
+    # giant: 900 records (> 3 stream batches at 256 rows/yield)
+    _big_warc(tmp_path / 'giant.warc.gz', 900, 1024, seed=1)
+    for i in range(3):
+        _big_warc(tmp_path / f'small{i}.warc.gz', 5, 256, seed=10 + i)
+
+    ds = W.read_warc([str(tmp_path / 'giant.warc.gz')]
+                     + [str(tmp_path / f'small{i}.warc.gz')
+                        for i in range(3)]).materialize()
+    assert ds.count() == 900 + 15
+    # the giant file alone must produce > 1 block
+    giant_only = W.read_warc([str(tmp_path / 'giant.warc.gz')]
+                             ).materialize()
+    assert giant_only.num_blocks() >= 900 // 256
+    urls = set(r['url'] for r in ds.select_columns(['url']).take_all())
+    assert 'http://w1.com/p/899' in urls
+    assert 'http://w12.com/p/4' in urls
