@@ -57,17 +57,30 @@ def extract_emails(html, ignored=IGNORED_EMAILS):
     """De-obfuscate and extract emails, ordered dedup (reference alg.py:29-65)."""
     emails = []
     if html:
-        html = _COMMENT_RE.sub('', html).replace('mailto:', '')
-        for user, domain, ext in _EMAIL_RE.findall(html):
-            if _email_ok(ext, domain):
-                email = '%s@%s.%s' % (user, domain, ext)
-                if email not in emails:
-                    emails.append(email)
-        for user, domain, ext in _OBFUSCATED_EMAIL_RE.findall(html):
-            if _email_ok(ext, domain):
-                email = '%s@%s.%s' % (user, domain, ext)
-                if email not in emails:
-                    emails.append(email)
+        # cheap necessary-condition guards (hot-path: this runs per
+        # page in the extract sweep).  Each skipped step is an exact
+        # no-op on pages failing the guard: the comment sub and
+        # mailto replace are identity without their literals, the
+        # plain regex needs a literal '@', and the obfuscated regex
+        # needs a contiguous case-insensitive 'DOT'.  Outputs are
+        # byte-identical to the unguarded reference path
+        # (alg.py:29-65); pinned by the kernel tests.
+        if '<!--' in html:
+            html = _COMMENT_RE.sub('', html)
+        if 'mailto:' in html:
+            html = html.replace('mailto:', '')
+        if '@' in html:
+            for user, domain, ext in _EMAIL_RE.findall(html):
+                if _email_ok(ext, domain):
+                    email = '%s@%s.%s' % (user, domain, ext)
+                    if email not in emails:
+                        emails.append(email)
+        if 'dot' in html.lower():
+            for user, domain, ext in _OBFUSCATED_EMAIL_RE.findall(html):
+                if _email_ok(ext, domain):
+                    email = '%s@%s.%s' % (user, domain, ext)
+                    if email not in emails:
+                        emails.append(email)
     return [email for email in emails if email not in ignored]
 
 

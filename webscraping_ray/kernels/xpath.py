@@ -25,6 +25,11 @@ from . import text as common
 
 _MAXINT = sys.maxsize
 
+# per-tag compiled-pattern memo for the _split_tag hot loop (the re
+# module's own cache costs a flags-normalizing hash lookup per call;
+# tag vocabulary is tiny, so a plain dict is faster)
+_SPLIT_RE_CACHE: dict = {}
+
 
 class Doc:
     """Wrapper around a parsed webpage (reference xpath.py:25-74)."""
@@ -221,7 +226,11 @@ class Doc:
         i = None
         tag = self._get_tag(html)
         depth = 0
-        for match in re.compile('</?%s.*?>' % tag, re.DOTALL | re.IGNORECASE).finditer(html):
+        pat = _SPLIT_RE_CACHE.get(tag)
+        if pat is None:
+            pat = _SPLIT_RE_CACHE[tag] = re.compile(
+                '</?%s.*?>' % tag, re.DOTALL | re.IGNORECASE)
+        for match in pat.finditer(html):
             if html[match.start() + 1] == '/':
                 depth -= 1  # closing tag
             elif tag in common.EMPTY_TAGS:
