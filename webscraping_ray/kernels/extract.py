@@ -22,7 +22,10 @@ _OBFUSCATED_EMAIL_RE = re.compile(r'([\w\.\-\+]{1,64})\s?.?AT.?\s?([\w\.-]{1,255
 _COMMENT_RE = re.compile('<!--.*?-->', re.DOTALL)
 _DIGIT_RE = re.compile(r'\d')
 # phone patterns (reference alg.py:82)
-_PHONE_RE = re.compile(r'(\+\d{1,2}\s)?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}')
+# non-capturing country-code group: findall then returns whole
+# matches, so extract_phones runs one C-level findall instead of a
+# Python finditer+group() loop (match set identical)
+_PHONE_RE = re.compile(r'(?:\+\d{1,2}\s)?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}')
 _TEL_RE = re.compile(r'tel:(\d+)')
 # US address state/zip (reference alg.py:94)
 _STATE_ZIP_RE = re.compile(r'([A-Z]{2,})\s*(\d[\d\-\s]+\d)')
@@ -86,7 +89,7 @@ def extract_emails(html, ignored=IGNORED_EMAILS):
 
 def extract_phones(html):
     """Extract phone numbers + tel: hrefs (reference alg.py:68-82)."""
-    return [match.group() for match in _PHONE_RE.finditer(html)] + _TEL_RE.findall(html)
+    return _PHONE_RE.findall(html) + _TEL_RE.findall(html)
 
 
 def parse_us_address(address):
