@@ -375,22 +375,52 @@ def knn_join_brute(ds, k: int = 5, emb_col: str = 'embedding',
     """Exact cosine k-NN self-join: (vec_id, rank, neighbor_id) for
     every row, self excluded (see _topk_rows for why no cosine col).
 
-    The corpus matrix is broadcast ONCE (``ray.put``; gated by
+    The corpus matrix is broadcast ONCE (gated by
     ``KNN_JOIN_BROADCAST_LIMIT`` at the caller) and the query side
     streams as a Dataset — one numpy matmul per batch, no shuffle.
+    The broadcast object is ASSEMBLED BY RAY TASKS from the dataset's
+    block refs (per-chunk repack + one concat task), so the corpus
+    never streams through the driver — the driver holds ObjectRefs
+    only (same fix as ``hard_negatives_blocked``; output order is
+    value-keyed, so block arrival order is irrelevant).
     """
     import ray
 
-    ids_all = np.empty(0, dtype=np.int64)
-    M_parts = []
-    for b in ds.iter_batches(batch_format='pyarrow'):
-        if not b.num_rows:
-            continue
-        ids_all = np.concatenate(
-            [ids_all, np.asarray(b.column(id_col), dtype=np.int64)])
-        M_parts.append(_emb_matrix(b.column(emb_col)))
-    M = _normalize(np.vstack(M_parts)) if M_parts else np.zeros((0, 1))
-    ref = ray.put((ids_all, M))
+    @ray.remote(num_cpus=0)
+    def repack(*blocks):
+        ids, ms = [], []
+        for b in blocks:
+            if b.num_rows:
+                ids.append(np.asarray(b.column(id_col), dtype=np.int64))
+                ms.append(_normalize(_emb_matrix(b.column(emb_col))))
+        if not ids:
+            return (np.empty(0, dtype=np.int64), np.zeros((0, 1)))
+        return (np.concatenate(ids), np.vstack(ms))
+
+    @ray.remote(num_cpus=0)
+    def assemble(*chunks):
+        chunks = [c for c in chunks if len(c[0])]
+        if not chunks:
+            return (np.empty(0, dtype=np.int64), np.zeros((0, 1)))
+        return (np.concatenate([c[0] for c in chunks]),
+                np.vstack([c[1] for c in chunks]))
+
+    groups: list = []
+    cur: list = []
+    cur_rows = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            nr = meta.num_rows or 0
+            if nr == 0:
+                continue
+            cur.append(bref)
+            cur_rows += nr
+            if cur_rows >= HN_CHUNK_ROWS:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    ref = assemble.remote(*[repack.remote(*g) for g in groups])
 
     def per_batch(t: pa.Table) -> pa.Table:
         ids_d, M_d = ray.get(ref)          # zero-copy shared memory
