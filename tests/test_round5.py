@@ -208,3 +208,102 @@ def test_warc_skewed_file_streams_blocks(ray_session, tmp_path):
     urls = set(r['url'] for r in ds.select_columns(['url']).take_all())
     assert 'http://w1.com/p/899' in urls
     assert 'http://w12.com/p/4' in urls
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review regression pins
+
+
+def test_warc_inflate_bounded_on_compressible_member():
+    """A zip-bomb-ish member (1000:1 compressible) must still yield in
+    ≤ chunk_size pieces — max_length-limited inflation, not one giant
+    buffer (review finding)."""
+    import gzip
+
+    from webscraping_ray.sources import warc as W
+
+    members = [b'A' * (5 << 20), b'tiny', b'B' * 1234567]
+    data = b''.join(gzip.compress(m) for m in members)
+    for cs in (1024, 65536, 1 << 20):
+        chunks = list(W._iter_inflate(data, cs))
+        assert b''.join(chunks) == b''.join(members)
+        assert max(len(c) for c in chunks) <= cs
+
+
+def test_warc_truncated_record_short_slice_parity(tmp_path):
+    """A file truncated mid-payload yields its final record with the
+    short payload (the pre-streaming parser's slice behavior); an
+    unterminated header raises ValueError (its bytes.index
+    behavior)."""
+    from webscraping_ray.sources import warc as W
+
+    recs = _big_warc(tmp_path / 't.warc', 3, 4096, gz=False)
+    full = (tmp_path / 't.warc').read_bytes()
+    got = list(W.parse_warc(full[:-2000]))
+    assert len(got) == 3
+    assert got[0]['html'] == recs[0]['html']
+    assert len(got[2]['html']) < len(recs[2]['html'])
+    with pytest.raises(ValueError):
+        list(W.parse_warc(b'WARC/1.0\r\nWARC-Type: response\r\nConte'))
+
+
+def test_group_block_refs_unknown_rowcount_not_dropped():
+    """BlockMetadata.num_rows=None means UNKNOWN, not empty — the
+    chunk grouping must include such blocks (review finding: dropping
+    them silently excluded vectors from broadcast corpora)."""
+    from types import SimpleNamespace
+
+    from webscraping_ray.stages.similarity import _group_block_refs
+
+    def bundle(*metas):
+        return SimpleNamespace(blocks=[('ref%d' % i,
+                                        SimpleNamespace(num_rows=m))
+                                       for i, m in enumerate(metas)])
+
+    groups = _group_block_refs([bundle(10, None, 0, 5)], chunk_rows=100)
+    flat = [r for g in groups for r in g]
+    assert 'ref0' in flat and 'ref1' in flat and 'ref3' in flat
+    assert 'ref2' not in flat          # known-empty dropped
+    # the unknown-count block closes its chunk (counted as chunk_rows)
+    assert any('ref1' in g for g in groups)
+
+
+def test_graph_bsp_add_edges_idempotent(ray_session):
+    """Re-delivering a block (a retried loader task) must not
+    double-count edges (review finding)."""
+    import ray
+
+    from webscraping_ray.stages.graph_bsp import _make_shard_class
+
+    cls = _make_shard_class()
+    s = cls.remote(0, 1)
+    for _replay in range(2):                          # retry replay
+        ray.get(s.add_edges.remote('fwd', (0, 'fwd'),
+                                   ['http://a.com/x'],
+                                   ['http://a.com/y']))
+        ray.get(s.add_edges.remote('bwd', (0, 'bwd'),
+                                   ['http://a.com/x'],
+                                   ['http://a.com/y']))
+    ray.get(s.add_edges.remote('fwd', (1, 'fwd'),     # distinct block
+                               ['http://a.com/x'], ['http://a.com/y']))
+    ray.get(s.add_edges.remote('bwd', (1, 'bwd'),
+                               ['http://a.com/x'], ['http://a.com/y']))
+    n = ray.get(s.finalize.remote())
+    assert n == 2                                     # x and y
+    ray.get(s.set_vec.remote('r', 1.0))
+    msgs = ray.get(s.pr_messages.options(num_returns=1).remote())
+    # exactly TWO edge messages (block 0 once + block 1), not three
+    assert sum(len(v) for v in msgs) == 2
+
+
+def test_semdedup_param_conflict_raises(ray_session):
+    import ray.data
+
+    from webscraping_ray.stages.dedup import semdedup_removed_ds
+
+    t = pa.table({'vec_id': pa.array([0, 1], pa.int64()),
+                  'embedding': pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(ValueError):
+        semdedup_removed_ds(ray.data.from_arrow(t), n_clusters=4,
+                            max_bucket_rows=100)

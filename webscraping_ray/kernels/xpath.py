@@ -26,9 +26,13 @@ from . import text as common
 _MAXINT = sys.maxsize
 
 # per-tag compiled-pattern memo for the _split_tag hot loop (the re
-# module's own cache costs a flags-normalizing hash lookup per call;
-# tag vocabulary is tiny, so a plain dict is faster)
+# module's own cache costs a flags-normalizing hash lookup per call).
+# CAPPED: tag names come from arbitrary page HTML, so the vocabulary
+# is unbounded at web scale — past the cap a long-lived extract actor
+# falls back to re.compile (whose internal cache is itself bounded)
+# instead of leaking memory.
 _SPLIT_RE_CACHE: dict = {}
+_SPLIT_RE_CACHE_MAX = 512
 
 
 class Doc:
@@ -228,8 +232,10 @@ class Doc:
         depth = 0
         pat = _SPLIT_RE_CACHE.get(tag)
         if pat is None:
-            pat = _SPLIT_RE_CACHE[tag] = re.compile(
-                '</?%s.*?>' % tag, re.DOTALL | re.IGNORECASE)
+            pat = re.compile('</?%s.*?>' % tag,
+                             re.DOTALL | re.IGNORECASE)
+            if len(_SPLIT_RE_CACHE) < _SPLIT_RE_CACHE_MAX:
+                _SPLIT_RE_CACHE[tag] = pat
         for match in pat.finditer(html):
             if html[match.start() + 1] == '/':
                 depth -= 1  # closing tag

@@ -3775,15 +3775,20 @@ def _hits_dataset(eds, iters: int, num_partitions: int = 8,
     the fold tier and the SQL oracle."""
     from ..stages.graph_bsp import hits_bsp
 
-    out = hits_bsp(eds, iters, num_shards=num_partitions)
     if as_dataset:
-        return out
-    # answer-sized pull for the table-returning surface
-    rows = sorted(out.take_all(), key=lambda r: r['url'])
-    return pa.table({
-        'url': pa.array([r['url'] for r in rows], pa.string()),
-        'hub': pa.array([r['hub'] for r in rows], pa.float64()),
-        'auth': pa.array([r['auth'] for r in rows], pa.float64())})
+        return hits_bsp(eds, iters, num_shards=num_partitions)
+    # table tier: pull RAW scores (answer-sized) and normalize with
+    # the flat _hits_snap sorted fold — the exact association order of
+    # the driver fold tier and the SQL oracle (the bucketed normalizer
+    # is reserved for the Dataset surface, where it was the pinned
+    # round-4 shape)
+    raw = hits_bsp(eds, iters, num_shards=num_partitions,
+                   normalized=False)
+    rows = raw.take_all()
+    nodes_list = sorted(r['url'] for r in rows)
+    return _hits_snap(nodes_list,
+                      {r['url']: r['hub'] for r in rows},
+                      {r['url']: r['auth'] for r in rows})
 
 
 # ---------------------------------------------------------------------------

@@ -45,29 +45,36 @@ def _iter_inflate(data: bytes, chunk_size: int = 1 << 20):
     """Stream-decompress concatenated gzip members: yields decoded
     chunks without ever materializing the whole decompressed file —
     the multi-member .warc.gz layout restarts a ``decompressobj`` at
-    every member boundary (``unused_data`` hand-off), so memory stays
-    O(chunk) regardless of file size."""
+    every member boundary (``unused_data`` hand-off).  Decompression
+    uses ``max_length`` so a highly COMPRESSIBLE member (a zip-bomb
+    page with 1000:1 markup runs) still yields in ≤ chunk_size pieces:
+    memory stays O(chunk) on both the compressed and decoded side."""
     d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
     pos, n = 0, len(data)
     pending = b''
-    while pos < n or pending:
-        if pending:
+    while pos < n or pending or d.unconsumed_tail:
+        if d.unconsumed_tail:
+            piece = d.unconsumed_tail
+        elif pending:
             piece, pending = pending, b''
         else:
             piece = data[pos:pos + chunk_size]
             pos += len(piece)
-        out = d.decompress(piece)
+        out = d.decompress(piece, chunk_size)
         if out:
             yield out
         while d.eof and (pending or d.unused_data):
             tail = pending or d.unused_data
             pending = b''
             d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-            out = d.decompress(tail)
+            out = d.decompress(tail, chunk_size)
             if out:
                 yield out
-            pending = d.unused_data if d.eof else b''
-        if d.eof and not d.unused_data:
+            if not d.unconsumed_tail:
+                pending = d.unused_data if d.eof else b''
+            if d.unconsumed_tail:
+                break  # drain via the outer loop before member hop
+        if d.eof and not d.unused_data and not d.unconsumed_tail:
             d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
 
 
@@ -122,6 +129,24 @@ class _RecordStream:
         self.peak_buf = max(self.peak_buf, len(self.buf))
         return out
 
+    def finish(self):
+        """End-of-input: emit a TRUNCATED final record with whatever
+        payload bytes exist (the pre-streaming parser's short-slice
+        behavior — an interrupted download must not silently lose its
+        last record), and raise on an unterminated header block (the
+        pre-streaming parser's ``bytes.index`` ValueError)."""
+        if self._pending is not None:
+            headers = self._pending[0]
+            payload = bytes(self.buf)
+            self.buf.clear()
+            self._pending = None
+            return [(headers, payload)]
+        while self.buf[:2] == _CRLF:
+            del self.buf[:2]
+        if self.buf:
+            raise ValueError('unterminated WARC header at end of input')
+        return []
+
 
 def iter_warc_records(data: bytes, chunk_size: int = 1 << 20,
                       stream: _RecordStream | None = None):
@@ -135,6 +160,7 @@ def iter_warc_records(data: bytes, chunk_size: int = 1 << 20,
               if data[:2] == b'\x1f\x8b' else _iter_chunks(data, chunk_size))
     for ch in chunks:
         yield from rs.feed(ch)
+    yield from rs.finish()
 
 
 def _parse_headers(block: bytes) -> dict:

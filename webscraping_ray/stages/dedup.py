@@ -756,6 +756,12 @@ def semdedup_removed_ds(ds, threshold: float = 0.95,
     from .similarity import ivf_bucketize, ivf_build
 
     if max_bucket_rows is not None:
+        if n_clusters is not None:
+            # the split path derives k from the k-rule; a caller's
+            # explicit cluster count would be silently ignored —
+            # refuse instead (review finding, round 5)
+            raise ValueError('pass either n_clusters or '
+                             'max_bucket_rows, not both')
         bucketed = ivf_bucketize(ds, max_bucket_rows=max_bucket_rows,
                                  emb_col=emb_col, id_col=id_col)
     else:

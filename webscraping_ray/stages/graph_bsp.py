@@ -92,8 +92,16 @@ def _make_shard_class():
             self._fs, self._fd = [], []   # forward (src-owned) edges
             self._bs, self._bd = [], []   # backward (dst-owned) edges
             self._in_idx: dict = {}       # (kind, sender) -> local idx
+            self._tokens: set = set()     # delivered (block, kind) ids
 
-        def add_edges(self, kind: str, src: list, dst: list) -> bool:
+        def add_edges(self, kind: str, token, src: list, dst: list) -> bool:
+            """Idempotent by ``token`` (block index + kind): the loader
+            runs as Ray tasks whose retries re-deliver the same block —
+            a side-effecting, non-idempotent add would double-count
+            edges on a worker death (review finding, round 5)."""
+            if token in self._tokens:
+                return True
+            self._tokens.add(token)
             if kind == 'fwd':
                 self._fs.extend(src)
                 self._fd.extend(dst)
@@ -222,19 +230,36 @@ def _make_shard_class():
                 'auth': pa.array(np.rint(av * 1e6) / 1e6 + 0.0,
                                  pa.float64())})
 
+        def hits_raw(self) -> pa.Table:
+            """Unnormalized, unrounded scores — the table-returning
+            tier pulls these (answer-sized) and normalizes with the
+            FLAT ``_hits_snap`` sorted fold, bit-identical to the
+            driver fold tier and the SQL oracle."""
+            return pa.table({
+                'url': pa.array(self.nodes, pa.string()),
+                'hub': pa.array(self.hub, pa.float64()),
+                'auth': pa.array(self.auth, pa.float64())})
+
     return GraphShard
 
 
 def _load_shards(eds, num_shards: int):
     """One pass over the (src, dst) edge Dataset routing every edge to
-    its src-owner (forward index) and dst-owner (backward index)."""
+    its src-owner (forward index) and dst-owner (backward index).
+
+    Runs as one raw Ray task PER BLOCK (driver holds block refs only),
+    each delivering with a (block_index, kind) token so a task retry
+    after a worker death re-delivers idempotently — a map_batches
+    side-effect kernel would double-add edges on lineage
+    re-execution."""
     import ray
 
     assert num_shards <= N_BUCKETS
     cls = _make_shard_class()
     shards = [cls.remote(p, num_shards) for p in range(num_shards)]
 
-    def route(t: pa.Table) -> pa.Table:
+    @ray.remote(num_cpus=0)
+    def route_block(blk_idx: int, t: pa.Table) -> int:
         src = t.column('src').to_pylist()
         dst = t.column('dst').to_pylist()
         sb = np.array([_bucket(u) % num_shards for u in src],
@@ -246,15 +271,20 @@ def _load_shards(eds, num_shards: int):
             m = np.flatnonzero(sb == p)
             if len(m):
                 acks.append(shards[p].add_edges.remote(
-                    'fwd', [src[i] for i in m], [dst[i] for i in m]))
+                    'fwd', (blk_idx, 'fwd'),
+                    [src[i] for i in m], [dst[i] for i in m]))
             m = np.flatnonzero(db == p)
             if len(m):
                 acks.append(shards[p].add_edges.remote(
-                    'bwd', [src[i] for i in m], [dst[i] for i in m]))
+                    'bwd', (blk_idx, 'bwd'),
+                    [src[i] for i in m], [dst[i] for i in m]))
         ray.get(acks)
-        return pa.table({'n': pa.array([t.num_rows], pa.int64())})
+        return t.num_rows
 
-    eds.map_batches(route, batch_format='pyarrow').materialize()
+    block_refs = [bref for bundle in eds.iter_internal_ref_bundles()
+                  for bref, _meta in bundle.blocks]
+    ray.get([route_block.remote(i, bref)
+             for i, bref in enumerate(block_refs)])
     n_total = sum(ray.get([s.finalize.remote() for s in shards]))
     return shards, n_total
 
@@ -305,12 +335,19 @@ def pagerank_bsp(eds, iters: int, damping: float, num_shards: int = 8):
         [s.pr_result.remote() for s in shards])
 
 
-def hits_bsp(eds, iters: int, num_shards: int = 8):
+def hits_bsp(eds, iters: int, num_shards: int = 8,
+             normalized: bool = True):
     """Distributed HITS (unnormalized rounds, one final sum-normalize
     — the relational.hits contract); returns a Dataset of (url, hub,
-    auth).  Normalizers reproduce ``_bucket_fold_scalar`` exactly:
+    auth).  With ``normalized=True`` (the ``*_ds`` surface) the
+    normalizers reproduce ``_bucket_fold_scalar`` exactly:
     per-crc-bucket sorted folds (bucket-whole sharding), then a sorted
-    fold of the ≤ 64 bucket partials on the driver."""
+    fold of the ≤ 64 bucket partials on the driver.  With
+    ``normalized=False`` the RAW unrounded score vectors return so the
+    table tier can apply the FLAT ``_hits_snap`` fold — bit-identical
+    to the driver fold tier (the two normalizer shapes differ only
+    sub-ulp, but the table tier's pin is exact, so it must not change
+    association order)."""
     import ray
     import ray.data
 
@@ -334,6 +371,9 @@ def hits_bsp(eds, iters: int, num_shards: int = 8):
             ray.get([shards[q].hits_apply.remote(
                 kind, dst_vec, *[msgs[s][q] for s in range(P)])
                 for q in range(P)])
+    if not normalized:
+        return ray.data.from_arrow_refs(
+            [s.hits_raw.remote() for s in shards])
     nh = _fold_of_bucket_partials(shards, 'hub')
     na = _fold_of_bucket_partials(shards, 'auth')
     return ray.data.from_arrow_refs(

@@ -261,6 +261,7 @@ def ivf_bucketize(ds, target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS,
     if max_bucket_rows is None:
         return bucketed
 
+    scratches: list = []  # per-round split-partition dirs
     next_id = k
     final: set = set()
     # sub-bucket id range -> parent size, for no-progress detection
@@ -287,17 +288,37 @@ def ivf_bucketize(ds, target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS,
                                    value_set=pa.array(_bad, pa.int64())))),
             batch_format='pyarrow')
         parts = [keep]
+        # ONE pass isolates every oversize bucket's rows into
+        # bucket-partitioned scratch parquet; each re-cluster below
+        # then reads only ITS partition directory.  (The previous
+        # shape filtered the full corpus once per oversize bucket —
+        # O(|oversize| x corpus) scans per round, quadratic once the
+        # flat-k cap makes most buckets oversize; review finding,
+        # round 5.)
+        import os
+        import tempfile
+
+        import ray.data
+
+        scratch = tempfile.mkdtemp(prefix='ivf_split_', dir='/tmp')
+        scratches.append(scratch)
+        bucketed.map_batches(
+            lambda t, _bad=tuple(oversize): t.filter(
+                pc.is_in(t['ivf_bucket'],
+                         value_set=pa.array(_bad, pa.int64()))),
+            batch_format='pyarrow').write_parquet(
+                scratch, partition_cols=['ivf_bucket'])
         for b in oversize:
-            sub = bucketed.map_batches(
-                lambda t, _b=b: t.filter(
-                    pc.equal(t['ivf_bucket'], pa.scalar(_b, pa.int64()))),
-                batch_format='pyarrow')
+            sub = ray.data.read_parquet(
+                os.path.join(scratch, 'ivf_bucket=%d' % b))
+            if 'ivf_bucket' in (sub.schema().names or []):
+                sub = sub.drop_columns(['ivf_bucket'])
             k_b = min(derive_n_clusters(sizes[b], target_bucket_rows),
                       IVF_MAX_FLAT_CLUSTERS)
             if k_b <= 1:
                 k_b = 2  # force an attempt to split in half
             _, resub = ivf_build(
-                sub.drop_columns(['ivf_bucket']), k_b,
+                sub, k_b,
                 sample_size=max(4096, 8 * k_b), emb_col=emb_col,
                 id_col=id_col, seed=seed + 1000 * (depth + 1) + b)
             base = next_id
@@ -314,6 +335,14 @@ def ivf_bucketize(ds, target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS,
         for p in parts[1:]:
             merged = merged.union(p)
         bucketed = merged
+    if scratches:
+        import shutil
+
+        # the returned dataset may lazily reference the last round's
+        # scratch partitions — pin it before deleting them
+        bucketed = bucketed.materialize()
+        for s in scratches:
+            shutil.rmtree(s, ignore_errors=True)
     return bucketed
 
 
@@ -405,21 +434,8 @@ def knn_join_brute(ds, k: int = 5, emb_col: str = 'embedding',
         return (np.concatenate([c[0] for c in chunks]),
                 np.vstack([c[1] for c in chunks]))
 
-    groups: list = []
-    cur: list = []
-    cur_rows = 0
-    for bundle in ds.iter_internal_ref_bundles():
-        for bref, meta in bundle.blocks:
-            nr = meta.num_rows or 0
-            if nr == 0:
-                continue
-            cur.append(bref)
-            cur_rows += nr
-            if cur_rows >= HN_CHUNK_ROWS:
-                groups.append(cur)
-                cur, cur_rows = [], 0
-    if cur:
-        groups.append(cur)
+    groups = _group_block_refs(ds.iter_internal_ref_bundles(),
+                               HN_CHUNK_ROWS)
     ref = assemble.remote(*[repack.remote(*g) for g in groups])
 
     def per_batch(t: pa.Table) -> pa.Table:
@@ -529,6 +545,32 @@ def knn_join_ivf(ds, k: int = 5, n_clusters: int = 8,
 HN_CHUNK_ROWS = 65536
 
 
+def _group_block_refs(bundles, chunk_rows: int):
+    """Group (block_ref, metadata) pairs into ~chunk_rows chunks.
+
+    ``BlockMetadata.num_rows`` is Optional: a block with UNKNOWN row
+    count must be treated as non-empty (it is included and counted as
+    a full chunk so it closes its group), never silently dropped —
+    dropping would exclude its vectors from a broadcast corpus with
+    no error (review finding, round 5)."""
+    groups: list = []
+    cur: list = []
+    cur_rows = 0
+    for bundle in bundles:
+        for ref, meta in bundle.blocks:
+            nr = meta.num_rows
+            if nr == 0:
+                continue          # known-empty only
+            cur.append(ref)
+            cur_rows += nr if nr is not None else chunk_rows
+            if cur_rows >= chunk_rows:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def hard_negatives_blocked(ds, emb_col: str = 'embedding',
                            id_col: str = 'vec_id',
                            label_col: str = 'label',
@@ -572,21 +614,8 @@ def hard_negatives_blocked(ds, emb_col: str = 'embedding',
         return (np.concatenate(ids), np.concatenate(labs),
                 np.vstack(ms))
 
-    groups: list = []
-    cur: list = []
-    cur_rows = 0
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            nr = meta.num_rows or 0
-            if nr == 0:
-                continue
-            cur.append(ref)
-            cur_rows += nr
-            if cur_rows >= chunk_rows:
-                groups.append(cur)
-                cur, cur_rows = [], 0
-    if cur:
-        groups.append(cur)
+    groups = _group_block_refs(ds.iter_internal_ref_bundles(),
+                               chunk_rows)
     empty = pa.table({'vec_id': pa.array([], pa.int64()),
                       'pos_id': pa.array([], pa.int64()),
                       'neg_id': pa.array([], pa.int64())})
