@@ -1037,24 +1037,31 @@ def knn_join(sf_dir: str, k: int = 5):
     from ..stages.similarity import KNN_JOIN_BROADCAST_LIMIT, knn_join_brute
 
     # footer-metadata row count (free): above the broadcast gate the
-    # matrix can't ship whole — fall through to the bucketed tier
+    # matrix can't ship whole — fall through to the bucketed tier with
+    # the k-scaling rule and BOUNDED probes (exhaustive probing at
+    # derived k would replicate every query k times; the result above
+    # the gate is therefore the IVF-APPROXIMATE neighbor join, the
+    # only tractable semantics at that scale — recall gated by the
+    # knn_ivf_recall driver query)
     n = pq.ParquetFile(f'{sf_dir}/embeddings.parquet').metadata.num_rows
     if n > KNN_JOIN_BROADCAST_LIMIT:
-        return knn_join_ivf(sf_dir, k=k)
+        return knn_join_ivf(sf_dir, k=k, n_clusters=None, nprobe=8)
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     return knn_join_brute(ds, k=k)
 
 
-def knn_join_ivf(sf_dir: str, k: int = 5):
+def knn_join_ivf(sf_dir: str, k: int = 5, n_clusters=8, nprobe=None):
     """IVF-bucketed k-NN self-join (the scale path: per-bucket
-    matmuls, probe-replicated queries, no broadcast matrix).  Runs
-    exhaustive-probe here (nprobe = n_clusters), so it shares the
-    exact SQL oracle — the same argument as knn_ivf_query0;
-    sub-exhaustive recall is measured in pytest."""
+    matmuls, probe-replicated queries, no broadcast matrix).  The
+    registered QUERY runs the defaults — 8 buckets, exhaustive probe
+    (nprobe = n_clusters) — so it shares the exact SQL oracle, the
+    same argument as knn_ivf_query0; sub-exhaustive recall is measured
+    in pytest, and :func:`knn_join`'s above-gate fallthrough passes
+    ``n_clusters=None`` (k-rule) with bounded probes instead."""
     from ..stages.similarity import knn_join_ivf as _kji
 
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    return _kji(ds, k=k, n_clusters=8, nprobe=None)
+    return _kji(ds, k=k, n_clusters=n_clusters, nprobe=nprobe)
 
 
 def minhash_dups(sf_dir: str):

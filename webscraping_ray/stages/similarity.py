@@ -476,12 +476,13 @@ def knn_join_ivf(ds, k: int = 5, n_clusters: int = 8,
 
     from ..pipelines.relational import _per_key_groups
 
-    if nprobe is None:
-        nprobe = n_clusters
     C, bucketed = ivf_build(ds, n_clusters, emb_col=emb_col,
                             id_col=id_col, seed=seed)
     nb = len(C)
-    nprobe = min(nprobe, nb)
+    # nprobe=None = exhaustive (exact; only sensible at an explicit
+    # small n_clusters — with the k-rule deriving n_clusters, callers
+    # must bound nprobe or query replication grows with k)
+    nprobe = nb if nprobe is None else min(nprobe, nb)
 
     def emit(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col), dtype=np.int64)
