@@ -268,6 +268,51 @@ def test_group_block_refs_unknown_rowcount_not_dropped():
     assert any('ref1' in g for g in groups)
 
 
+def test_read_warc_zero_response_records_keeps_schema(ray_session,
+                                                      tmp_path):
+    """A WARC with only non-response records still yields a TYPED
+    (empty) pages dataset — a schema-less zero-block dataset breaks
+    downstream writes/unions (review finding)."""
+    from webscraping_ray.sources import warc as W
+
+    body = b'{"Envelope": {}}'
+    head = ('WARC/1.0\r\nWARC-Type: metadata\r\n'
+            'WARC-Target-URI: http://m.com/\r\n'
+            'WARC-Date: 2020-01-01T00:00:00Z\r\n'
+            'Content-Length: %d\r\n' % len(body)).encode()
+    (tmp_path / 'meta.warc').write_bytes(head + b'\r\n' + body
+                                         + b'\r\n\r\n')
+    ds = W.read_warc([str(tmp_path / 'meta.warc')]).materialize()
+    assert ds.count() == 0
+    assert ds.schema() is not None
+    assert set(ds.schema().names) == {'url', 'warc_ts', 'status', 'html'}
+
+
+def test_warc_huge_header_chunk_straddle():
+    """A >64 KB header (long WARC-Target-URI) parses even when the
+    inflate chunking splits it mid-header — the header bound only
+    rejects genuinely unterminated headers (review finding)."""
+    from webscraping_ray.sources import warc as W
+
+    uri = 'http://long.com/' + 'x' * 80_000
+    body = b'HTTP/1.1 200 OK\r\n\r\nhi'
+    head = ('WARC/1.0\r\nWARC-Type: response\r\n'
+            'WARC-Target-URI: %s\r\n'
+            'WARC-Date: 2020-01-01T00:00:00Z\r\n'
+            'Content-Length: %d\r\n' % (uri, len(body))).encode()
+    data = head + b'\r\n' + body + b'\r\n\r\n'
+    got = list(W.parse_warc(data, stream=W._RecordStream()))
+    # force tiny chunks so the header straddles many boundaries
+    rs = W._RecordStream()
+    got2 = []
+    for i in range(0, len(data), 4096):
+        got2.extend(rs.feed(data[i:i + 4096]))
+    got2.extend(rs.finish())
+    assert len(got) == 1 and len(got2) == 1
+    assert got[0]['url'] == uri
+    assert got2[0][0].get('warc-target-uri') == uri
+
+
 def test_graph_bsp_add_edges_idempotent(ray_session):
     """Re-delivering a block (a retried loader task) must not
     double-count edges (review finding)."""

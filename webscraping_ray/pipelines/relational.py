@@ -1045,7 +1045,14 @@ def knn_join(sf_dir: str, k: int = 5):
     # knn_ivf_recall driver query)
     n = pq.ParquetFile(f'{sf_dir}/embeddings.parquet').metadata.num_rows
     if n > KNN_JOIN_BROADCAST_LIMIT:
-        return knn_join_ivf(sf_dir, k=k, n_clusters=None, nprobe=8)
+        from ..stages.similarity import (IVF_MAX_FLAT_CLUSTERS,
+                                         derive_n_clusters)
+
+        # derived k CAPPED at the flat-clustering limit — the driver
+        # k-means cost is sample·k·d, the same bound ivf_bucketize
+        # applies (review finding, round 5)
+        kc = min(derive_n_clusters(n), IVF_MAX_FLAT_CLUSTERS)
+        return knn_join_ivf(sf_dir, k=k, n_clusters=kc, nprobe=8)
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     return knn_join_brute(ds, k=k)
 

@@ -51,29 +51,28 @@ def _iter_inflate(data: bytes, chunk_size: int = 1 << 20):
     memory stays O(chunk) on both the compressed and decoded side."""
     d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
     pos, n = 0, len(data)
-    pending = b''
-    while pos < n or pending or d.unconsumed_tail:
+    while pos < n or d.unconsumed_tail:
         if d.unconsumed_tail:
+            # max_length limited the previous call: drain its
+            # unconsumed input before reading further
             piece = d.unconsumed_tail
-        elif pending:
-            piece, pending = pending, b''
         else:
             piece = data[pos:pos + chunk_size]
             pos += len(piece)
         out = d.decompress(piece, chunk_size)
         if out:
             yield out
-        while d.eof and (pending or d.unused_data):
-            tail = pending or d.unused_data
-            pending = b''
+        # member boundary inside the consumed input: hand unused_data
+        # to a fresh decompressor (repeatedly — several tiny members
+        # can complete inside one piece)
+        while d.eof and d.unused_data:
+            tail = d.unused_data
             d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
             out = d.decompress(tail, chunk_size)
             if out:
                 yield out
-            if not d.unconsumed_tail:
-                pending = d.unused_data if d.eof else b''
             if d.unconsumed_tail:
-                break  # drain via the outer loop before member hop
+                break  # drain via the outer loop before the next hop
         if d.eof and not d.unused_data and not d.unconsumed_tail:
             d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
 
@@ -83,8 +82,12 @@ def _iter_chunks(data: bytes, chunk_size: int = 1 << 20):
         yield data[pos:pos + chunk_size]
 
 
-#: sanity bound on a WARC header block (real headers are < 1 KB)
-_MAX_HEADER_BYTES = 1 << 16
+#: sanity bound on a WARC header block.  Real headers are < 1 KB; the
+#: spec imposes no limit (arbitrarily long WARC-Target-URIs), so the
+#: bound is generous — it exists only so a file with NO header
+#: terminator anywhere cannot grow the buffer to the whole file.  A
+#: partial header merely straddling a chunk boundary stays below it.
+_MAX_HEADER_BYTES = 1 << 20
 
 
 class _RecordStream:
@@ -238,6 +241,7 @@ def warc_pages_stream(batch: pa.Table):
       task is still running, instead of landing as one monolithic
       block at the end (the skew shape of VERDICT r4 item 7)."""
     rows, html_bytes = [], 0
+    produced = False
     for data in batch.column('bytes').to_pylist():
         for rec in parse_warc(data):
             rows.append(rec)
@@ -246,7 +250,12 @@ def warc_pages_stream(batch: pa.Table):
                     or html_bytes >= WARC_STREAM_BATCH_BYTES):
                 yield _pages_table(rows)
                 rows, html_bytes = [], 0
-    if rows:
+                produced = True
+    if rows or not produced:
+        # always emit at least one (typed, possibly empty) table so a
+        # WARC with zero response records still yields the pages
+        # schema — a schema-less zero-block dataset breaks downstream
+        # writes/unions (review finding, round 5)
         yield _pages_table(rows)
 
 
@@ -431,26 +440,11 @@ def wat_record_bytes(url: str, ts_us: int, links: list) -> bytes:
 
 def parse_wat(data: bytes):
     """Yield dicts (url, warc_ts_us, links) for every metadata record
-    in one WAT file's bytes (gzipped or plain)."""
+    in one WAT file's bytes (gzipped or plain) — streaming, like
+    :func:`parse_warc`."""
     import json
 
-    if data[:2] == b'\x1f\x8b':
-        data = _gunzip_members(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        while pos < n and data[pos:pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        hdr_end = data.index(_CRLF + _CRLF, pos)
-        headers = _parse_headers(data[pos:hdr_end])
-        if not data[pos:pos + 5] == b'WARC/':
-            raise ValueError('not a WARC record at offset %d' % pos)
-        length = int(headers['content-length'])
-        body_start = hdr_end + 4
-        payload = data[body_start:body_start + length]
-        pos = body_start + length
+    for headers, payload in iter_warc_records(data):
         if headers.get('warc-type') != 'metadata':
             continue
         url = headers.get('warc-target-uri', '')

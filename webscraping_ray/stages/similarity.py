@@ -219,7 +219,7 @@ IVF_MAX_FLAT_CLUSTERS = 1024
 def ivf_bucketize(ds, target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS,
                   max_bucket_rows=None, emb_col: str = 'embedding',
                   id_col: str = 'vec_id', seed: int = 42,
-                  max_depth: int = 3):
+                  max_depth: int = 3, scratch_dir: str | None = None):
     """k-scaled IVF bucketing with recursive oversize-bucket split.
 
     Returns a Dataset with an int64 ``ivf_bucket`` column where:
@@ -243,6 +243,13 @@ def ivf_bucketize(ds, target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS,
 
     Each round materializes the bucketed dataset before filtering so
     the recursion never re-executes prior rounds' lineage.
+
+    ``scratch_dir``: root for the per-round oversize-split parquet
+    partitions (default: a fresh tempdir under /tmp — fine in local
+    mode; on a MULTI-NODE cluster pass a path on shared storage, the
+    same requirement as the MinHash band scratch in stages/dedup).
+    Scratch is removed on success AND on error (try/finally), after a
+    final materialize pins the returned dataset.
     """
     import pyarrow.compute as pc
 
@@ -262,88 +269,92 @@ def ivf_bucketize(ds, target_bucket_rows: int = IVF_TARGET_BUCKET_ROWS,
         return bucketed
 
     scratches: list = []  # per-round split-partition dirs
-    next_id = k
-    final: set = set()
-    # sub-bucket id range -> parent size, for no-progress detection
-    split_ranges: list = []
-    for depth in range(max_depth):
-        bucketed = bucketed.materialize()
-        sizes = {int(r['ivf_bucket']): int(r['count()'])
-                 for r in bucketed.groupby('ivf_bucket').count()
-                 .take_all()}  # answer-sized: one row per bucket
-        for base, end, parent_size in split_ranges:
-            for b in range(base, end):
-                if sizes.get(b, 0) == parent_size:
-                    # the split reproduced its parent verbatim: all
-                    # points identical — don't try again
-                    final.add(b)
-        split_ranges = []
-        oversize = sorted(b for b, s in sizes.items()
-                          if s > max_bucket_rows and b not in final)
-        if not oversize:
-            break
-        keep = bucketed.map_batches(
-            lambda t, _bad=tuple(oversize): t.filter(
-                pc.invert(pc.is_in(t['ivf_bucket'],
-                                   value_set=pa.array(_bad, pa.int64())))),
-            batch_format='pyarrow')
-        parts = [keep]
-        # ONE pass isolates every oversize bucket's rows into
-        # bucket-partitioned scratch parquet; each re-cluster below
-        # then reads only ITS partition directory.  (The previous
-        # shape filtered the full corpus once per oversize bucket —
-        # O(|oversize| x corpus) scans per round, quadratic once the
-        # flat-k cap makes most buckets oversize; review finding,
-        # round 5.)
-        import os
-        import tempfile
-
-        import ray.data
-
-        scratch = tempfile.mkdtemp(prefix='ivf_split_', dir='/tmp')
-        scratches.append(scratch)
-        bucketed.map_batches(
-            lambda t, _bad=tuple(oversize): t.filter(
-                pc.is_in(t['ivf_bucket'],
-                         value_set=pa.array(_bad, pa.int64()))),
-            batch_format='pyarrow').write_parquet(
-                scratch, partition_cols=['ivf_bucket'])
-        for b in oversize:
-            sub = ray.data.read_parquet(
-                os.path.join(scratch, 'ivf_bucket=%d' % b))
-            if 'ivf_bucket' in (sub.schema().names or []):
-                sub = sub.drop_columns(['ivf_bucket'])
-            k_b = min(derive_n_clusters(sizes[b], target_bucket_rows),
-                      IVF_MAX_FLAT_CLUSTERS)
-            if k_b <= 1:
-                k_b = 2  # force an attempt to split in half
-            _, resub = ivf_build(
-                sub, k_b,
-                sample_size=max(4096, 8 * k_b), emb_col=emb_col,
-                id_col=id_col, seed=seed + 1000 * (depth + 1) + b)
-            base = next_id
-            next_id += k_b
-            split_ranges.append((base, base + k_b, sizes[b]))
-            resub = resub.map_batches(
-                lambda t, _base=base: t.set_column(
-                    t.schema.get_field_index('ivf_bucket'), 'ivf_bucket',
-                    pc.add(pc.cast(t.column('ivf_bucket'), pa.int64()),
-                           pa.scalar(_base, pa.int64()))),
+    try:
+        next_id = k
+        final: set = set()
+        # sub-bucket id range -> parent size, for no-progress detection
+        split_ranges: list = []
+        for depth in range(max_depth):
+            bucketed = bucketed.materialize()
+            sizes = {int(r['ivf_bucket']): int(r['count()'])
+                     for r in bucketed.groupby('ivf_bucket').count()
+                     .take_all()}  # answer-sized: one row per bucket
+            for base, end, parent_size in split_ranges:
+                for b in range(base, end):
+                    if sizes.get(b, 0) == parent_size:
+                        # the split reproduced its parent verbatim: all
+                        # points identical — don't try again
+                        final.add(b)
+            split_ranges = []
+            oversize = sorted(b for b, s in sizes.items()
+                              if s > max_bucket_rows and b not in final)
+            if not oversize:
+                break
+            keep = bucketed.map_batches(
+                lambda t, _bad=tuple(oversize): t.filter(
+                    pc.invert(pc.is_in(t['ivf_bucket'],
+                                       value_set=pa.array(_bad, pa.int64())))),
                 batch_format='pyarrow')
-            parts.append(resub)
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.union(p)
-        bucketed = merged
-    if scratches:
-        import shutil
+            parts = [keep]
+            # ONE pass isolates every oversize bucket's rows into
+            # bucket-partitioned scratch parquet; each re-cluster below
+            # then reads only ITS partition directory.  (The previous
+            # shape filtered the full corpus once per oversize bucket —
+            # O(|oversize| x corpus) scans per round, quadratic once the
+            # flat-k cap makes most buckets oversize; review finding,
+            # round 5.)
+            import os
+            import tempfile
 
-        # the returned dataset may lazily reference the last round's
-        # scratch partitions — pin it before deleting them
-        bucketed = bucketed.materialize()
-        for s in scratches:
-            shutil.rmtree(s, ignore_errors=True)
-    return bucketed
+            import ray.data
+
+            scratch = tempfile.mkdtemp(prefix='ivf_split_',
+                                       dir=scratch_dir or '/tmp')
+            scratches.append(scratch)
+            bucketed.map_batches(
+                lambda t, _bad=tuple(oversize): t.filter(
+                    pc.is_in(t['ivf_bucket'],
+                             value_set=pa.array(_bad, pa.int64()))),
+                batch_format='pyarrow').write_parquet(
+                    scratch, partition_cols=['ivf_bucket'])
+            for b in oversize:
+                sub = ray.data.read_parquet(
+                    os.path.join(scratch, 'ivf_bucket=%d' % b))
+                if 'ivf_bucket' in (sub.schema().names or []):
+                    sub = sub.drop_columns(['ivf_bucket'])
+                k_b = min(derive_n_clusters(sizes[b], target_bucket_rows),
+                          IVF_MAX_FLAT_CLUSTERS)
+                if k_b <= 1:
+                    k_b = 2  # force an attempt to split in half
+                _, resub = ivf_build(
+                    sub, k_b,
+                    sample_size=max(4096, 8 * k_b), emb_col=emb_col,
+                    id_col=id_col, seed=seed + 1000 * (depth + 1) + b)
+                base = next_id
+                next_id += k_b
+                split_ranges.append((base, base + k_b, sizes[b]))
+                resub = resub.map_batches(
+                    lambda t, _base=base: t.set_column(
+                        t.schema.get_field_index('ivf_bucket'), 'ivf_bucket',
+                        pc.add(pc.cast(t.column('ivf_bucket'), pa.int64()),
+                               pa.scalar(_base, pa.int64()))),
+                    batch_format='pyarrow')
+                parts.append(resub)
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.union(p)
+            bucketed = merged
+        if scratches:
+            # the returned dataset may lazily reference the last
+            # round's scratch partitions — pin it before deletion
+            bucketed = bucketed.materialize()
+        return bucketed
+    finally:
+        if scratches:
+            import shutil
+
+            for s in scratches:
+                shutil.rmtree(s, ignore_errors=True)
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
