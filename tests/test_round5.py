@@ -341,6 +341,45 @@ def test_graph_bsp_add_edges_idempotent(ray_session):
     assert sum(len(v) for v in msgs) == 2
 
 
+def test_segment_folds_vectorized_bitwise_equal():
+    """The stepped-vectorized fold performs the exact left-associated
+    additions of the scalar loop (bitwise), including the heavy-
+    in-degree fallback path (segments > _FOLD_VEC_STEPS)."""
+    import numpy as np
+
+    from webscraping_ray.stages.graph_bsp import _segment_folds
+
+    def scalar_ref(idx, vals, n):
+        out = np.zeros(n)
+        order = np.lexsort((vals, idx))
+        si, sv = idx[order], vals[order]
+        if not len(si):
+            return out
+        acc, cur = sv[0], si[0]
+        for k in range(1, len(si)):
+            if si[k] != cur:
+                out[cur] = acc
+                cur, acc = si[k], sv[k]
+            else:
+                acc = acc + sv[k]
+        out[cur] = acc
+        return out
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(1, 300))
+        m = int(rng.integers(0, 4000))
+        idx = (rng.choice(n, size=m) if m
+               else np.array([], dtype=np.int64)).astype(np.int64)
+        if trial % 4 == 0 and m > 200:
+            idx[:m // 2] = 0      # mega segment -> fallback path
+        vals = (rng.random(m) * rng.choice([1e-9, 1.0, 1e9], size=m)
+                if m else np.array([]))
+        a = _segment_folds(idx, vals, n)
+        b = scalar_ref(idx, vals, n)
+        assert a.tobytes() == b.tobytes(), trial
+
+
 def test_semdedup_param_conflict_raises(ray_session):
     import ray.data
 

@@ -58,26 +58,54 @@ def _fold_sorted_arr(vals: np.ndarray) -> float:
     return 0.0 if s is None else float(s)
 
 
+#: degree up to which the fold is computed by vectorized fold-steps;
+#: segments longer than this use the scalar loop (rare: only the very
+#: highest-in-degree nodes)
+_FOLD_VEC_STEPS = 64
+
+
 def _segment_folds(idx: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
     """Per-segment ascending-sorted sequential left folds: for each
     i in [0, n) the fold of ``vals[idx == i]`` (0.0 when empty).
-    Sequential adds on purpose — bit-compatibility with the driver
-    fold tier and the SQL oracle's list_reduce(list_sort(...))."""
+    Sequential-add ORDER is the contract (bit-compatibility with the
+    driver fold tier and the SQL oracle's
+    ``list_reduce(list_sort(...))``) — but sequential order does not
+    require a scalar loop: fold STEP j adds every length->j segment's
+    j-th value in one vectorized gather-add, which performs the exact
+    same left-associated additions per segment.  Segments longer than
+    ``_FOLD_VEC_STEPS`` (the heavy-in-degree tail) fall back to the
+    scalar loop; bit-equality of the two paths is pinned in tests."""
     out = np.zeros(n, dtype=np.float64)
     if not len(idx):
         return out
     order = np.lexsort((vals, idx))
     si, sv = idx[order], vals[order]
-    acc = sv[0]
-    cur = si[0]
-    for k in range(1, len(si)):
-        if si[k] != cur:
-            out[cur] = acc
-            cur = si[k]
-            acc = sv[k]
-        else:
-            acc = acc + sv[k]
-    out[cur] = acc
+    # segment starts/lengths over the (idx-sorted) stream
+    starts = np.flatnonzero(np.diff(si, prepend=si[0] - 1))
+    seg_idx = si[starts]
+    lengths = np.diff(np.append(starts, len(si)))
+    short = lengths <= _FOLD_VEC_STEPS
+    if short.any():
+        s_starts = starts[short]
+        s_len = lengths[short]
+        s_tgt = seg_idx[short]
+        # sort by length DESC: step j's live segments are then a
+        # PREFIX, so each fold step is two contiguous-prefix gathers
+        # instead of boolean-mask fancy indexing
+        o2 = np.argsort(-s_len, kind='stable')
+        s_starts, s_len, s_tgt = s_starts[o2], s_len[o2], s_tgt[o2]
+        acc = sv[s_starts].copy()
+        neg_len = -s_len            # ascending, for searchsorted
+        for j in range(1, int(s_len[0])):
+            c = int(np.searchsorted(neg_len, -j, side='left'))
+            acc[:c] = acc[:c] + sv[s_starts[:c] + j]
+        out[s_tgt] = acc
+    for s, ln, tgt in zip(starts[~short], lengths[~short],
+                          seg_idx[~short]):
+        a = sv[s]
+        for k in range(1, ln):
+            a = a + sv[s + k]
+        out[tgt] = a
     return out
 
 
