@@ -108,15 +108,27 @@ def run_bench():
     # stable protocol (see BASELINE.md variance notes)
     reps = max(1, int(os.environ.get('GRAFT_BENCH_REPS', '2')))
     sweep_secs = []
+    _sweep_extract = ExtractPages(with_links=True, with_contacts=True,
+                                  with_excerpt=True)
     for _ in range(reps):
         t0 = time.time()
-        stats = (cs.read_all(columns=['url', 'html'])
-                 .map_batches(ExtractPages(with_links=True,
-                                           with_contacts=True,
-                                           with_excerpt=True),
-                              batch_format='pyarrow', batch_size=1024)
-                 .map_batches(summarize, batch_format='pyarrow')
-                 .sum(['pages', 'text_chars']))
+        # extract+summarize FUSED into the read tasks: html never
+        # crosses the object store (round 5 — the sweep is memory-
+        # bandwidth-bound at 32 cpus and this hop is the largest
+        # removable traffic); GRAFT_SWEEP_FUSED=0 restores the
+        # round-4 three-stage plan for A/B
+        if os.environ.get('GRAFT_SWEEP_FUSED', '1') != '0':
+            stats = (cs.read_all(
+                columns=['url', 'html'],
+                postprocess=lambda t: summarize(_sweep_extract(t)))
+                .sum(['pages', 'text_chars']))
+        else:
+            stats = (cs.read_all(columns=['url', 'html'])
+                     .map_batches(_sweep_extract,
+                                  batch_format='pyarrow',
+                                  batch_size=1024)
+                     .map_batches(summarize, batch_format='pyarrow')
+                     .sum(['pages', 'text_chars']))
         sweep_secs.append(time.time() - t0)
     extract_sec = min(sweep_secs)
     n = stats['sum(pages)']

@@ -341,6 +341,29 @@ def test_graph_bsp_add_edges_idempotent(ray_session):
     assert sum(len(v) for v in msgs) == 2
 
 
+def test_read_all_fused_postprocess_equivalence(ray_session, tmp_path):
+    """read_all(postprocess=fn) must equal read_all().map_batches(fn)
+    — the whole-corpus fused-sweep path (round 5)."""
+    from webscraping_ray.stages.extract_stage import ExtractPages
+
+    tbl = corpus.pages_table(200, n_hosts=4, seed=21)
+    cs = _store_from_table(tbl, str(tmp_path / 'corpus'))
+    ex = ExtractPages(with_links=True, with_contacts=True,
+                      with_excerpt=True)
+
+    def proj(t):
+        out = ex(t)
+        return out.select(['url', 'text', 'status'])
+
+    want = (cs.read_all(columns=['url', 'html'])
+            .map_batches(proj, batch_format='pyarrow').to_pandas()
+            .sort_values('url').reset_index(drop=True))
+    got = (cs.read_all(columns=['url', 'html'], postprocess=proj)
+           .to_pandas().sort_values('url').reset_index(drop=True))
+    assert got.equals(want)
+    assert len(got) == 200
+
+
 def test_segment_folds_vectorized_bitwise_equal():
     """The stepped-vectorized fold performs the exact left-associated
     additions of the scalar loop (bitwise), including the heavy-

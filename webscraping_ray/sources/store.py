@@ -396,29 +396,35 @@ class _PointReadDatasource:
             def _read():
                 import numpy as np
 
-                wanted, wnp = _wanted_arrays(want_ref)
                 pf = pq.ParquetFile(path)
                 md = pf.metadata
                 span = range(lo, md.num_row_groups if hi < 0
                              else min(hi, md.num_row_groups))
-                try:
-                    ci = next(i for i in range(md.num_columns)
-                              if md.schema.column(i).name == 'url')
-                    groups = []
-                    for rg in span:
-                        st = md.row_group(rg).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            groups = list(span)
-                            break
-                        i = int(np.searchsorted(wnp, st.min))
-                        if i < len(wnp) and wnp[i] <= st.max:
-                            groups.append(rg)
-                except StopIteration:
+                if want_ref is None:
+                    # full-scan mode (read_all fused path): every
+                    # in-range group, no url filter
                     groups = list(span)
+                else:
+                    wanted, wnp = _wanted_arrays(want_ref)
+                    try:
+                        ci = next(i for i in range(md.num_columns)
+                                  if md.schema.column(i).name == 'url')
+                        groups = []
+                        for rg in span:
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                groups = list(span)
+                                break
+                            i = int(np.searchsorted(wnp, st.min))
+                            if i < len(wnp) and wnp[i] <= st.max:
+                                groups.append(rg)
+                    except StopIteration:
+                        groups = list(span)
                 if not groups:
                     return [out_schema.empty_table()]
                 t = pf.read_row_groups(groups, columns=cols)
-                t = t.filter(pc.is_in(t['url'], value_set=wanted))
+                if want_ref is not None:
+                    t = t.filter(pc.is_in(t['url'], value_set=wanted))
                 t = t.select(schema.names)
                 # zero-copy slices bounded by rows AND html bytes;
                 # the fused postprocess runs per slice, so peak task
@@ -582,7 +588,7 @@ class CorpusStore:
 
         import pyarrow.parquet as pq
 
-        want_ref = ray.put(want)
+        want_ref = ray.put(want) if want is not None else None
         schema = pq.read_schema(files[0])
         if columns:
             schema = pa.schema([schema.field(c) for c in columns
@@ -773,9 +779,26 @@ class CorpusStore:
                     decoded += md.row_group(rg).num_rows
         return decoded
 
-    def read_all(self, columns=None):
-        """Full-corpus Dataset (for whole-corpus extraction pipelines)."""
+    def read_all(self, columns=None, postprocess=None):
+        """Full-corpus Dataset (for whole-corpus extraction pipelines).
+
+        ``postprocess``: optional (pa.Table) -> pa.Table transform
+        FUSED into the read tasks (the same mechanism as
+        :meth:`lookup_ds`): the corpus store's row-group-chunked
+        datasource runs it per byte-bounded slice inside each read
+        task, so e.g. a whole-corpus extraction sweep consumes html
+        in-task and the raw page bytes never cross the object store —
+        at 32 cpus the sweep is memory-bandwidth-bound, and this hop
+        is the largest removable traffic."""
+        import glob as _glob
+
         import ray.data
 
-        return ray.data.read_parquet(self.root, columns=columns,
-                                     file_extensions=['parquet'])
+        if postprocess is None:
+            return ray.data.read_parquet(self.root, columns=columns,
+                                         file_extensions=['parquet'])
+        files = sorted(_glob.glob(os.path.join(
+            self.root, '**', '*.parquet'), recursive=True))
+        columns = self._available_columns(files[0], columns)
+        return self._pruned_point_read(files, None, columns,
+                                       postprocess=postprocess)
